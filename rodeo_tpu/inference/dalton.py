@@ -1,0 +1,781 @@
+r"""
+DALTON data-adaptive likelihood approximation.
+
+Computes :math:`p(Y_{0:M} \mid Z_{1:N}) = p(Y_{0:M}, Z_{1:N}) / p(Z_{1:N})`
+by running two Kalman filters in one scan: a *joint* filter whose measurement
+stacks the ODE interrogation rows with the observation rows, and a *marginal*
+ODE-only filter.  For non-Gaussian observations, each observation is
+Laplace-linearized (gradient + Hessian of its log-likelihood) into a Gaussian
+pseudo-observation.
+
+Functional parity target: ``/root/reference/src/rodeo/inference/dalton.py``
+(``dalton``, ``daltonng``, ``solve_mv``, ``solve_sim``, ``solve_mv_nn`` and
+private helpers).  Known reference bug fixed here: ``dalton.py:430`` passes
+``var_State=`` (typo) to ``smooth_mv``, which breaks the square-root backend;
+this implementation passes ``var_state=`` correctly.
+"""
+import jax
+import jax.numpy as jnp
+import jax.scipy as jsp
+
+from rodeo_tpu.kalmantv import get_backend
+from rodeo_tpu.inference.fenrir import _forecast_update
+from rodeo_tpu.utils import multivariate_normal_logpdf, mvdot
+from rodeo_tpu.solve import _solve_filter as _solve_filter_ode
+
+__all__ = ["dalton", "daltonng", "solve_mv", "solve_sim", "solve_mv_nn"]
+
+
+def _block_diag2(var_a, var_b):
+    """Batched 2-matrix block diagonal over a leading block axis."""
+    return jax.vmap(jsp.linalg.block_diag)(var_a, var_b)
+
+
+# --- loglikelihood -----------------------------------------------------------
+
+
+def dalton(key, ode_fun, ode_weight, ode_init,
+           t_min, t_max, n_steps,
+           interrogate,
+           prior_pars,
+           obs_data, obs_times, obs_weight, obs_var,
+           kalman_type="standard", **params):
+    r"""
+    DALTON marginal log-likelihood for Gaussian observations,
+    :math:`\log p(Y_{0:M} \mid Z_{1:N})`.
+
+    Parity: ``dalton.py:39-235``.
+
+    Args:
+        key (PRNGKey): PRNG key.
+        ode_fun (Callable): Block-form ODE function.
+        ode_weight (ndarray(n_block, n_bmeas, n_bstate)): :math:`W`.
+        ode_init (ndarray(n_block, n_bstate)): Initial state.
+        t_min, t_max (float): Solution interval.
+        n_steps (int): Number of solver steps.
+        interrogate (Callable): Interrogation scheme.
+        prior_pars (tuple): ``(prior_weight, prior_var)``.
+        obs_data (ndarray(n_obs, n_block, n_bobs)): Observations.
+        obs_times (ndarray(n_obs)): Observation times.
+        obs_weight (ndarray(n_obs, n_block, n_bobs, n_bstate)): :math:`D_m`.
+        obs_var (ndarray(n_obs, n_block, n_bobs, n_bobs)): :math:`\Omega_m`.
+        kalman_type (str): ``"standard"`` or ``"square-root"``.
+        params: Optional model parameters.
+
+    Returns:
+        (float): The log-likelihood value.
+    """
+    n_block, n_bmeas, n_bstate = ode_weight.shape
+    n_bobs = obs_weight.shape[2]
+    kalman_funs = get_backend(kalman_type)
+    prior_weight, prior_var = prior_pars
+
+    sim_times = jnp.linspace(t_min, t_max, n_steps + 1)
+    obs_ind = jnp.searchsorted(sim_times, obs_times)
+
+    dtype = ode_init.dtype
+    x_meas = jnp.zeros((n_block, n_bmeas), dtype=dtype)
+    obs_mean = jnp.zeros((n_block, n_bobs), dtype=dtype)
+    mean_state = jnp.zeros((n_block, n_bstate), dtype=dtype)
+    mean_state_init = ode_init
+    var_state_init = jnp.zeros((n_block, n_bstate, n_bstate), dtype=dtype)
+
+    def scan(carry, step):
+        mean_state_filt_zy, var_state_filt_zy = carry["state_filt_joint"]
+        mean_state_filt_z, var_state_filt_z = carry["state_filt_marg"]
+        logdens_zy = carry["logdens_joint"]
+        logdens_z = carry["logdens_marg"]
+        t = step["t"]
+        keys = step["key"]
+        i = carry["i"]
+        ode_time = t_min + (t_max - t_min) * (t + 1) / n_steps
+
+        # --- joint filter p(Z, Y) ---
+        mean_state_pred_zy, var_state_pred_zy = kalman_funs.predict(
+            mean_state_past=mean_state_filt_zy,
+            var_state_past=var_state_filt_zy,
+            mean_state=mean_state,
+            wgt_state=prior_weight,
+            var_state=prior_var,
+        )
+        wgt_meas, mean_meas, var_meas = interrogate(
+            key=keys[0],
+            ode_fun=ode_fun,
+            ode_weight=ode_weight,
+            t=ode_time,
+            mean_state_pred=mean_state_pred_zy,
+            var_state_pred=var_state_pred_zy,
+            **params,
+        )
+        W_meas = ode_weight + wgt_meas
+
+        def zy_update():
+            wgt_meas_obs = jnp.concatenate([W_meas, obs_weight[i]], axis=1)
+            mean_meas_obs = jnp.concatenate([mean_meas, obs_mean], axis=1)
+            var_meas_obs = _block_diag2(var_meas, obs_var[i])
+            x_meas_obs = jnp.concatenate([x_meas, obs_data[i]], axis=1)
+            logp, mean_state_next, var_state_next = _forecast_update(
+                mean_state_pred=mean_state_pred_zy,
+                var_state_pred=var_state_pred_zy,
+                x_meas=x_meas_obs,
+                mean_meas=mean_meas_obs,
+                wgt_meas=wgt_meas_obs,
+                var_meas=var_meas_obs,
+                kalman_funs=kalman_funs,
+            )
+            return mean_state_next, var_state_next, logp, i + 1
+
+        def z_update():
+            logp, mean_state_next, var_state_next = _forecast_update(
+                mean_state_pred=mean_state_pred_zy,
+                var_state_pred=var_state_pred_zy,
+                x_meas=x_meas,
+                mean_meas=mean_meas,
+                wgt_meas=W_meas,
+                var_meas=var_meas,
+                kalman_funs=kalman_funs,
+            )
+            return mean_state_next, var_state_next, logp, i
+
+        mean_state_next_zy, var_state_next_zy, logp, i = jax.lax.cond(
+            t + 1 == obs_ind[i], zy_update, z_update)
+        logdens_zy += logp
+
+        # --- marginal filter p(Z) ---
+        mean_state_pred_z, var_state_pred_z = kalman_funs.predict(
+            mean_state_past=mean_state_filt_z,
+            var_state_past=var_state_filt_z,
+            mean_state=mean_state,
+            wgt_state=prior_weight,
+            var_state=prior_var,
+        )
+        wgt_meas, mean_meas, var_meas = interrogate(
+            key=keys[1],
+            ode_fun=ode_fun,
+            ode_weight=ode_weight,
+            t=ode_time,
+            mean_state_pred=mean_state_pred_z,
+            var_state_pred=var_state_pred_z,
+            **params,
+        )
+        W_meas = ode_weight + wgt_meas
+        logp, mean_state_next_z, var_state_next_z = _forecast_update(
+            mean_state_pred=mean_state_pred_z,
+            var_state_pred=var_state_pred_z,
+            x_meas=x_meas,
+            mean_meas=mean_meas,
+            wgt_meas=W_meas,
+            var_meas=var_meas,
+            kalman_funs=kalman_funs,
+        )
+        logdens_z += logp
+
+        carry = {
+            "state_filt_joint": (mean_state_next_zy, var_state_next_zy),
+            "state_filt_marg": (mean_state_next_z, var_state_next_z),
+            "logdens_joint": logdens_zy,
+            "logdens_marg": logdens_z,
+            "i": i,
+        }
+        return carry, None
+
+    # log-density of p(Y_0 | X_0) if an observation sits at t = 0
+    def _logy0():
+        mean_y0 = mvdot(obs_weight[0], ode_init) + obs_mean
+        logdens_zy = jnp.sum(multivariate_normal_logpdf(
+            obs_data[0], mean=mean_y0, cov=obs_var[0]))
+        return logdens_zy, 1
+
+    def _no_logy0():
+        return 0.0, 0
+
+    logdens_zy, i = jax.lax.cond(obs_ind[0] == 0, _logy0, _no_logy0)
+
+    scan_init = {
+        "state_filt_joint": (mean_state_init, var_state_init),
+        "state_filt_marg": (mean_state_init, var_state_init),
+        "logdens_joint": logdens_zy,
+        "logdens_marg": 0.0,
+        "i": i,
+    }
+    if key is not None:
+        keys = jax.random.split(key, num=(n_steps, 2))
+    else:
+        keys = jnp.zeros((n_steps, 2))
+    steps = {"t": jnp.arange(n_steps), "key": keys}
+    out, _ = jax.lax.scan(scan, scan_init, steps)
+    return out["logdens_joint"] - out["logdens_marg"]
+
+
+# --- ODE solver --------------------------------------------------------------
+
+
+def _solve_filter(key, ode_fun, ode_weight, ode_init,
+                  t_min, t_max, n_steps,
+                  interrogate,
+                  prior_weight, prior_var,
+                  obs_data, obs_times, obs_weight, obs_var,
+                  kalman_funs, **params):
+    r"""
+    Forward pass of DALTON with Gaussian observations folded into the update.
+    Parity: ``dalton.py:242-371``.
+
+    Returns the same ``state_filt`` / ``state_pred`` pytree as
+    :func:`rodeo_tpu.solve._solve_filter`.
+    """
+    n_block, n_bmeas, n_bstate = ode_weight.shape
+    n_bobs = obs_weight.shape[2]
+
+    sim_times = jnp.linspace(t_min, t_max, n_steps + 1)
+    obs_ind = jnp.searchsorted(sim_times, obs_times)
+
+    dtype = ode_init.dtype
+    x_meas = jnp.zeros((n_block, n_bmeas), dtype=dtype)
+    obs_mean = jnp.zeros((n_block, n_bobs), dtype=dtype)
+    mean_state = jnp.zeros((n_block, n_bstate), dtype=dtype)
+    mean_state_init = ode_init
+    var_state_init = jnp.zeros((n_block, n_bstate, n_bstate), dtype=dtype)
+
+    def scan_fun(carry, step):
+        mean_state_filt, var_state_filt = carry["state_filt"]
+        i = carry["i"]
+        t = step["t"]
+        key_n = step["key"]
+        ode_time = t_min + (t_max - t_min) * (t + 1) / n_steps
+
+        mean_state_pred, var_state_pred = kalman_funs.predict(
+            mean_state_past=mean_state_filt,
+            var_state_past=var_state_filt,
+            mean_state=mean_state,
+            wgt_state=prior_weight,
+            var_state=prior_var,
+        )
+        wgt_meas, mean_meas, var_meas = interrogate(
+            key=key_n,
+            ode_fun=ode_fun,
+            ode_weight=ode_weight,
+            t=ode_time,
+            mean_state_pred=mean_state_pred,
+            var_state_pred=var_state_pred,
+            **params,
+        )
+        W_meas = ode_weight + wgt_meas
+
+        def zy_update():
+            wgt_meas_obs = jnp.concatenate([W_meas, obs_weight[i]], axis=1)
+            mean_meas_obs = jnp.concatenate([mean_meas, obs_mean], axis=1)
+            var_meas_obs = _block_diag2(var_meas, obs_var[i])
+            x_meas_obs = jnp.concatenate([x_meas, obs_data[i]], axis=1)
+            mean_state_next, var_state_next = kalman_funs.update(
+                mean_state_pred=mean_state_pred,
+                var_state_pred=var_state_pred,
+                x_meas=x_meas_obs,
+                mean_meas=mean_meas_obs,
+                wgt_meas=wgt_meas_obs,
+                var_meas=var_meas_obs,
+            )
+            return mean_state_next, var_state_next, i + 1
+
+        def z_update():
+            mean_state_next, var_state_next = kalman_funs.update(
+                mean_state_pred=mean_state_pred,
+                var_state_pred=var_state_pred,
+                x_meas=x_meas,
+                mean_meas=mean_meas,
+                wgt_meas=W_meas,
+                var_meas=var_meas,
+            )
+            return mean_state_next, var_state_next, i
+
+        mean_state_next, var_state_next, i = jax.lax.cond(
+            t + 1 == obs_ind[i], zy_update, z_update)
+        carry = {"state_filt": (mean_state_next, var_state_next), "i": i}
+        stack = {
+            "state_filt": (mean_state_next, var_state_next),
+            "state_pred": (mean_state_pred, var_state_pred),
+        }
+        return carry, stack
+
+    i = jax.lax.cond(obs_ind[0] == 0, lambda: 1, lambda: 0)
+    scan_init = {"state_filt": (mean_state_init, var_state_init), "i": i}
+    if key is not None:
+        keys = jax.random.split(key, num=n_steps)
+    else:
+        keys = jnp.zeros(n_steps)
+    steps = {"t": jnp.arange(n_steps), "key": keys}
+    _, scan_out = jax.lax.scan(scan_fun, scan_init, steps)
+    scan_out["state_filt"] = (
+        jnp.concatenate([mean_state_init[None], scan_out["state_filt"][0]]),
+        jnp.concatenate([var_state_init[None], scan_out["state_filt"][1]]),
+    )
+    scan_out["state_pred"] = (
+        jnp.concatenate([mean_state_init[None], scan_out["state_pred"][0]]),
+        jnp.concatenate([var_state_init[None], scan_out["state_pred"][1]]),
+    )
+    return scan_out
+
+
+def _smooth_mv_pass(ode_init, filt_out, prior_weight, prior_var, kalman_funs):
+    """Shared reverse mean/variance smoothing pass over a forward-filter
+    output pytree.  Used by :func:`solve_mv` and :func:`solve_mv_nn`
+    (parity: ``dalton.py:417-460`` and ``dalton.py:996-1039``)."""
+    mean_state_pred, var_state_pred = filt_out["state_pred"]
+    mean_state_filt, var_state_filt = filt_out["state_filt"]
+    n_steps = mean_state_filt.shape[0] - 1
+    n_block, n_bstate = ode_init.shape
+
+    def scan_fun(state_next, smooth_kwargs):
+        mean_state_curr, var_state_curr = kalman_funs.smooth_mv(
+            mean_state_next=state_next["mean"],
+            var_state_next=state_next["var"],
+            wgt_state=prior_weight,
+            mean_state_filt=smooth_kwargs["mean_state_filt"],
+            var_state_filt=smooth_kwargs["var_state_filt"],
+            mean_state_pred=smooth_kwargs["mean_state_pred"],
+            var_state_pred=smooth_kwargs["var_state_pred"],
+            var_state=prior_var,
+        )
+        state_curr = {"mean": mean_state_curr, "var": var_state_curr}
+        return state_curr, state_curr
+
+    scan_init = {
+        "mean": mean_state_filt[n_steps],
+        "var": var_state_filt[n_steps],
+    }
+    scan_kwargs = {
+        "mean_state_filt": mean_state_filt[1:n_steps],
+        "var_state_filt": var_state_filt[1:n_steps],
+        "mean_state_pred": mean_state_pred[2:n_steps + 1],
+        "var_state_pred": var_state_pred[2:n_steps + 1],
+    }
+    _, scan_out = jax.lax.scan(scan_fun, scan_init, scan_kwargs, reverse=True)
+    mean_state_smooth = jnp.concatenate(
+        [ode_init[None], scan_out["mean"], scan_init["mean"][None]])
+    var_state_smooth = jnp.concatenate(
+        [jnp.zeros((1, n_block, n_bstate, n_bstate), dtype=ode_init.dtype),
+         scan_out["var"], scan_init["var"][None]])
+    return mean_state_smooth, var_state_smooth
+
+
+def solve_mv(key, ode_fun, ode_weight, ode_init,
+             t_min, t_max, n_steps,
+             interrogate,
+             prior_pars,
+             obs_data, obs_times, obs_weight, obs_var,
+             kalman_type="standard", **params):
+    r"""
+    DALTON data-conditioned posterior mean and variance of
+    :math:`p(X_{0:N} \mid Y_{0:M}, Z_{1:N})` for Gaussian observations.
+    Same arguments as :func:`dalton`.  Parity: ``dalton.py:374-460``
+    (with the ``var_State`` typo of line 430 fixed, so the square-root
+    backend works).
+
+    Returns:
+        (tuple): ``mean_state_smooth``, ``var_state_smooth``.
+    """
+    prior_weight, prior_var = prior_pars
+    kalman_funs = get_backend(kalman_type)
+    filt_out = _solve_filter(
+        key=key,
+        ode_fun=ode_fun, ode_weight=ode_weight, ode_init=ode_init,
+        t_min=t_min, t_max=t_max, n_steps=n_steps,
+        interrogate=interrogate,
+        prior_weight=prior_weight, prior_var=prior_var,
+        obs_data=obs_data, obs_times=obs_times,
+        obs_weight=obs_weight, obs_var=obs_var,
+        kalman_funs=kalman_funs, **params,
+    )
+    return _smooth_mv_pass(
+        ode_init, filt_out, prior_weight, prior_var, kalman_funs)
+
+
+def solve_sim(key, ode_fun, ode_weight, ode_init,
+              t_min, t_max, n_steps,
+              interrogate,
+              prior_pars,
+              obs_data, obs_times, obs_weight, obs_var,
+              kalman_type="standard", **params):
+    r"""
+    DALTON posterior path sampler from
+    :math:`p(X_{0:N} \mid Y_{0:M}, Z_{1:N})` for Gaussian observations.
+    Same arguments as :func:`dalton`.  Parity: ``dalton.py:463-545``.
+
+    Returns:
+        (ndarray(n_steps+1, n_block, n_bstate)): Sample solution path.
+    """
+    prior_weight, prior_var = prior_pars
+    kalman_funs = get_backend(kalman_type)
+    key, *subkeys = jax.random.split(key, num=n_steps + 1)
+    filt_out = _solve_filter(
+        key=key,
+        ode_fun=ode_fun, ode_weight=ode_weight, ode_init=ode_init,
+        t_min=t_min, t_max=t_max, n_steps=n_steps,
+        interrogate=interrogate,
+        prior_weight=prior_weight, prior_var=prior_var,
+        obs_data=obs_data, obs_times=obs_times,
+        obs_weight=obs_weight, obs_var=obs_var,
+        kalman_funs=kalman_funs, **params,
+    )
+    mean_state_pred, var_state_pred = filt_out["state_pred"]
+    mean_state_filt, var_state_filt = filt_out["state_filt"]
+
+    def scan_fun(x_state_next, smooth_kwargs):
+        mean_state_sim, var_state_sim = kalman_funs.smooth_sim(
+            x_state_next=x_state_next,
+            wgt_state=prior_weight,
+            mean_state_filt=smooth_kwargs["mean_state_filt"],
+            var_state_filt=smooth_kwargs["var_state_filt"],
+            mean_state_pred=smooth_kwargs["mean_state_pred"],
+            var_state_pred=smooth_kwargs["var_state_pred"],
+            var_state=prior_var,
+        )
+        x_state_curr = jax.random.multivariate_normal(
+            smooth_kwargs["key"], mean_state_sim, var_state_sim, method="svd")
+        return x_state_curr, x_state_curr
+
+    scan_init = jax.random.multivariate_normal(
+        subkeys[n_steps - 1],
+        mean_state_filt[n_steps],
+        var_state_filt[n_steps],
+        method="svd")
+    scan_kwargs = {
+        "mean_state_filt": mean_state_filt[1:n_steps],
+        "var_state_filt": var_state_filt[1:n_steps],
+        "mean_state_pred": mean_state_pred[2:n_steps + 1],
+        "var_state_pred": var_state_pred[2:n_steps + 1],
+        "key": jnp.array(subkeys[:n_steps - 1]),
+    }
+    _, scan_out = jax.lax.scan(scan_fun, scan_init, scan_kwargs, reverse=True)
+    return jnp.concatenate([ode_init[None], scan_out, scan_init[None]])
+
+
+# --- non-Gaussian loglikelihood ------------------------------------------------
+
+
+def _solve_filter_nn(key, ode_fun, ode_weight, ode_init,
+                     t_min, t_max, n_steps,
+                     interrogate,
+                     prior_weight, prior_var,
+                     obs_data, obs_times, obs_loglik_i,
+                     kalman_funs, **params):
+    r"""
+    Forward pass of DALTON with non-Gaussian observations, each
+    Laplace-linearized into a Gaussian pseudo-observation
+    :math:`\hat y = D \mu_{n|n-1} + \hat\Omega \nabla \ell` with
+    :math:`\hat\Omega = -(\nabla^2 \ell)^{+}`.  Parity: ``dalton.py:550-698``.
+    """
+    n_block, n_bmeas, n_bstate = ode_weight.shape
+
+    sim_times = jnp.linspace(t_min, t_max, n_steps + 1)
+    obs_ind = jnp.searchsorted(sim_times, obs_times)
+
+    dtype = ode_init.dtype
+    x_meas = jnp.zeros((n_block, n_bmeas), dtype=dtype)
+    obs_mean = jnp.zeros((n_block, n_bstate), dtype=dtype)
+    mean_state = jnp.zeros((n_block, n_bstate), dtype=dtype)
+    mean_state_init = ode_init
+    var_state_init = jnp.zeros((n_block, n_bstate, n_bstate), dtype=dtype)
+
+    def scan_fun(carry, step):
+        mean_state_filt, var_state_filt = carry["state_filt"]
+        i = carry["i"]
+        t = step["t"]
+        key_n = step["key"]
+        ode_time = t_min + (t_max - t_min) * (t + 1) / n_steps
+
+        mean_state_pred, var_state_pred = kalman_funs.predict(
+            mean_state_past=mean_state_filt,
+            var_state_past=var_state_filt,
+            mean_state=mean_state,
+            wgt_state=prior_weight,
+            var_state=prior_var,
+        )
+        wgt_meas, mean_meas, var_meas = interrogate(
+            key=key_n,
+            ode_fun=ode_fun,
+            ode_weight=ode_weight,
+            t=ode_time,
+            mean_state_pred=mean_state_pred,
+            var_state_pred=var_state_pred,
+            **params,
+        )
+        W_meas = ode_weight + wgt_meas
+
+        def zy_update():
+            # Laplace linearization of the observation log-likelihood
+            obs_grad = jax.jacrev(obs_loglik_i, argnums=1)(
+                obs_data[i], mean_state_pred, i, **params)
+            obs_hes = jax.jacfwd(jax.jacrev(obs_loglik_i, argnums=1), argnums=1)(
+                obs_data[i], mean_state_pred, i, **params)
+            # block diagonal of the Hessian, per-block pseudo-inverse
+            hes_diag = jnp.moveaxis(
+                jnp.diagonal(obs_hes, axis1=0, axis2=2), -1, 0)
+            obs_var_hat = -jnp.linalg.pinv(hes_diag)
+            obs_wgt_hat = jnp.where(obs_var_hat != 0, 1.0, 0.0).astype(dtype)
+            obs_hat = mvdot(obs_wgt_hat, mean_state_pred) + \
+                mvdot(obs_var_hat, obs_grad)
+            # stack interrogation and pseudo-observation rows
+            wgt_meas_obs = jnp.concatenate([W_meas, obs_wgt_hat], axis=1)
+            mean_meas_obs = jnp.concatenate([mean_meas, obs_mean], axis=1)
+            var_meas_obs = _block_diag2(var_meas, obs_var_hat)
+            x_meas_obs = jnp.concatenate([x_meas, obs_hat], axis=1)
+            mean_state_next, var_state_next = kalman_funs.update(
+                mean_state_pred=mean_state_pred,
+                var_state_pred=var_state_pred,
+                x_meas=x_meas_obs,
+                mean_meas=mean_meas_obs,
+                wgt_meas=wgt_meas_obs,
+                var_meas=var_meas_obs,
+            )
+            return mean_state_next, var_state_next, i + 1
+
+        def z_update():
+            mean_state_next, var_state_next = kalman_funs.update(
+                mean_state_pred=mean_state_pred,
+                var_state_pred=var_state_pred,
+                x_meas=x_meas,
+                mean_meas=mean_meas,
+                wgt_meas=W_meas,
+                var_meas=var_meas,
+            )
+            return mean_state_next, var_state_next, i
+
+        mean_state_next, var_state_next, i = jax.lax.cond(
+            t + 1 == obs_ind[i], zy_update, z_update)
+        carry = {"state_filt": (mean_state_next, var_state_next), "i": i}
+        stack = {
+            "state_filt": (mean_state_next, var_state_next),
+            "state_pred": (mean_state_pred, var_state_pred),
+        }
+        return carry, stack
+
+    i = jax.lax.cond(obs_ind[0] == 0, lambda: 1, lambda: 0)
+    scan_init = {"state_filt": (mean_state_init, var_state_init), "i": i}
+    if key is not None:
+        keys = jax.random.split(key, num=n_steps)
+    else:
+        keys = jnp.zeros(n_steps)
+    steps = {"t": jnp.arange(n_steps), "key": keys}
+    _, scan_out = jax.lax.scan(scan_fun, scan_init, steps)
+    scan_out["state_filt"] = (
+        jnp.concatenate([mean_state_init[None], scan_out["state_filt"][0]]),
+        jnp.concatenate([var_state_init[None], scan_out["state_filt"][1]]),
+    )
+    scan_out["state_pred"] = (
+        jnp.concatenate([mean_state_init[None], scan_out["state_pred"][0]]),
+        jnp.concatenate([var_state_init[None], scan_out["state_pred"][1]]),
+    )
+    return scan_out
+
+
+def _logx_yhat(mean_state_filt, var_state_filt,
+               mean_state_pred, var_state_pred,
+               prior_weight, prior_var, kalman_funs):
+    r"""
+    Smoothing pass returning the smoothed mean path and the log-density
+    :math:`\log p(X_{0:N} = \mu_{0:N|N} \mid \hat Y_{0:M}, Z_{1:N})`.
+    Parity: ``dalton.py:701-784``.
+    """
+    n_tot = mean_state_filt.shape[0]
+    n_steps = n_tot - 1
+
+    def scan_fun(state_next, smooth_kwargs):
+        logx_yhat = state_next["logx_yhat"]
+        mean_state_curr, var_state_curr = kalman_funs.smooth_mv(
+            mean_state_next=state_next["mean"],
+            var_state_next=state_next["var"],
+            mean_state_filt=smooth_kwargs["mean_state_filt"],
+            var_state_filt=smooth_kwargs["var_state_filt"],
+            mean_state_pred=smooth_kwargs["mean_state_pred"],
+            var_state_pred=smooth_kwargs["var_state_pred"],
+            wgt_state=prior_weight,
+            var_state=prior_var,
+        )
+        mean_state_sim, var_state_sim = kalman_funs.smooth_sim(
+            x_state_next=state_next["mean"],
+            mean_state_filt=smooth_kwargs["mean_state_filt"],
+            var_state_filt=smooth_kwargs["var_state_filt"],
+            mean_state_pred=smooth_kwargs["mean_state_pred"],
+            var_state_pred=smooth_kwargs["var_state_pred"],
+            wgt_state=prior_weight,
+            var_state=prior_var,
+        )
+        logx_yhat += jnp.sum(multivariate_normal_logpdf(
+            mean_state_curr, mean=mean_state_sim, cov=var_state_sim))
+        carry = {
+            "mean": mean_state_curr,
+            "var": var_state_curr,
+            "logx_yhat": logx_yhat,
+        }
+        return carry, carry
+
+    logx_yhatN = jnp.sum(multivariate_normal_logpdf(
+        mean_state_filt[n_steps],
+        mean=mean_state_filt[n_steps],
+        cov=var_state_filt[n_steps]))
+    scan_init = {
+        "mean": mean_state_filt[n_steps],
+        "var": var_state_filt[n_steps],
+        "logx_yhat": logx_yhatN,
+    }
+    scan_kwargs = {
+        "mean_state_filt": mean_state_filt[1:n_steps],
+        "var_state_filt": var_state_filt[1:n_steps],
+        "mean_state_pred": mean_state_pred[2:n_steps + 1],
+        "var_state_pred": var_state_pred[2:n_steps + 1],
+    }
+    last_scan, scan_out = jax.lax.scan(
+        scan_fun, scan_init, scan_kwargs, reverse=True)
+    mean_out = jnp.concatenate(
+        [mean_state_filt[0][None], scan_out["mean"], scan_init["mean"][None]])
+    return mean_out, last_scan["logx_yhat"]
+
+
+def _logx_z(uncond_mean,
+            mean_state_filt, var_state_filt,
+            mean_state_pred, var_state_pred,
+            prior_weight, prior_var, kalman_funs):
+    r"""
+    Log-density :math:`\log p(X_{0:N} = \text{uncond\_mean} \mid Z_{1:N})`
+    evaluated along the backward Markov chain.  Parity: ``dalton.py:787-849``.
+    """
+    n_tot = mean_state_filt.shape[0]
+    n_steps = n_tot - 1
+
+    def scan_fun(logx_z, smooth_kwargs):
+        mean_state_sim, var_state_sim = kalman_funs.smooth_sim(
+            x_state_next=smooth_kwargs["uncond_next"],
+            mean_state_filt=smooth_kwargs["mean_state_filt"],
+            var_state_filt=smooth_kwargs["var_state_filt"],
+            mean_state_pred=smooth_kwargs["mean_state_pred"],
+            var_state_pred=smooth_kwargs["var_state_pred"],
+            wgt_state=prior_weight,
+            var_state=prior_var,
+        )
+        logx_z += jnp.sum(multivariate_normal_logpdf(
+            smooth_kwargs["uncond_curr"],
+            mean=mean_state_sim, cov=var_state_sim))
+        return logx_z, logx_z
+
+    logx_zN = jnp.sum(multivariate_normal_logpdf(
+        uncond_mean[n_steps],
+        mean=mean_state_filt[n_steps],
+        cov=var_state_filt[n_steps]))
+    scan_kwargs = {
+        "mean_state_filt": mean_state_filt[1:n_steps],
+        "var_state_filt": var_state_filt[1:n_steps],
+        "mean_state_pred": mean_state_pred[2:n_steps + 1],
+        "var_state_pred": var_state_pred[2:n_steps + 1],
+        "uncond_next": uncond_mean[2:n_steps + 1],
+        "uncond_curr": uncond_mean[1:n_steps],
+    }
+    scan_out, _ = jax.lax.scan(scan_fun, logx_zN, scan_kwargs, reverse=True)
+    return scan_out
+
+
+def daltonng(key, ode_fun, ode_weight, ode_init,
+             t_min, t_max, n_steps,
+             interrogate,
+             prior_pars,
+             obs_data, obs_times, obs_loglik_i,
+             kalman_type="standard", **params):
+    r"""
+    DALTON marginal log-likelihood for non-Gaussian observations,
+    :math:`\log p(\hat Y_{0:M} \mid Z_{1:N})`, assembled as
+    ``logy_x + logx_z - logx_yhat``.  Parity: ``dalton.py:851-949``.
+
+    Args:
+        obs_loglik_i (Callable): Per-observation log-likelihood
+            ``obs_loglik_i(obs_data_i, state, i, **params)``.
+        (other arguments as in :func:`dalton`)
+
+    Returns:
+        (float): The log-likelihood value.
+    """
+    n_obs = obs_data.shape[0]
+    kalman_funs = get_backend(kalman_type)
+    prior_weight, prior_var = prior_pars
+
+    filt_out = _solve_filter_nn(
+        key=key,
+        ode_fun=ode_fun, ode_weight=ode_weight, ode_init=ode_init,
+        t_min=t_min, t_max=t_max, n_steps=n_steps,
+        interrogate=interrogate,
+        prior_weight=prior_weight, prior_var=prior_var,
+        obs_data=obs_data, obs_times=obs_times,
+        obs_loglik_i=obs_loglik_i,
+        kalman_funs=kalman_funs, **params,
+    )
+    mean_state_smooth, logx_yhat = _logx_yhat(
+        mean_state_filt=filt_out["state_filt"][0],
+        var_state_filt=filt_out["state_filt"][1],
+        mean_state_pred=filt_out["state_pred"][0],
+        var_state_pred=filt_out["state_pred"][1],
+        prior_weight=prior_weight,
+        prior_var=prior_var,
+        kalman_funs=kalman_funs,
+    )
+    # log p(Y_{0:M} | X at the smoothed means)
+    sim_times = jnp.linspace(t_min, t_max, n_steps + 1)
+    obs_ind = jnp.searchsorted(sim_times, obs_times)
+
+    def _obs_ll(i):
+        return obs_loglik_i(obs_data[i], mean_state_smooth[obs_ind[i]],
+                            i, **params)
+
+    logy_x = jnp.sum(jax.vmap(_obs_ll)(jnp.arange(n_obs)))
+
+    # log p(X_{0:N} | Z_{1:N}) along the same path
+    filt_out = _solve_filter_ode(
+        key=key,
+        ode_fun=ode_fun, ode_weight=ode_weight, ode_init=ode_init,
+        t_min=t_min, t_max=t_max, n_steps=n_steps,
+        interrogate=interrogate,
+        prior_weight=prior_weight, prior_var=prior_var,
+        kalman_funs=kalman_funs, **params,
+    )
+    logx_z = _logx_z(
+        uncond_mean=mean_state_smooth,
+        mean_state_filt=filt_out["state_filt"][0],
+        var_state_filt=filt_out["state_filt"][1],
+        mean_state_pred=filt_out["state_pred"][0],
+        var_state_pred=filt_out["state_pred"][1],
+        prior_weight=prior_weight,
+        prior_var=prior_var,
+        kalman_funs=kalman_funs,
+    )
+    return logy_x + logx_z - logx_yhat
+
+
+# --- non-Gaussian ODE solver ---------------------------------------------------
+
+
+def solve_mv_nn(key, ode_fun, ode_weight, ode_init,
+                t_min, t_max, n_steps,
+                interrogate,
+                prior_pars,
+                obs_data, obs_times, obs_loglik_i,
+                kalman_type="standard", **params):
+    r"""
+    DALTON posterior mean/variance of
+    :math:`p(X_{0:N} \mid \hat Y_{0:M}, Z_{1:N})` for non-Gaussian
+    observations.  Same arguments as :func:`daltonng`.
+    Parity: ``dalton.py:955-1039``.
+
+    Returns:
+        (tuple): ``mean_state_smooth``, ``var_state_smooth``.
+    """
+    prior_weight, prior_var = prior_pars
+    kalman_funs = get_backend(kalman_type)
+    filt_out = _solve_filter_nn(
+        key=key,
+        ode_fun=ode_fun, ode_weight=ode_weight, ode_init=ode_init,
+        t_min=t_min, t_max=t_max, n_steps=n_steps,
+        interrogate=interrogate,
+        prior_weight=prior_weight, prior_var=prior_var,
+        obs_data=obs_data, obs_times=obs_times,
+        obs_loglik_i=obs_loglik_i,
+        kalman_funs=kalman_funs, **params,
+    )
+    return _smooth_mv_pass(
+        ode_init, filt_out, prior_weight, prior_var, kalman_funs)

@@ -1,0 +1,356 @@
+r"""
+Fenrir likelihood approximation (Tronarp et al 2022).
+
+Computes the approximate likelihood :math:`p(Y_{0:M} \mid Z_{1:N})` by
+converting the forward ODE filter into a backward Markov chain
+
+.. math::
+
+    X_N \sim N(b_N, C_N), \qquad
+    X_n = A_n X_{n+1} + b_n + C_n^{1/2} \epsilon_n,
+
+and running a second Kalman filter backwards in time, conditioning on the
+Gaussian observations :math:`Y_m = D_m X_m + \Omega_m^{1/2} \eta_m` at
+matching grid indices while accumulating forecast log-densities.
+
+Functional parity target: ``/root/reference/src/rodeo/inference/fenrir.py``
+(``fenrir``, ``solve_mv``, helpers ``_forecast_update``, ``_backward``,
+``_smooth_mv``).  All Kalman cells run natively batched over blocks.
+"""
+import jax
+import jax.numpy as jnp
+
+from rodeo_tpu.kalmantv import get_backend
+from rodeo_tpu.solve import _solve_filter
+from rodeo_tpu.utils import multivariate_normal_logpdf
+
+__all__ = ["fenrir", "solve_mv"]
+
+
+# --- helper functions --------------------------------------------------------
+
+
+def _forecast_update(mean_state_pred, var_state_pred,
+                     x_meas, mean_meas,
+                     wgt_meas, var_meas,
+                     kalman_funs):
+    r"""
+    One Kalman forecast + update step, returning the per-step observation
+    log-density along with the filtered state.
+
+    Parity: ``fenrir.py:40-81``, except batched over the block axis (the
+    returned ``logdens`` is already summed over blocks).
+
+    Returns:
+        (tuple): ``logdens`` (scalar), ``mean_state_filt``, ``var_state_filt``.
+    """
+    mean_state_fore, var_state_fore = kalman_funs.forecast(
+        mean_state_pred=mean_state_pred,
+        var_state_pred=var_state_pred,
+        mean_meas=mean_meas,
+        wgt_meas=wgt_meas,
+        var_meas=var_meas,
+    )
+    logdens = jnp.sum(multivariate_normal_logpdf(
+        x_meas, mean=mean_state_fore, cov=var_state_fore))
+    mean_state_filt, var_state_filt = kalman_funs.update(
+        mean_state_pred=mean_state_pred,
+        var_state_pred=var_state_pred,
+        x_meas=x_meas,
+        mean_meas=mean_meas,
+        wgt_meas=wgt_meas,
+        var_meas=var_meas,
+    )
+    return logdens, mean_state_filt, var_state_filt
+
+
+# --- loglikelihood -----------------------------------------------------------
+
+
+def _backward(mean_state_filt, var_state_filt,
+              mean_state_pred, var_state_pred,
+              prior_weight, prior_var,
+              t_min, t_max, n_steps,
+              obs_data, obs_times,
+              obs_weight, obs_var,
+              kalman_funs):
+    r"""
+    Backward Markov chain construction + backwards-in-time Kalman filter over
+    the observations.  Parity: ``fenrir.py:86-259``.
+
+    Args:
+        mean_state_filt, var_state_filt: forward filter outputs,
+            ``(n_steps+1, n_block, ...)``.
+        mean_state_pred, var_state_pred: forward predictions, same shapes.
+        prior_weight, prior_var: solution-prior parameters ``(n_block, q, q)``.
+        obs_data (ndarray(n_obs, n_block, n_bobs)): observations.
+        obs_times (ndarray(n_obs)): observation times.
+        obs_weight (ndarray(n_obs, n_block, n_bobs, n_bstate)): :math:`D_m`.
+        obs_var (ndarray(n_obs, n_block, n_bobs, n_bobs)): :math:`\Omega_m`.
+
+    Returns:
+        (tuple): accumulated ``logdens`` and a pytree of the backward-pass
+        states/parameters used by :func:`_smooth_mv`.
+    """
+    n_obs, n_block, n_bobs, n_bstate = obs_weight.shape
+    sim_times = jnp.linspace(t_min, t_max, n_steps + 1)
+    obs_ind = jnp.searchsorted(sim_times, obs_times)
+    obs_mean = jnp.zeros((n_block, n_bobs), dtype=obs_data.dtype)
+
+    def scan_fun(carry, forward_states):
+        bmean_state_filt, bvar_state_filt = carry["state_filt"]
+        mean_state_filt, var_state_filt = forward_states["state_filt"]
+        mean_state_pred, var_state_pred = forward_states["state_pred"]
+        logdens = carry["logdens"]
+        i = carry["i"]
+        t = forward_states["t"]
+        # backward Markov kernel parameters
+        wgt_state_back, mean_state_back, var_state_back = kalman_funs.smooth_cond(
+            mean_state_filt=mean_state_filt,
+            var_state_filt=var_state_filt,
+            mean_state_pred=mean_state_pred,
+            var_state_pred=var_state_pred,
+            wgt_state=prior_weight,
+            var_state=prior_var,
+        )
+        # kalman predict through the backward kernel
+        bmean_state_pred, bvar_state_pred = kalman_funs.predict(
+            mean_state_past=bmean_state_filt,
+            var_state_past=bvar_state_filt,
+            mean_state=mean_state_back,
+            wgt_state=wgt_state_back,
+            var_state=var_state_back,
+        )
+
+        def _no_obs():
+            return bmean_state_pred, bvar_state_pred, 0.0, i
+
+        def _obs():
+            logp, bmean_state_next, bvar_state_next = _forecast_update(
+                mean_state_pred=bmean_state_pred,
+                var_state_pred=bvar_state_pred,
+                x_meas=obs_data[i],
+                mean_meas=obs_mean,
+                wgt_meas=obs_weight[i],
+                var_meas=obs_var[i],
+                kalman_funs=kalman_funs,
+            )
+            return bmean_state_next, bvar_state_next, logp, i - 1
+
+        bmean_state_filt, bvar_state_filt, logp, i = jax.lax.cond(
+            obs_ind[i] == t, _obs, _no_obs)
+        logdens += logp
+
+        carry = {
+            "state_filt": (bmean_state_filt, bvar_state_filt),
+            "logdens": logdens,
+            "i": i,
+        }
+        stack = {
+            "state_pred": (bmean_state_pred, bvar_state_pred),
+            "state_filt": (bmean_state_filt, bvar_state_filt),
+            "wgt_state": wgt_state_back,
+            "var_state": var_state_back,
+        }
+        return carry, stack
+
+    # terminal point update
+    mean_state_term = mean_state_filt[n_steps]
+    var_state_term = var_state_filt[n_steps]
+    logdens = 0.0
+    i = n_obs - 1
+
+    def _no_obs_term():
+        return mean_state_term, var_state_term, 0.0, i
+
+    def _obs_term():
+        logp, bmean_state_next, bvar_state_next = _forecast_update(
+            mean_state_pred=mean_state_term,
+            var_state_pred=var_state_term,
+            x_meas=obs_data[i],
+            mean_meas=obs_mean,
+            wgt_meas=obs_weight[i],
+            var_meas=obs_var[i],
+            kalman_funs=kalman_funs,
+        )
+        return bmean_state_next, bvar_state_next, logp, i - 1
+
+    bmean_state_filt, bvar_state_filt, logp, i = jax.lax.cond(
+        obs_ind[i] >= n_steps, _obs_term, _no_obs_term)
+    logdens += logp
+
+    scan_init = {
+        "state_filt": (bmean_state_filt, bvar_state_filt),
+        "logdens": logdens,
+        "i": i,
+    }
+    forward_states_init = {
+        "state_pred": (mean_state_pred[1:n_steps + 1],
+                       var_state_pred[1:n_steps + 1]),
+        "state_filt": (mean_state_filt[:n_steps],
+                       var_state_filt[:n_steps]),
+        "t": jnp.arange(n_steps),
+    }
+    scan_out, scan_out2 = jax.lax.scan(
+        scan_fun, scan_init, forward_states_init, reverse=True)
+
+    # append terminal values to the back
+    mean_scan_pred, var_scan_pred = scan_out2["state_pred"]
+    mean_scan_filt, var_scan_filt = scan_out2["state_filt"]
+    scan_out2 = {
+        "state_pred": (
+            jnp.concatenate([mean_scan_pred, mean_state_term[None]]),
+            jnp.concatenate([var_scan_pred, var_state_term[None]]),
+        ),
+        "state_filt": (
+            jnp.concatenate([mean_scan_filt, bmean_state_filt[None]]),
+            jnp.concatenate([var_scan_filt, bvar_state_filt[None]]),
+        ),
+        "wgt_state": scan_out2["wgt_state"],
+        "var_state": scan_out2["var_state"],
+    }
+    return scan_out["logdens"], scan_out2
+
+
+def fenrir(key, ode_fun, ode_weight, ode_init,
+           t_min, t_max, n_steps,
+           interrogate,
+           prior_pars,
+           obs_data, obs_times, obs_weight, obs_var,
+           kalman_type="standard", **params):
+    r"""
+    Fenrir approximate log-likelihood :math:`\log p(Y_{0:M} \mid Z_{1:N})`.
+
+    Parity: ``fenrir.py:261-328``.
+
+    Args:
+        key (PRNGKey): PRNG key (used only by stochastic interrogations).
+        ode_fun (Callable): Block-form ODE function.
+        ode_weight (ndarray(n_block, n_bmeas, n_bstate)): :math:`W`.
+        ode_init (ndarray(n_block, n_bstate)): Initial state.
+        t_min, t_max (float): Solution interval.
+        n_steps (int): Number of solver steps.
+        interrogate (Callable): Interrogation scheme.
+        prior_pars (tuple): ``(prior_weight, prior_var)``.
+        obs_data (ndarray(n_obs, n_block, n_bobs)): Observations.
+        obs_times (ndarray(n_obs)): Observation times.
+        obs_weight (ndarray(n_obs, n_block, n_bobs, n_bstate)): :math:`D_m`.
+        obs_var (ndarray(n_obs, n_block, n_bobs, n_bobs)): :math:`\Omega_m`.
+        kalman_type (str): ``"standard"`` or ``"square-root"``.
+        params: Optional model parameters.
+
+    Returns:
+        (float): The log-likelihood value.
+    """
+    kalman_funs = get_backend(kalman_type)
+    prior_weight, prior_var = prior_pars
+    filt_out = _solve_filter(
+        key=key,
+        ode_fun=ode_fun, ode_weight=ode_weight, ode_init=ode_init,
+        t_min=t_min, t_max=t_max, n_steps=n_steps,
+        interrogate=interrogate,
+        prior_weight=prior_weight, prior_var=prior_var,
+        kalman_funs=kalman_funs, **params,
+    )
+    logdens, _ = _backward(
+        mean_state_filt=filt_out["state_filt"][0],
+        var_state_filt=filt_out["state_filt"][1],
+        mean_state_pred=filt_out["state_pred"][0],
+        var_state_pred=filt_out["state_pred"][1],
+        prior_weight=prior_weight,
+        prior_var=prior_var,
+        t_min=t_min, t_max=t_max, n_steps=n_steps,
+        obs_data=obs_data, obs_times=obs_times,
+        obs_weight=obs_weight, obs_var=obs_var,
+        kalman_funs=kalman_funs,
+    )
+    return logdens
+
+
+# --- ODE solver --------------------------------------------------------------
+
+
+def _smooth_mv(state_par, kalman_funs):
+    r"""
+    Smoothing pass over the backward-chain outputs, producing the
+    data-conditioned solution posterior.  Runs *forwards* in time because the
+    backward pass already reversed the chain.  Parity: ``fenrir.py:333-402``.
+    """
+    mean_state_pred, var_state_pred = state_par["state_pred"]
+    mean_state_filt, var_state_filt = state_par["state_filt"]
+    wgt_state = state_par["wgt_state"]
+    var_state = state_par["var_state"]
+    n_tot = mean_state_pred.shape[0]
+
+    def scan_fun(state_next, smooth_kwargs):
+        mean_state_curr, var_state_curr = kalman_funs.smooth_mv(
+            mean_state_next=state_next["mean"],
+            var_state_next=state_next["var"],
+            wgt_state=smooth_kwargs["wgt_state"],
+            mean_state_filt=smooth_kwargs["mean_state_filt"],
+            var_state_filt=smooth_kwargs["var_state_filt"],
+            mean_state_pred=smooth_kwargs["mean_state_pred"],
+            var_state_pred=smooth_kwargs["var_state_pred"],
+            var_state=smooth_kwargs["var_state"],
+        )
+        state_curr = {"mean": mean_state_curr, "var": var_state_curr}
+        return state_curr, state_curr
+
+    scan_init = {
+        "mean": mean_state_filt[1],
+        "var": var_state_filt[1],
+    }
+    scan_kwargs = {
+        "mean_state_filt": mean_state_filt[2:],
+        "var_state_filt": var_state_filt[2:],
+        "mean_state_pred": mean_state_pred[1:n_tot - 1],
+        "var_state_pred": var_state_pred[1:n_tot - 1],
+        "wgt_state": wgt_state[1:n_tot],
+        "var_state": var_state[1:n_tot],
+    }
+    _, scan_out = jax.lax.scan(scan_fun, scan_init, scan_kwargs)
+    mean_state_smooth = jnp.concatenate(
+        [mean_state_filt[0:2], scan_out["mean"]])
+    var_state_smooth = jnp.concatenate(
+        [var_state_filt[0:2], scan_out["var"]])
+    return mean_state_smooth, var_state_smooth
+
+
+def solve_mv(key, ode_fun, ode_weight, ode_init,
+             t_min, t_max, n_steps,
+             interrogate,
+             prior_pars,
+             obs_data, obs_times, obs_weight, obs_var,
+             kalman_type="standard", **params):
+    r"""
+    Fenrir data-conditioned solution posterior
+    :math:`p(X_{0:N} \mid Z_{1:N}, Y_{0:M})`.  Same arguments as
+    :func:`fenrir`.  Parity: ``fenrir.py:405-457``.
+
+    Returns:
+        (tuple): ``mean_state_smooth`` and ``var_state_smooth`` of shapes
+        ``(n_steps+1, n_block, n_bstate[, n_bstate])``.
+    """
+    kalman_funs = get_backend(kalman_type)
+    prior_weight, prior_var = prior_pars
+    filt_out = _solve_filter(
+        key=key,
+        ode_fun=ode_fun, ode_weight=ode_weight, ode_init=ode_init,
+        t_min=t_min, t_max=t_max, n_steps=n_steps,
+        interrogate=interrogate,
+        prior_weight=prior_weight, prior_var=prior_var,
+        kalman_funs=kalman_funs, **params,
+    )
+    _, state_par = _backward(
+        mean_state_filt=filt_out["state_filt"][0],
+        var_state_filt=filt_out["state_filt"][1],
+        mean_state_pred=filt_out["state_pred"][0],
+        var_state_pred=filt_out["state_pred"][1],
+        prior_weight=prior_weight,
+        prior_var=prior_var,
+        t_min=t_min, t_max=t_max, n_steps=n_steps,
+        obs_data=obs_data, obs_times=obs_times,
+        obs_weight=obs_weight, obs_var=obs_var,
+        kalman_funs=kalman_funs,
+    )
+    return _smooth_mv(state_par, kalman_funs)

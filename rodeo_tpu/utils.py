@@ -1,0 +1,167 @@
+r"""
+Utility functions for rodeo-tpu.
+
+This module provides the numerical-linear-algebra building blocks shared by
+the Kalman kernels and the inference layer.  Functional parity targets:
+``/root/reference/src/rodeo/utils.py`` (``add_sqrt``, ``mvncond``,
+``multivariate_normal_logpdf``, ``first_order_pad``, ``solve_var``).
+
+TPU-first design notes
+----------------------
+Every function here is *batch polymorphic*: matrix arguments may carry an
+arbitrary number of leading batch dimensions (e.g. the ``n_block`` axis of the
+block-diagonal solver state, or a chain axis for vmapped MCMC).  All matrix
+algebra is expressed with broadcasting ``@`` / ``einsum`` / batched
+``qr``/``eigh`` so that a single XLA op covers the whole batch instead of a
+per-block ``vmap`` loop.  That keeps the ops large and fusable, which is what
+the MXU/VPU want.
+"""
+import jax
+import jax.numpy as jnp
+import jax.scipy as jsp
+
+__all__ = [
+    "add_sqrt",
+    "mvncond",
+    "multivariate_normal_logpdf",
+    "first_order_pad",
+    "solve_var",
+    "mtt",
+    "mvdot",
+    "quadform",
+]
+
+
+def mtt(mat):
+    """Matrix transpose on the trailing two dimensions (batch friendly)."""
+    return jnp.swapaxes(mat, -1, -2)
+
+
+def mvdot(mat, vec):
+    """Batched matrix-vector product on trailing dims: ``mat @ vec``."""
+    return jnp.einsum("...ij,...j->...i", mat, vec)
+
+
+def quadform(wgt, var):
+    """Batched quadratic form ``wgt @ var @ wgt.T`` on trailing dims."""
+    return jnp.einsum("...ij,...jk,...lk->...il", wgt, var, wgt)
+
+
+def add_sqrt(sqrt_A, sqrt_B):
+    r"""
+    Square root of a sum of matrices given their square roots.
+
+    Given factors :math:`A^{1/2}` and :math:`B^{1/2}` (in the sense
+    :math:`A = A^{1/2} (A^{1/2})'`), returns a lower-triangular-ish factor
+    :math:`L` with :math:`L L' = A + B` via the QR decomposition of the
+    stacked transposed factors.  Matches the construction of the reference
+    (``utils.py:10-24``) so that downstream :math:`L L'` values agree.
+
+    Args:
+        sqrt_A (ndarray(..., n, m_a)): Square root factor of ``A``; ``m_a >= 0``.
+        sqrt_B (ndarray(..., n, m_b)): Square root factor of ``B``.
+
+    Returns:
+        (ndarray(..., n, n)): Factor ``L`` such that ``L @ L.T = A + B``.
+    """
+    stacked = jnp.concatenate([mtt(sqrt_A), mtt(sqrt_B)], axis=-2)
+    _, r = jnp.linalg.qr(stacked, mode="reduced")
+    return mtt(r)
+
+
+def solve_var(V, B):
+    r"""
+    Computes :math:`X = V^{-1} B` for a variance (symmetric PD) matrix ``V``.
+
+    Batched over leading dimensions.  Parity: ``utils.py:105-119``.
+    """
+    return jnp.linalg.solve(V, B)
+
+
+def mvncond(mu, Sigma, icond):
+    r"""
+    Gaussian conditional parameters.
+
+    For :math:`y \sim N(\mu, \Sigma)`, calculates ``A``, ``b``, ``V`` such
+    that :math:`y[\neg icond] \mid y[icond] \sim N(A\, y[icond] + b, V)`.
+    Parity: ``utils.py:27-57``.
+
+    Args:
+        mu (ndarray(n)): Mean of ``y``.
+        Sigma (ndarray(n, n)): Covariance of ``y``.
+        icond (ndarray(n) of bool): Which entries are conditioned on.
+
+    Returns:
+        (tuple): ``A`` (n1, n2), ``b`` (n1,), ``V`` (n1, n1) with
+        ``n2 = sum(icond)``, ``n1 = n - n2``.
+    """
+    free_idx = jnp.nonzero(~icond)[0]
+    cond_idx = jnp.nonzero(icond)[0]
+    S12 = Sigma[jnp.ix_(free_idx, cond_idx)]
+    S22 = Sigma[jnp.ix_(cond_idx, cond_idx)]
+    S21 = Sigma[jnp.ix_(cond_idx, free_idx)]
+    S11 = Sigma[jnp.ix_(free_idx, free_idx)]
+    A = jnp.dot(S12, solve_var(S22, jnp.identity(S22.shape[0])))
+    b = mu[~icond] - jnp.dot(A, mu[icond])
+    V = S11 - jnp.dot(A, S21)
+    return A, b, V
+
+
+def multivariate_normal_logpdf(x, mean, cov):
+    r"""
+    Log-density of a (possibly singular) multivariate normal.
+
+    Uses an eigendecomposition and masks (near-)zero eigenvalues, so that
+    degenerate directions contribute neither to the quadratic form nor to the
+    normalizing constant.  Parity: ``utils.py:60-78``.
+
+    Batched over leading dims of ``x``/``mean``/``cov``.
+
+    Args:
+        x (ndarray(..., p)): Observation.
+        mean (ndarray(..., p)): Mean.
+        cov (ndarray(..., p, p)): Symmetric PSD covariance.
+
+    Returns:
+        (ndarray(...)): Log-density value(s).
+    """
+    w, v = jnp.linalg.eigh(cov)
+    z = mvdot(mtt(v), x - mean)
+    z2 = z * z
+    live = ~jnp.isclose(w, 0.0, rtol=1e-300)
+    w_safe = jnp.where(live, w, 1.0)
+    val = z2 / w_safe + jnp.log(w_safe)
+    val = -0.5 * jnp.sum(jnp.where(live, val, 0.0), axis=-1)
+    val = val - 0.5 * jnp.log(2 * jnp.pi) * jnp.sum(live, axis=-1)
+    return val
+
+
+def first_order_pad(ode_fun, n_vars, n_deriv):
+    r"""
+    Build the ODE weight matrix ``W`` and an initial-state padding function
+    for a first-order ODE system lifted to ``n_deriv`` derivatives.
+
+    Parity: ``utils.py:80-102``.
+
+    Args:
+        ode_fun (Callable): Block-form ODE function ``f(X, t, **params)``.
+        n_vars (int): Number of ODE variables (blocks).
+        n_deriv (int): Number of derivatives per block in the solver state.
+
+    Returns:
+        (tuple):
+        - **W** (ndarray(n_vars, 1, n_deriv)): ODE weight matrix selecting the
+          first derivative of each block.
+        - **ode_init** (Callable): ``ode_init(x0, t, **params)`` returning the
+          zero-padded initial state of shape ``(n_vars, n_deriv)``.
+    """
+
+    def ode_init(x0, t, **params):
+        x0 = x0[:, None]
+        return jnp.hstack(
+            [x0, ode_fun(x0, t, **params), jnp.zeros((n_vars, n_deriv - 2))]
+        )
+
+    W = jnp.zeros((n_vars, 1, n_deriv))
+    W = W.at[:, :, 1].set(1.0)
+    return W, ode_init
