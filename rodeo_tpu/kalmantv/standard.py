@@ -107,7 +107,19 @@ def update(mean_state_pred,
     # Kalman gain K = Sigma W' S^{-1} = (S^{-1} W Sigma)'
     gain = mtt(solve_var(var_meas_meas_pred, var_meas_state_pred))
     mean_state_filt = mean_state_pred + mvdot(gain, x_meas - mean_meas_pred)
-    var_state_filt = var_state_pred - gain @ var_meas_state_pred
+    from rodeo_tpu.ops.linalg import fast_linalg_enabled
+    if fast_linalg_enabled():
+        # Joseph-stabilized covariance update: PSD-preserving under
+        # float32 cancellation (essential for exact/zero-noise
+        # pseudo-measurements on the TPU fast path)
+        eye = jnp.broadcast_to(
+            jnp.eye(var_state_pred.shape[-1], dtype=var_state_pred.dtype),
+            var_state_pred.shape)
+        ikw = eye - gain @ wgt_meas
+        var_state_filt = quadform(ikw, var_state_pred) + \
+            quadform(gain, var_meas)
+    else:
+        var_state_filt = var_state_pred - gain @ var_meas_state_pred
     return mean_state_filt, var_state_filt
 
 

@@ -1,0 +1,113 @@
+r"""
+Fast closed-form linear algebra for tiny matrices.
+
+The solver state is block-diagonal with blocks of size :math:`q \le 4` and
+measurement dimension typically 1, yet every filter/smoother step calls
+``jnp.linalg.solve`` — on TPU that lowers to a general batched LU routine
+whose fixed cost dwarfs the actual arithmetic and dominates the sequential
+scan.  For ``n in {1, 2, 3}`` the solve has an exact closed form (division /
+adjugate), which lowers to a handful of VPU ops and fuses into the
+surrounding computation.
+
+The closed forms lose ``cond(A) * eps`` accuracy, so they are only enabled
+inside the Taylor-preconditioned code paths (where all matrices are O(1)
+conditioned; see :mod:`rodeo_tpu.ops.precond`) via the :func:`fast_linalg`
+context.  The default path keeps LAPACK-accurate solves for reference
+parity.
+"""
+import contextlib
+import contextvars
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["fast_linalg", "fast_linalg_enabled", "solve_small", "inv_small"]
+
+_FAST = contextvars.ContextVar("rodeo_tpu_fast_linalg", default=False)
+
+
+@contextlib.contextmanager
+def fast_linalg(enable=True):
+    """Enable closed-form tiny-matrix solves within the context (trace-time
+    static switch; capture it inside jitted functions by tracing under the
+    context)."""
+    token = _FAST.set(enable)
+    try:
+        yield
+    finally:
+        _FAST.reset(token)
+
+
+def fast_linalg_enabled():
+    return _FAST.get()
+
+
+def _det2(a):
+    return a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+
+
+def inv_small(a):
+    """Closed-form inverse for trailing dims 1x1, 2x2 or 3x3 (batched).
+
+    Scale-normalized: the determinant of an n x n adjugate grows like
+    ``|a|**n``, which overflows float32 for entry magnitudes beyond ~1e12,
+    so the matrix is divided by its max-abs entry first.
+    """
+    n = a.shape[-1]
+    if n == 1:
+        return 1.0 / a
+    scale = jnp.max(jnp.abs(a), axis=(-1, -2), keepdims=True)
+    scale = jnp.where(scale == 0, 1.0, scale)
+    a = a / scale
+    return _inv_small_normed(a) / scale
+
+
+def _inv_small_normed(a):
+    n = a.shape[-1]
+    if n == 2:
+        det = _det2(a)[..., None, None]
+        adj = jnp.stack([
+            jnp.stack([a[..., 1, 1], -a[..., 0, 1]], axis=-1),
+            jnp.stack([-a[..., 1, 0], a[..., 0, 0]], axis=-1),
+        ], axis=-2)
+        return adj / det
+    if n == 3:
+        m00, m01, m02 = a[..., 0, 0], a[..., 0, 1], a[..., 0, 2]
+        m10, m11, m12 = a[..., 1, 0], a[..., 1, 1], a[..., 1, 2]
+        m20, m21, m22 = a[..., 2, 0], a[..., 2, 1], a[..., 2, 2]
+        c00 = m11 * m22 - m12 * m21
+        c01 = m12 * m20 - m10 * m22
+        c02 = m10 * m21 - m11 * m20
+        c10 = m02 * m21 - m01 * m22
+        c11 = m00 * m22 - m02 * m20
+        c12 = m01 * m20 - m00 * m21
+        c20 = m01 * m12 - m02 * m11
+        c21 = m02 * m10 - m00 * m12
+        c22 = m00 * m11 - m01 * m10
+        det = m00 * c00 + m01 * c01 + m02 * c02
+        adj = jnp.stack([
+            jnp.stack([c00, c10, c20], axis=-1),
+            jnp.stack([c01, c11, c21], axis=-1),
+            jnp.stack([c02, c12, c22], axis=-1),
+        ], axis=-2)
+        return adj / det[..., None, None]
+    raise ValueError(f"inv_small supports n in (1, 2, 3), got {n}")
+
+
+def solve_small(a, b):
+    """
+    ``a^{-1} b`` with a closed form when the trailing dimension of ``a`` is
+    at most 3 *and* :func:`fast_linalg` is active; falls back to
+    ``jnp.linalg.solve`` otherwise.  ``b`` may be a matrix (``(..., n, k)``)
+    or a vector (``(..., n)``).
+    """
+    n = a.shape[-1]
+    if not _FAST.get() or n > 3:
+        return jnp.linalg.solve(a, b)
+    if b.ndim == a.ndim - 1:
+        if n == 1:
+            return b / a[..., 0]
+        return jnp.einsum("...ij,...j->...i", inv_small(a), b)
+    if n == 1:
+        return b / a
+    return inv_small(a) @ b

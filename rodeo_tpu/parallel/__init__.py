@@ -3,3 +3,6 @@ Multi-device scaling utilities: device-mesh construction and sharded
 vmapped MCMC chains / parameter sweeps (pure data parallelism over ICI —
 the natural scale-out axes for this library, see SURVEY.md §5).
 """
+from rodeo_tpu.parallel.mesh import (
+    make_mesh, batch_sharding, replicated_sharding)
+from rodeo_tpu.parallel.chains import run_chains, sharded_loglik

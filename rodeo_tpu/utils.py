@@ -74,8 +74,12 @@ def solve_var(V, B):
     Computes :math:`X = V^{-1} B` for a variance (symmetric PD) matrix ``V``.
 
     Batched over leading dimensions.  Parity: ``utils.py:105-119``.
+    Under the :func:`rodeo_tpu.ops.linalg.fast_linalg` context (enabled by
+    the Taylor-preconditioned solvers), tiny systems use closed forms
+    instead of the TPU-hostile batched LU.
     """
-    return jnp.linalg.solve(V, B)
+    from rodeo_tpu.ops.linalg import solve_small
+    return solve_small(V, B)
 
 
 def mvncond(mu, Sigma, icond):

@@ -1,0 +1,114 @@
+"""
+Taylor-preconditioned solver tests: exact agreement with the plain solver
+in f64, and f32 stability on the extreme-conditioning Lorenz prior where
+the unpreconditioned covariance filter NaNs.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import rodeo_tpu
+from rodeo_tpu.ops import precond
+from rodeo_tpu.ops.linalg import fast_linalg, solve_small, inv_small
+from rodeo_tpu.interrogate import interrogate_kramer, interrogate_rodeo
+from problems import fitz_fun, fitz_setup
+
+
+def test_solve_small_matches_lu():
+    rng = np.random.default_rng(0)
+    for n in [1, 2, 3]:
+        a = rng.standard_normal((5, n, n))
+        a = a @ np.swapaxes(a, -1, -2) + np.eye(n)
+        b = rng.standard_normal((5, n, 4))
+        v = rng.standard_normal((5, n))
+        with fast_linalg():
+            x_fast = solve_small(jnp.asarray(a), jnp.asarray(b))
+            xv_fast = solve_small(jnp.asarray(a), jnp.asarray(v))
+            ainv = inv_small(jnp.asarray(a))
+        np.testing.assert_allclose(x_fast, np.linalg.solve(a, b),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(
+            xv_fast, np.linalg.solve(a, v[..., None])[..., 0],
+            rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(ainv, np.linalg.inv(a),
+                                   rtol=1e-9, atol=1e-11)
+        # outside the context: falls back to LAPACK solve
+        x_slow = solve_small(jnp.asarray(a), jnp.asarray(b))
+        np.testing.assert_allclose(x_slow, np.linalg.solve(a, b), rtol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def fitz():
+    return fitz_setup()
+
+
+@pytest.mark.parametrize("interrogate", [interrogate_kramer,
+                                         interrogate_rodeo])
+def test_precond_matches_plain_f64(fitz, interrogate):
+    kwargs = dict(
+        key=None, ode_fun=fitz_fun, ode_weight=fitz["W"],
+        ode_init=fitz["x0_block"], t_min=fitz["t_min"], t_max=fitz["t_max"],
+        n_steps=fitz["n_steps"], interrogate=interrogate,
+        prior_pars=fitz["prior_pars"], theta=fitz["theta"])
+    mu, var = rodeo_tpu.solve_mv(**kwargs)
+    mu_p, var_p = precond.solve_mv(**kwargs)
+    np.testing.assert_allclose(mu_p, mu, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(var_p, var, rtol=1e-6, atol=1e-11)
+
+
+def test_precond_solve_sim_matches_plain_f64(fitz):
+    kwargs = dict(
+        key=fitz["key"], ode_fun=fitz_fun, ode_weight=fitz["W"],
+        ode_init=fitz["x0_block"], t_min=fitz["t_min"], t_max=fitz["t_max"],
+        n_steps=fitz["n_steps"], interrogate=interrogate_rodeo,
+        prior_pars=fitz["prior_pars"], theta=fitz["theta"])
+    xs = rodeo_tpu.solve_sim(**kwargs)
+    xs_p = precond.solve_sim(**kwargs)
+    # the SVD draw happens in scaled coordinates, so realizations differ;
+    # but with the tight sigma=0.001 prior both draws must hug the same
+    # posterior mean path
+    np.testing.assert_allclose(xs_p[:, :, 0], xs[:, :, 0],
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_precond_f32_lorenz_stable():
+    """Covariance-form f32 on the sigma=5e7 Lorenz prior: the
+    preconditioned solver stays finite and tracks the f64 solution (the
+    unpreconditioned filter NaNs on the full 10k-step horizon)."""
+    from rodeo_tpu.models import lorenz
+    cfg32 = lorenz.setup(n_steps=2000, t_max=4.0, dtype=jnp.float32)
+    th32 = cfg32.pop("theta")
+    mu32, var32 = precond.solve_mv(
+        key=None, interrogate=interrogate_kramer, theta=th32, **cfg32)
+    assert not bool(jnp.any(jnp.isnan(mu32)))
+    assert not bool(jnp.any(jnp.isnan(var32)))
+
+    cfg64 = lorenz.setup(n_steps=2000, t_max=4.0, dtype=jnp.float64)
+    th64 = cfg64.pop("theta")
+    mu64, _ = rodeo_tpu.solve_mv(
+        key=None, interrogate=interrogate_kramer, theta=th64, **cfg64)
+    # t_max=4 is pre-chaos-divergence; f32 should track f64 loosely
+    err = np.max(np.abs(np.asarray(mu32[:, :, 0]) - np.asarray(mu64[:, :, 0]))
+                 / (1.0 + np.abs(np.asarray(mu64[:, :, 0]))))
+    assert err < 0.05, err
+
+
+def test_precond_iterated_f32_lorenz():
+    """Parallel-in-time iterated engine in f32 tracks the sequential f64
+    solution on a short Lorenz horizon."""
+    from rodeo_tpu.models import lorenz
+    cfg32 = lorenz.setup(n_steps=2000, t_max=4.0, dtype=jnp.float32)
+    th32 = cfg32.pop("theta")
+    # NB: n_coarse must resolve the dynamics (Lorenz needs dt <= ~0.02 or
+    # the warm-start solve itself diverges); 500 steps over [0,4] = dt 0.008
+    mu_it, _ = precond.solve_mv_iterated(
+        key=None, interrogate=interrogate_kramer, theta=th32,
+        n_iter=20, window_size=250, n_coarse=500, **cfg32)
+    assert not bool(jnp.any(jnp.isnan(mu_it)))
+    mu_seq, _ = precond.solve_mv(
+        key=None, interrogate=interrogate_kramer, theta=th32, **cfg32)
+    err = np.max(np.abs(np.asarray(mu_it[:, :, 0]) -
+                        np.asarray(mu_seq[:, :, 0]))
+                 / (1.0 + np.abs(np.asarray(mu_seq[:, :, 0]))))
+    assert err < 0.05, err
