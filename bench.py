@@ -1,0 +1,159 @@
+"""
+Benchmark driver: Lorenz63 10k-step probabilistic solve on one TPU chip vs
+the reference (mlysy/rodeo) on CPU float64.
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+`value` is our best TPU wall-clock per solve in milliseconds;
+`vs_baseline` is the speedup factor over the reference CPU implementation
+(t_reference / t_ours, > 1 means we are faster).
+
+Extra measurements are written to BENCH_DETAILS.json for the record.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+N_STEPS = 10000
+T_MAX = 20.0
+
+_CPU_BASELINE_SRC = r"""
+import sys, time
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+sys.path.insert(0, "/root/reference/src")
+import rodeo
+from rodeo.prior import ibm_init
+from rodeo.utils import first_order_pad
+from rodeo.interrogate import interrogate_kramer
+
+def lorenz(X_t, t, theta):
+    rho, sigma, beta = theta
+    x, y, z = X_t[:, 0]
+    return jnp.array([[-sigma*x + sigma*y], [rho*x - y - x*z],
+                      [-beta*z + x*y]])
+
+theta = jnp.array([28.0, 10.0, 8/3])
+W, pad = first_order_pad(lorenz, 3, 3)
+x0 = pad(jnp.array([-12., -5., 38.]), 0., theta=theta)
+n_steps = %(n_steps)d
+prior = ibm_init(%(t_max)f/n_steps, 3, jnp.array([5e7]*3))
+fn = jax.jit(lambda th: rodeo.solve_mv(
+    key=None, ode_fun=lorenz, ode_weight=W, ode_init=x0,
+    t_min=0., t_max=%(t_max)f, n_steps=n_steps,
+    interrogate=interrogate_kramer, prior_pars=prior, theta=th))
+mu, var = fn(theta)
+mu.block_until_ready()
+best = 1e9
+for _ in range(3):
+    t0 = time.perf_counter(); mu, var = fn(theta); mu.block_until_ready()
+    best = min(best, time.perf_counter() - t0)
+print("BASELINE_SECONDS", best)
+"""
+
+
+def cpu_reference_seconds():
+    """Time the reference implementation on CPU f64 in a subprocess."""
+    src = _CPU_BASELINE_SRC % {"n_steps": N_STEPS, "t_max": T_MAX}
+    out = subprocess.run(
+        [sys.executable, "-c", src], capture_output=True, text=True,
+        timeout=1200)
+    for line in out.stdout.splitlines():
+        if line.startswith("BASELINE_SECONDS"):
+            return float(line.split()[1])
+    raise RuntimeError(
+        f"baseline failed: {out.stdout[-2000:]} {out.stderr[-2000:]}")
+
+
+def _timeit(fn, args, n_rep=5):
+    import jax
+    out = fn(*args)
+    jax.tree_util.tree_leaves(out)[0].block_until_ready()
+    best = 1e9
+    for _ in range(n_rep):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.tree_util.tree_leaves(out)[0].block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+    import jax.numpy as jnp
+    import rodeo_tpu
+    from rodeo_tpu.models import lorenz
+    from rodeo_tpu.ops import precond
+    from rodeo_tpu.interrogate import interrogate_kramer
+
+    details = {"device": str(jax.devices()[0])}
+
+    cfg = lorenz.setup(n_steps=N_STEPS, t_max=T_MAX, dtype=jnp.float32)
+    theta = cfg.pop("theta")
+
+    candidates = {}
+
+    # preconditioned sequential covariance filter (f32-stable)
+    seq = jax.jit(lambda th: precond.solve_mv(
+        key=None, interrogate=interrogate_kramer, theta=th, **cfg))
+    t_seq, out = _timeit(seq, (theta,))
+    ok = not bool(jnp.any(jnp.isnan(out[0])))
+    candidates["precond_sequential"] = (t_seq, ok)
+
+    # fused Pallas filter+smoother, if available on this backend
+    try:
+        from rodeo_tpu.ops import pallas_kalman
+        pk = jax.jit(lambda th: pallas_kalman.solve_mv_fused(
+            key=None, interrogate=interrogate_kramer, theta=th,
+            ode_flat=lorenz.lorenz_flat, jac_flat=lorenz.lorenz_jac_flat,
+            **cfg))
+        t_pk, out_pk = _timeit(pk, (theta,))
+        ok_pk = not bool(jnp.any(jnp.isnan(out_pk[0])))
+        candidates["pallas_fused"] = (t_pk, ok_pk)
+    except Exception as e:  # noqa: BLE001 - bench must always report
+        details["pallas_error"] = repr(e)[:500]
+
+    # vmapped throughput: batch of full solves in one XLA program
+    # (the production workload: parameter sweeps / MCMC chains)
+    try:
+        n_batch = 32
+        thetas = jnp.broadcast_to(theta, (n_batch, 3)) + \
+            1e-4 * jnp.arange(n_batch, dtype=jnp.float32)[:, None]
+        vm = jax.jit(jax.vmap(lambda th: precond.solve_mv(
+            key=None, interrogate=interrogate_kramer, theta=th, **cfg)[0]))
+        t_vm, out_vm = _timeit(vm, (thetas,), n_rep=3)
+        details["vmapped_batch32_ms"] = round(t_vm * 1000, 3)
+        details["vmapped_per_solve_ms"] = round(t_vm * 1000 / n_batch, 3)
+    except Exception as e:  # noqa: BLE001
+        details["vmap_error"] = repr(e)[:500]
+
+    valid = {k: t for k, (t, ok) in candidates.items() if ok}
+    details["candidates_ms"] = {
+        k: round(t * 1000, 3) for k, (t, ok) in candidates.items()}
+    best_name = min(valid, key=valid.get)
+    t_ours = valid[best_name]
+    details["best"] = best_name
+
+    t_ref = cpu_reference_seconds()
+    details["cpu_reference_ms"] = round(t_ref * 1000, 3)
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAILS.json"), "w") as f:
+        json.dump(details, f, indent=2)
+
+    print(json.dumps({
+        "metric": "lorenz63_10k_solve_wallclock",
+        "value": round(t_ours * 1000, 3),
+        "unit": "ms",
+        "vs_baseline": round(t_ref / t_ours, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

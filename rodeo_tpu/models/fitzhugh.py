@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from rodeo_tpu.prior import ibm_init
 from rodeo_tpu.utils import first_order_pad
 
-__all__ = ["fitzhugh_fun", "setup"]
+__all__ = ["fitzhugh_fun", "fitzhugh_flat", "fitzhugh_jac_flat", "setup"]
 
 N_VARS = 2
 N_DERIV = 3
@@ -31,6 +31,32 @@ def fitzhugh_fun(X_t, t, theta):
         [c * (V - V * V * V / 3 + R)],
         [-1.0 / c * (V - a + b * R)],
     ])
+
+
+def fitzhugh_flat(x_cols, th, t):
+    """Mosaic-safe FitzHugh-Nagumo right-hand side (see
+    :func:`rodeo_tpu.models.lorenz.lorenz_flat` for the contract)."""
+    del t
+    x0 = x_cols[0]
+    V, R = x0[0:1, 0:1], x0[1:2, 0:1]
+    a, b, c = th[0:1, 0:1], th[1:2, 0:1], th[2:3, 0:1]
+    f0 = c * (V - V * V * V / 3.0 + R)
+    f1 = -(V - a + b * R) / c
+    return jnp.concatenate([f0, f1], axis=0)
+
+
+def fitzhugh_jac_flat(x_cols, th, t):
+    """Mosaic-safe block-diagonal Jacobian columns of
+    :func:`fitzhugh_flat`: ``d f_V / dV = c (1 - V^2)``,
+    ``d f_R / dR = -b / c``."""
+    del t
+    x0 = x_cols[0]
+    V = x0[0:1, 0:1]
+    b, c = th[1:2, 0:1], th[2:3, 0:1]
+    dV = c * (1.0 - V * V)
+    dR = -b / c
+    col0 = jnp.concatenate([dV, dR], axis=0)
+    return [col0] + [None] * (N_DERIV - 1)
 
 
 def setup(n_steps=250, t_min=0.0, t_max=10.0, prior_sigma=0.1,

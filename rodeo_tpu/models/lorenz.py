@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from rodeo_tpu.prior import ibm_init
 from rodeo_tpu.utils import first_order_pad
 
-__all__ = ["lorenz_fun", "setup"]
+__all__ = ["lorenz_fun", "lorenz_flat", "lorenz_jac_flat", "setup"]
 
 N_VARS = 3
 N_DERIV = 3
@@ -33,6 +33,36 @@ def lorenz_fun(X_t, t, theta):
     dy = rho * x - y - x * z
     dz = -beta * z + x * y
     return jnp.array([[dx], [dy], [dz]])
+
+
+def lorenz_flat(x_cols, th, t):
+    """Mosaic-safe Lorenz63 right-hand side for the fused Pallas kernels.
+
+    ``x_cols`` is a list of ``n_deriv`` columns of shape ``(n_vars, 1)``
+    (column ``j`` = j-th derivative of every variable); returns ``(3, 1)``.
+    """
+    del t
+    x0 = x_cols[0]
+    x, y, z = x0[0:1, 0:1], x0[1:2, 0:1], x0[2:3, 0:1]
+    rho, sigma, beta = th[0:1, 0:1], th[1:2, 0:1], th[2:3, 0:1]
+    f0 = -sigma * x + sigma * y
+    f1 = rho * x - y - x * z
+    f2 = -beta * z + x * y
+    return jnp.concatenate([f0, f1, f2], axis=0)
+
+
+def lorenz_jac_flat(x_cols, th, t):
+    """Mosaic-safe block-diagonal Jacobian columns of :func:`lorenz_flat`.
+
+    Column ``j`` is ``d f_b / d x_{b,j}`` of shape ``(3, 1)``; ``None``
+    marks known-zero columns.  Only the 0th derivative enters ``f``, and
+    the in-block partials are ``(-sigma, -1, -beta)``.
+    """
+    del x_cols, t
+    sigma, beta = th[1:2, 0:1], th[2:3, 0:1]
+    one = jnp.ones((1, 1), jnp.float32)
+    col0 = jnp.concatenate([-sigma, -one, -beta], axis=0)
+    return [col0] + [None] * (N_DERIV - 1)
 
 
 def setup(n_steps=10000, t_min=0.0, t_max=20.0, prior_sigma=5e7,

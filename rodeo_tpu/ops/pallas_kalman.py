@@ -1,0 +1,552 @@
+r"""
+Fused Pallas TPU kernels for the probabilistic ODE solver.
+
+The sequential time loop is the latency wall of the solver: under plain XLA
+each of the ``n_steps`` scan iterations re-runs a graph of tiny
+:math:`q \times q` ops at ~17 us/step on a v5e — slower than a desktop CPU.
+These kernels fuse the ENTIRE forward filter (and backward smoother) into a
+single Pallas kernel: the loop runs inside the kernel, the state lives in
+vector registers/VMEM scratch, and each step costs a handful of VPU ops.
+
+Design notes (Mosaic constraints shape everything here):
+
+* All values are strictly 2-D tiles; the per-block state is kept as Python
+  lists of ``(n_block, 1)`` columns ("column registers"), so per-step matrix
+  algebra unrolls at trace time into scalar-coefficient FMAs on columns with
+  **zero gathers, zero reshapes and zero concatenates** in the loop body.
+* Covariances are symmetric: only the upper triangle is carried
+  (``q(q+1)/2`` columns).
+* Time is processed in **chunks over a Pallas grid**: per-chunk output
+  blocks stream VMEM -> HBM automatically between grid steps (double
+  buffered), while the filter state persists across grid steps in VMEM
+  scratch.  This keeps VMEM usage at a few buffers of ``chunk`` rows
+  regardless of ``n_steps`` (a monolithic kernel OOMs VMEM at 10k steps).
+  The backward smoother uses a reversed block ``index_map`` to stream the
+  same way, right to left.
+* The ODE right-hand side and its block-diagonal Jacobian enter as
+  "flat" callables with 2-D-safe signatures (see
+  :mod:`rodeo_tpu.models` ``*_flat`` variants) — arbitrary user ``jnp``
+  code cannot be traced into Mosaic safely.
+* The kernels expect **Taylor-preconditioned** inputs
+  (:mod:`rodeo_tpu.ops.precond`): float32 needs the O(1)-conditioned prior,
+  and the Joseph-form update is used throughout.
+
+The public entry point :func:`solve_mv_fused` matches the ``solve_mv``
+signature/contract for supported configurations (``n_bmeas == 1``,
+standard form, EK1/zero-order interrogations, ``q <= 3`` for the smoother).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rodeo_tpu.ops.precond import taylor_scale, scale_prior
+
+__all__ = ["fused_filter", "fused_smoother", "solve_mv_fused"]
+
+
+def _tri_idx(q):
+    """Upper-triangle (i, j) pairs and a dense->packed index map."""
+    pairs = [(i, j) for i in range(q) for j in range(i, q)]
+    where = {}
+    for k, (i, j) in enumerate(pairs):
+        where[(i, j)] = k
+        where[(j, i)] = k
+    return pairs, where
+
+
+def _coef_mul(a, col):
+    """Multiply a column by a coefficient that may be a trace-time float
+    (0.0 -> dropped, 1.0 -> identity) or a (n_block, 1) column."""
+    if isinstance(a, float):
+        if a == 0.0:
+            return None
+        if a == 1.0:
+            return col
+    return a * col
+
+
+def _acc(acc, term):
+    if term is None:
+        return acc
+    return term if acc is None else acc + term
+
+
+def _sym_quadform(q, A, P_cols, where):
+    r"""
+    Columns of the upper triangle of ``A P A'`` where ``A`` is a
+    list-of-lists of coefficient columns and ``P_cols`` is packed-symmetric.
+    Unrolled at trace time into FMAs on ``(n_block, 1)`` columns.
+    """
+    T = [[None] * q for _ in range(q)]
+    for i in range(q):
+        for k in range(q):
+            acc = None
+            for j in range(q):
+                acc = _acc(acc, _coef_mul(A[i][j], P_cols[where[(j, k)]]))
+            T[i][k] = acc
+    out = []
+    for i in range(q):
+        for l in range(i, q):
+            acc = None
+            for k in range(q):
+                if T[i][k] is None:
+                    continue
+                acc = _acc(acc, _coef_mul(A[l][k], T[i][k]))
+            out.append(acc)
+    return out
+
+
+def _matvec(q, A, v_cols):
+    """Columns of ``A v`` with the same coefficient conventions."""
+    out = []
+    for i in range(q):
+        acc = None
+        for j in range(q):
+            acc = _acc(acc, _coef_mul(A[i][j], v_cols[j]))
+        out.append(acc)
+    return out
+
+
+def _read_mat_cols(ref, q):
+    """Read a (nb, q*q) ref into a list-of-lists of (nb, 1) columns."""
+    return [[ref[:, i * q + j:i * q + j + 1] for j in range(q)]
+            for i in range(q)]
+
+
+def _sym_inv(q, p_cols):
+    """Closed-form inverse of a packed-symmetric matrix, q <= 3,
+    scale-normalized against float32 determinant overflow."""
+    if q == 1:
+        return [1.0 / p_cols[0]]
+    if q == 2:
+        a, b, d = p_cols
+        inv_det = 1.0 / (a * d - b * b)
+        return [d * inv_det, -b * inv_det, a * inv_det]
+    if q == 3:
+        a, b, c, d, e, f = p_cols  # [00,01,02,11,12,22]
+        s = jnp.maximum(jnp.abs(a), jnp.maximum(jnp.abs(d), jnp.abs(f)))
+        s = jnp.maximum(s, 1e-30)
+        a, b, c, d, e, f = a / s, b / s, c / s, d / s, e / s, f / s
+        co00 = d * f - e * e
+        co01 = c * e - b * f
+        co02 = b * e - c * d
+        co11 = a * f - c * c
+        co12 = b * c - a * e
+        co22 = a * d - b * b
+        det = a * co00 + b * co01 + c * co02
+        inv_det = 1.0 / (det * s)
+        return [co00 * inv_det, co01 * inv_det, co02 * inv_det,
+                co11 * inv_det, co12 * inv_det, co22 * inv_det]
+    raise NotImplementedError("fused smoother supports q <= 3")
+
+
+def _pick_chunk(n_steps, target=256):
+    """Largest divisor of n_steps that is <= target."""
+    best = 1
+    for c in range(1, min(target, n_steps) + 1):
+        if n_steps % c == 0:
+            best = c
+    return best
+
+
+
+
+def _const_coefs(prior_weight):
+    """If the transition matrix is identical across blocks, return its
+    entries as a list-of-lists of Python floats (trace-time constants for
+    the kernels); otherwise None."""
+    import numpy as np
+    try:
+        qw = np.asarray(prior_weight)
+    except Exception:  # traced values cannot be constants
+        return None
+    if not np.all(qw == qw[0]):
+        return None
+    q = qw.shape[-1]
+    return [[float(qw[0, i, j]) for j in range(q)] for i in range(q)]
+
+
+# --- forward filter kernel -------------------------------------------------------
+
+
+def _filter_kernel(ode_flat, jac_flat, chunk, q, n_block, n_tri, q_const,
+                   q_ref, r_ref, w_ref, x0_ref, th_ref, tgrid_ref, tv_ref,
+                   mf_ref, pf_ref, mp_ref, pp_ref,
+                   m_scr, p_scr):
+    """One grid step = `chunk` filter steps; state carried in VMEM scratch.
+
+    When the (preconditioned) transition matrix is constant across blocks —
+    the IBM prior's Pascal matrix — its entries arrive as trace-time floats
+    in ``q_const``, turning the predict matmuls into sparse constant FMAs.
+    """
+    pairs, where = _tri_idx(q)
+    gi = pl.program_id(0)
+    Qm = q_const if q_const is not None else _read_mat_cols(q_ref, q)
+    R_cols = [r_ref[:, k:k + 1] for k in range(n_tri)]   # packed triangle
+    W_cols = [w_ref[:, j:j + 1] for j in range(q)]
+    tv_cols = [tv_ref[:, j:j + 1] for j in range(q)]
+
+    @pl.when(gi == 0)
+    def _init():
+        m_scr[:] = x0_ref[:]
+        p_scr[:] = jnp.zeros((n_block, n_tri), jnp.float32)
+
+    def write_step(ref_m, ref_p, r, m_cols, p_cols):
+        for j in range(q):
+            ref_m[r, :, j:j + 1] = m_cols[j]
+        for k in range(n_tri):
+            ref_p[r, :, k:k + 1] = p_cols[k]
+
+    def body(r, carry):
+        m_cols = list(carry[:q])
+        p_cols = list(carry[q:])
+        # predict
+        mp_cols = _matvec(q, Qm, m_cols)
+        pp_cols = _sym_quadform(q, Qm, p_cols, where)
+        pp_cols = [pp_cols[k] + R_cols[k] for k in range(n_tri)]
+        # interrogation at the predicted mean (original coordinates)
+        x_cols = [mp_cols[j] * tv_cols[j] for j in range(q)]
+        t_n = tgrid_ref[gi * chunk + r, 0]
+        f0 = ode_flat(x_cols, th_ref, t_n)                 # (nb, 1)
+        jd_cols = jac_flat(x_cols, th_ref, t_n) if jac_flat is not None \
+            else [None] * q
+        H_cols = []
+        for j in range(q):
+            if jd_cols[j] is None:
+                H_cols.append(W_cols[j])
+            else:
+                H_cols.append(W_cols[j] - jd_cols[j] * tv_cols[j])
+        hm = None
+        for j in range(q):
+            hm = _acc(hm, H_cols[j] * mp_cols[j])
+        mm = -f0
+        for j in range(q):
+            if jd_cols[j] is not None:
+                mm = mm + jd_cols[j] * x_cols[j]
+        z = -(hm + mm)
+        # PH = Pp H' ; S = H Pp H'
+        PH_cols = []
+        for i in range(q):
+            acc = None
+            for j in range(q):
+                acc = _acc(acc, p_cols_at(pp_cols, where, i, j) * H_cols[j])
+            PH_cols.append(acc)
+        S = None
+        for i in range(q):
+            S = _acc(S, H_cols[i] * PH_cols[i])
+        if jac_flat is None:
+            # rodeo interrogation: V = W Pp W' == S, so S_total = 2 S
+            S = S + S
+        inv_S = 1.0 / S
+        gain = [PH_cols[i] * inv_S for i in range(q)]
+        mf_cols = [mp_cols[i] + gain[i] * z for i in range(q)]
+        # Joseph: (I - K H) Pp (I - K H)'  [+ K V K' for zero-order]
+        IKW = [[(1.0 if i == j else 0.0) - gain[i] * H_cols[j]
+                for j in range(q)] for i in range(q)]
+        pf_cols = _sym_quadform(q, IKW, pp_cols, where)
+        if jac_flat is None:
+            V = S * 0.5
+            pf_cols = [pf_cols[k] + gain[i] * gain[j] * V
+                       for k, (i, j) in enumerate(pairs)]
+        write_step(mp_ref, pp_ref, r, mp_cols, pp_cols)
+        write_step(mf_ref, pf_ref, r, mf_cols, pf_cols)
+        return tuple(mf_cols) + tuple(pf_cols)
+
+    m0 = [m_scr[:, j:j + 1] for j in range(q)]
+    p0 = [p_scr[:, k:k + 1] for k in range(n_tri)]
+    out = jax.lax.fori_loop(0, chunk, body, tuple(m0) + tuple(p0))
+    for j in range(q):
+        m_scr[:, j:j + 1] = out[j]
+    for k in range(n_tri):
+        p_scr[:, k:k + 1] = out[q + k]
+
+
+def p_cols_at(p_cols, where, i, j):
+    return p_cols[where[(i, j)]]
+
+
+# --- backward smoother kernel: see _smoother_kernel_entry below ----------------
+
+
+# --- host-side wrappers ------------------------------------------------------------
+
+
+def _interpret_mode(interpret):
+    """Resolve interpret='auto' -> True off-TPU (so CPU tests exercise the
+    kernels through the Pallas interpreter)."""
+    if interpret != "auto":
+        return bool(interpret)
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _pack_tri(mat, pairs):
+    """(..., q, q) -> packed upper triangle (..., n_tri)."""
+    return jnp.stack([mat[..., i, j] for (i, j) in pairs], axis=-1)
+
+
+def _unpack_tri(packed, q, pairs):
+    """Packed (..., n_tri) -> dense symmetric (..., q, q)."""
+    out = jnp.zeros(packed.shape[:-1] + (q, q), packed.dtype)
+    for k, (i, j) in enumerate(pairs):
+        out = out.at[..., i, j].set(packed[..., k])
+        if i != j:
+            out = out.at[..., j, i].set(packed[..., k])
+    return out
+
+
+def fused_filter(ode_flat, jac_flat, n_steps,
+                 prior_weight, prior_var, ode_weight, ode_init,
+                 theta_col, tgrid, t_vec, chunk=None, interpret="auto"):
+    """Invoke the fused forward-filter kernel (preconditioned inputs).
+
+    Returns stacked ``(n_steps, n_block, q / n_tri)`` filtered/predicted
+    moments for steps ``1..n_steps`` (covariances packed upper-triangular).
+    """
+    n_block, q = ode_init.shape
+    pairs, _ = _tri_idx(q)
+    n_tri = len(pairs)
+    if chunk is None:
+        chunk = _pick_chunk(n_steps)
+    n_chunks = n_steps // chunk
+    q_const = _const_coefs(prior_weight)
+    kern = functools.partial(_filter_kernel, ode_flat, jac_flat,
+                             chunk, q, n_block, n_tri, q_const)
+    outs = [
+        jax.ShapeDtypeStruct((n_steps, n_block, q), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, n_block, n_tri), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, n_block, q), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, n_block, n_tri), jnp.float32),
+    ]
+    rep2 = pl.BlockSpec((n_block, q * q), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    repw = pl.BlockSpec((n_block, q), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    in_specs = [
+        rep2,                                             # Q
+        pl.BlockSpec((n_block, n_tri), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),            # R packed
+        repw,                                             # W
+        repw,                                             # x0
+        pl.BlockSpec(theta_col.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),            # theta
+        pl.BlockSpec((n_steps, 1), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),            # tgrid (full)
+        pl.BlockSpec((1, q), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),            # t_vec
+    ]
+    out_specs = [
+        pl.BlockSpec((chunk, n_block, q), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk, n_block, n_tri), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk, n_block, q), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk, n_block, n_tri), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    R_packed = _pack_tri(prior_var, pairs)
+    return pl.pallas_call(
+        kern, out_shape=outs, grid=(n_chunks,),
+        in_specs=in_specs, out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((n_block, q), jnp.float32),
+            pltpu.VMEM((n_block, n_tri), jnp.float32),
+        ],
+        interpret=_interpret_mode(interpret),
+    )(prior_weight.reshape(n_block, q * q).astype(jnp.float32),
+      R_packed.astype(jnp.float32),
+      ode_weight.astype(jnp.float32),
+      ode_init.astype(jnp.float32),
+      theta_col.astype(jnp.float32),
+      tgrid[:, None].astype(jnp.float32),
+      t_vec[None, :].astype(jnp.float32))
+
+
+def fused_smoother(n_steps, prior_weight,
+                   mf, pf, mp, pp, mfN, pfN,
+                   chunk=None, interpret="auto"):
+    """Invoke the fused backward-smoother kernel.
+
+    Args:
+        mf, pf: filtered moments for steps ``1..n_steps-1``
+            (length ``n_steps - 1``).
+        mp, pp: predicted moments for steps ``2..n_steps`` (same length,
+            already shifted so row ``r`` holds step ``r+2``).
+        mfN, pfN: terminal filtered moments (the smoothing seed).
+
+    Returns smoothed moments for steps ``1..n_steps-1``.
+    """
+    n_len = mf.shape[0]
+    n_block, q = mf.shape[1], mf.shape[2]
+    n_tri = pf.shape[2]
+    if chunk is None:
+        chunk = _pick_chunk(n_len)
+    n_chunks = n_len // chunk
+    q_const = _const_coefs(prior_weight.reshape(-1, prior_weight.shape[-1],
+                                                prior_weight.shape[-1]))
+    kern = functools.partial(_smoother_kernel_entry, chunk, q, n_block,
+                             n_tri, q_const)
+    outs = [
+        jax.ShapeDtypeStruct((n_len, n_block, q), jnp.float32),
+        jax.ShapeDtypeStruct((n_len, n_block, n_tri), jnp.float32),
+    ]
+    rev = lambda i: (n_chunks - 1 - i, 0, 0)
+    in_specs = [
+        pl.BlockSpec((n_block, q * q), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),            # Q
+        pl.BlockSpec((chunk, n_block, q), rev,
+                     memory_space=pltpu.VMEM),            # mf
+        pl.BlockSpec((chunk, n_block, n_tri), rev,
+                     memory_space=pltpu.VMEM),            # pf
+        pl.BlockSpec((chunk, n_block, q), rev,
+                     memory_space=pltpu.VMEM),            # mp next
+        pl.BlockSpec((chunk, n_block, n_tri), rev,
+                     memory_space=pltpu.VMEM),            # pp next
+        pl.BlockSpec((n_block, q), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),            # terminal mean
+        pl.BlockSpec((n_block, n_tri), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),            # terminal cov
+    ]
+    out_specs = [
+        pl.BlockSpec((chunk, n_block, q), rev,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk, n_block, n_tri), rev,
+                     memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        kern, out_shape=outs, grid=(n_chunks,),
+        in_specs=in_specs, out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((n_block, q), jnp.float32),
+            pltpu.VMEM((n_block, n_tri), jnp.float32),
+        ],
+        interpret=_interpret_mode(interpret),
+    )(prior_weight.reshape(n_block, q * q).astype(jnp.float32),
+      mf, pf, mp, pp, mfN, pfN)
+
+
+def _smoother_kernel_entry(chunk, q, n_block, n_tri, q_const,
+                           q_ref, mf_ref, pf_ref, mpn_ref, ppn_ref,
+                           mfN_ref, pfN_ref,
+                           ms_ref, ps_ref,
+                           m_scr, p_scr):
+    """Grid-step wrapper seeding the scratch from the terminal state."""
+    pairs, where = _tri_idx(q)
+    gi = pl.program_id(0)
+    Qm = q_const if q_const is not None else _read_mat_cols(q_ref, q)
+
+    @pl.when(gi == 0)
+    def _seed():
+        m_scr[:] = mfN_ref[:]
+        p_scr[:] = pfN_ref[:]
+
+    def body(k, carry):
+        r = chunk - 1 - k
+        ms_cols = list(carry[:q])
+        ps_cols = list(carry[q:])
+        mf_cols = [mf_ref[r, :, j:j + 1] for j in range(q)]
+        pf_cols = [pf_ref[r, :, kk:kk + 1] for kk in range(n_tri)]
+        mp_cols = [mpn_ref[r, :, j:j + 1] for j in range(q)]
+        pp_cols = [ppn_ref[r, :, kk:kk + 1] for kk in range(n_tri)]
+        ppinv = _sym_inv(q, pp_cols)
+        T = [[None] * q for _ in range(q)]
+        for i in range(q):
+            for l in range(q):
+                acc = None
+                for j in range(q):
+                    acc = _acc(acc, _coef_mul(
+                        Qm[l][j], p_cols_at(pf_cols, where, i, j)))
+                T[i][l] = acc
+        G = [[None] * q for _ in range(q)]
+        for i in range(q):
+            for l in range(q):
+                acc = None
+                for j in range(q):
+                    acc = _acc(acc, T[i][j] * p_cols_at(ppinv, where, j, l))
+                G[i][l] = acc
+        dm = [ms_cols[j] - mp_cols[j] for j in range(q)]
+        m_out = []
+        for i in range(q):
+            acc = mf_cols[i]
+            for j in range(q):
+                acc = acc + G[i][j] * dm[j]
+            m_out.append(acc)
+        dp = [ps_cols[kk] - pp_cols[kk] for kk in range(n_tri)]
+        gdp = _sym_quadform(q, G, dp, where)
+        p_out = [pf_cols[kk] + gdp[kk] for kk in range(n_tri)]
+        for j in range(q):
+            ms_ref[r, :, j:j + 1] = m_out[j]
+        for kk in range(n_tri):
+            ps_ref[r, :, kk:kk + 1] = p_out[kk]
+        return tuple(m_out) + tuple(p_out)
+
+    m_in = [m_scr[:, j:j + 1] for j in range(q)]
+    p_in = [p_scr[:, k:k + 1] for k in range(n_tri)]
+    out = jax.lax.fori_loop(0, chunk, body, tuple(m_in) + tuple(p_in))
+    for j in range(q):
+        m_scr[:, j:j + 1] = out[j]
+    for k in range(n_tri):
+        p_scr[:, k:k + 1] = out[q + k]
+
+
+def solve_mv_fused(key, ode_fun, ode_weight, ode_init,
+                   t_min, t_max, n_steps,
+                   interrogate,
+                   prior_pars,
+                   ode_flat=None, jac_flat=None, interpret="auto",
+                   chunk=None, **params):
+    r"""
+    Posterior mean/variance of the ODE solve via fused Pallas kernels.
+
+    Matches :func:`rodeo_tpu.solve.solve_mv` (standard filter,
+    Taylor-preconditioned internally) for configurations with one
+    measurement row per block and ``q <= 3``.  The ODE enters through
+    Mosaic-safe ``ode_flat(x_cols, th, t) -> (n_block, 1)`` and (for EK1)
+    ``jac_flat(x_cols, th, t) -> [q columns or None]`` callables; models in
+    :mod:`rodeo_tpu.models` provide them.  ``jac_flat=None`` selects the
+    zero-order (rodeo) interrogation.
+
+    Returns:
+        (tuple): ``mean_state_smooth``, ``var_state_smooth`` with shapes
+        ``(n_steps+1, n_block, q[, q])``.
+    """
+    del key, interrogate
+    if ode_flat is None:
+        raise ValueError(
+            "solve_mv_fused requires a Mosaic-safe `ode_flat` callable "
+            "(see rodeo_tpu.models.*_flat)")
+    n_block, n_bmeas, q = ode_weight.shape
+    if n_bmeas != 1:
+        raise NotImplementedError("fused kernels require n_bmeas == 1")
+    pairs, _ = _tri_idx(q)
+    dt = (t_max - t_min) / n_steps
+    t_vec = taylor_scale(dt, q, dtype=jnp.float32)
+    Qs, Rs = scale_prior(prior_pars, t_vec)
+    W_s = (ode_weight * t_vec[None, None, :])[:, 0, :]
+    x0_s = (ode_init / t_vec).astype(jnp.float32)
+    tgrid = t_min + (t_max - t_min) * (jnp.arange(n_steps) + 1) / n_steps
+    theta = params.get("theta")
+    theta_col = jnp.zeros((1, 1), jnp.float32) if theta is None \
+        else jnp.asarray(theta)[:, None]
+
+    mf, pf, mp, pp = fused_filter(
+        ode_flat, jac_flat, n_steps, Qs, Rs, W_s, x0_s,
+        theta_col, tgrid, t_vec, chunk=chunk, interpret=interpret)
+    # smoother over steps 1..n_steps-1 (terminal = filtered at n_steps)
+    ms, ps = fused_smoother(
+        n_steps, Qs,
+        mf[:-1], pf[:-1], mp[1:], pp[1:], mf[-1], pf[-1],
+        chunk=chunk, interpret=interpret)
+    # assemble (n_steps+1) rows: exact init, smoothed 1..N-1, filtered N
+    zero_m = x0_s[None]
+    zero_p = jnp.zeros((1, n_block, len(pairs)), jnp.float32)
+    ms_full = jnp.concatenate([zero_m, ms, mf[-1][None]])
+    ps_full = jnp.concatenate([zero_p, ps, pf[-1][None]])
+    # unscale back to original coordinates
+    t_v = t_vec.astype(ms_full.dtype)
+    mean_out = ms_full * t_v
+    var_out = _unpack_tri(ps_full, q, pairs) * (t_v[:, None] * t_v[None, :])
+    return mean_out, var_out

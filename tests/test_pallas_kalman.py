@@ -1,0 +1,62 @@
+"""
+Fused Pallas kernel tests (run through the Pallas interpreter on CPU):
+solve_mv_fused must match the preconditioned covariance solver.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rodeo_tpu.ops import precond, pallas_kalman
+from rodeo_tpu.interrogate import interrogate_kramer, interrogate_rodeo
+from rodeo_tpu.models import lorenz
+
+
+@pytest.fixture(scope="module")
+def lorenz_cfg():
+    cfg = lorenz.setup(n_steps=200, t_max=2.0, dtype=jnp.float32)
+    theta = cfg.pop("theta")
+    return cfg, theta
+
+
+def test_fused_matches_precond_kramer(lorenz_cfg):
+    cfg, theta = lorenz_cfg
+    mu_ref, var_ref = precond.solve_mv(
+        key=None, interrogate=interrogate_kramer, theta=theta, **cfg)
+    mu_f, var_f = pallas_kalman.solve_mv_fused(
+        key=None, interrogate=interrogate_kramer, theta=theta,
+        ode_flat=lorenz.lorenz_flat, jac_flat=lorenz.lorenz_jac_flat, **cfg)
+    assert not bool(jnp.any(jnp.isnan(mu_f)))
+    m, mr = np.asarray(mu_f[:, :, 0]), np.asarray(mu_ref[:, :, 0])
+    np.testing.assert_allclose(m, mr, rtol=2e-3, atol=2e-3)
+    v, vr = np.asarray(var_f), np.asarray(var_ref)
+    scale = np.abs(vr).max()
+    np.testing.assert_allclose(v / scale, vr / scale, atol=1e-4)
+
+
+def test_fused_matches_precond_rodeo(lorenz_cfg):
+    """jac_flat=None selects the zero-order (rodeo) interrogation."""
+    cfg, theta = lorenz_cfg
+    mu_ref, var_ref = precond.solve_mv(
+        key=None, interrogate=interrogate_rodeo, theta=theta, **cfg)
+    mu_f, var_f = pallas_kalman.solve_mv_fused(
+        key=None, interrogate=interrogate_rodeo, theta=theta,
+        ode_flat=lorenz.lorenz_flat, jac_flat=None, **cfg)
+    assert not bool(jnp.any(jnp.isnan(mu_f)))
+    m, mr = np.asarray(mu_f[:, :, 0]), np.asarray(mu_ref[:, :, 0])
+    np.testing.assert_allclose(m, mr, rtol=2e-3, atol=2e-3)
+
+
+def test_fused_jittable(lorenz_cfg):
+    cfg, theta = lorenz_cfg
+    fn = jax.jit(lambda th: pallas_kalman.solve_mv_fused(
+        key=None, interrogate=interrogate_kramer, theta=th,
+        ode_flat=lorenz.lorenz_flat, jac_flat=lorenz.lorenz_jac_flat,
+        **cfg))
+    mu1, _ = fn(theta)
+    mu2, _ = pallas_kalman.solve_mv_fused(
+        key=None, interrogate=interrogate_kramer, theta=theta,
+        ode_flat=lorenz.lorenz_flat, jac_flat=lorenz.lorenz_jac_flat, **cfg)
+    # jit changes op fusion -> f32 rounding differences, which the
+    # zero-noise filter recursion amplifies ~1e-2 over 200 Lorenz steps
+    np.testing.assert_allclose(mu1, mu2, rtol=5e-2, atol=5e-2)
