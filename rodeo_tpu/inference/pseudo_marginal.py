@@ -319,6 +319,38 @@ def irmh_as_top_level_api(
     return SamplingAlgorithm(init_fn, step_fn)
 
 
+def save_state(path, state: RWAState):
+    """
+    Checkpoint a (possibly vmapped) chain state to ``path`` (.npz).
+
+    The reference provides no persistence (SURVEY.md section 5); long
+    multi-chip MCMC runs need resumable state.
+    """
+    import numpy as np
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    np.savez(path, n_leaves=len(leaves),
+             **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+
+
+def load_state(path, like: RWAState = None) -> RWAState:
+    """Restore a chain state saved by :func:`save_state`.
+
+    Args:
+        path: File path.
+        like (RWAState | None): A state with the same pytree structure
+            (needed when ``position``/``auxdata`` are non-trivial pytrees);
+            defaults to the flat single-leaf-per-field layout.
+    """
+    import numpy as np
+    data = np.load(path)
+    n = int(data["n_leaves"])
+    leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
+    template = like if like is not None else RWAState(
+        position=0, logdensity=0.0, auxdata=0)
+    treedef = jax.tree_util.tree_structure(template)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def rmh_as_top_level_api(
     logdensity_fn: Callable,
     proposal_generator: Callable,

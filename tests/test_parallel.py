@@ -83,3 +83,19 @@ def test_sharded_loglik_matches_sequential(fitz):
     lls = sharded_loglik(loglik, thetas)
     lls_seq = jnp.stack([loglik(thetas[i]) for i in range(8)])
     np.testing.assert_allclose(lls, lls_seq, rtol=1e-9)
+
+
+def test_chain_checkpoint_roundtrip(tmp_path, fitz):
+    """MCMC state save/load (TPU-native persistence extension)."""
+    def logpost(theta, key):
+        return -0.5 * jnp.sum(theta ** 2), theta * 2
+    alg = pm.normal_random_walk(logpost, 0.1 * jnp.ones(3))
+    state = jax.vmap(alg.init)(
+        jnp.broadcast_to(fitz["theta"], (4, 3)),
+        jax.random.split(jax.random.PRNGKey(0), 4))
+    path = str(tmp_path / "chain.npz")
+    pm.save_state(path, state)
+    restored = pm.load_state(path, like=state)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_allclose(a, b)
