@@ -128,8 +128,8 @@ def _sym_inv(q, p_cols):
     if q == 3:
         a, b, c, d, e, f = p_cols  # [00,01,02,11,12,22]
         s = jnp.maximum(jnp.abs(a), jnp.maximum(jnp.abs(d), jnp.abs(f)))
-        s = jnp.maximum(s, 1e-30)
-        a, b, c, d, e, f = a / s, b / s, c / s, d / s, e / s, f / s
+        rs = 1.0 / jnp.maximum(s, 1e-30)
+        a, b, c, d, e, f = a * rs, b * rs, c * rs, d * rs, e * rs, f * rs
         co00 = d * f - e * e
         co01 = c * e - b * f
         co02 = b * e - c * d
@@ -137,7 +137,7 @@ def _sym_inv(q, p_cols):
         co12 = b * c - a * e
         co22 = a * d - b * b
         det = a * co00 + b * co01 + c * co02
-        inv_det = 1.0 / (det * s)
+        inv_det = rs / det
         return [co00 * inv_det, co01 * inv_det, co02 * inv_det,
                 co11 * inv_det, co12 * inv_det, co22 * inv_det]
     raise NotImplementedError("fused smoother supports q <= 3")
@@ -288,13 +288,14 @@ def _pack_tri(mat, pairs):
 
 
 def _unpack_tri(packed, q, pairs):
-    """Packed (..., n_tri) -> dense symmetric (..., q, q)."""
-    out = jnp.zeros(packed.shape[:-1] + (q, q), packed.dtype)
+    """Packed (..., n_tri) -> dense symmetric (..., q, q) (scatter-free)."""
+    where = {}
     for k, (i, j) in enumerate(pairs):
-        out = out.at[..., i, j].set(packed[..., k])
-        if i != j:
-            out = out.at[..., j, i].set(packed[..., k])
-    return out
+        where[(i, j)] = k
+        where[(j, i)] = k
+    rows = [jnp.stack([packed[..., where[(i, j)]] for j in range(q)],
+                      axis=-1) for i in range(q)]
+    return jnp.stack(rows, axis=-2)
 
 
 def fused_filter(ode_flat, jac_flat, n_steps,

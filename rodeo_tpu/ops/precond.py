@@ -31,7 +31,7 @@ from rodeo_tpu.ops import ptime as _ptime
 from rodeo_tpu.ops.linalg import fast_linalg
 
 __all__ = ["taylor_scale", "scale_prior", "solve_mv", "solve_sim",
-           "solve_mv_iterated"]
+           "solve_mv_iterated", "fenrir", "dalton"]
 
 
 def _factorial(x):
@@ -152,6 +152,58 @@ def solve_sim(key, ode_fun, ode_weight, ode_init,
             interrogate=_wrap_interrogate(interrogate, ode_weight, t_vec),
             prior_pars=prior_s, kalman_type=kalman_type, **params)
     return xs * t_vec.astype(xs.dtype)
+
+
+def fenrir(key, ode_fun, ode_weight, ode_init,
+           t_min, t_max, n_steps,
+           interrogate,
+           prior_pars,
+           obs_data, obs_times, obs_weight, obs_var,
+           **params):
+    r"""
+    Preconditioned :func:`rodeo_tpu.inference.fenrir.fenrir`.
+
+    The observation model transforms as :math:`\tilde D = D T`; the
+    log-density of the Y-space observations is invariant under the state
+    coordinate change, so this returns the same value as the plain
+    implementation — but float32-stable on TPU.
+    """
+    from rodeo_tpu.inference import fenrir as _fenrir_fn
+    t_vec, W_s, x0_s, prior_s = _scaled_inputs(
+        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps)
+    obs_weight_s = obs_weight * t_vec.astype(obs_weight.dtype)
+    with fast_linalg():
+        return _fenrir_fn(
+            key=key, ode_fun=ode_fun, ode_weight=W_s, ode_init=x0_s,
+            t_min=t_min, t_max=t_max, n_steps=n_steps,
+            interrogate=_wrap_interrogate(interrogate, ode_weight, t_vec),
+            prior_pars=prior_s,
+            obs_data=obs_data, obs_times=obs_times,
+            obs_weight=obs_weight_s, obs_var=obs_var, **params)
+
+
+def dalton(key, ode_fun, ode_weight, ode_init,
+           t_min, t_max, n_steps,
+           interrogate,
+           prior_pars,
+           obs_data, obs_times, obs_weight, obs_var,
+           **params):
+    r"""
+    Preconditioned :func:`rodeo_tpu.inference.dalton.dalton`
+    (see :func:`fenrir`).
+    """
+    from rodeo_tpu.inference import dalton as _dalton_fn
+    t_vec, W_s, x0_s, prior_s = _scaled_inputs(
+        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps)
+    obs_weight_s = obs_weight * t_vec.astype(obs_weight.dtype)
+    with fast_linalg():
+        return _dalton_fn(
+            key=key, ode_fun=ode_fun, ode_weight=W_s, ode_init=x0_s,
+            t_min=t_min, t_max=t_max, n_steps=n_steps,
+            interrogate=_wrap_interrogate(interrogate, ode_weight, t_vec),
+            prior_pars=prior_s,
+            obs_data=obs_data, obs_times=obs_times,
+            obs_weight=obs_weight_s, obs_var=obs_var, **params)
 
 
 def solve_mv_iterated(key, ode_fun, ode_weight, ode_init,

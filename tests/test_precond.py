@@ -112,3 +112,28 @@ def test_precond_iterated_f32_lorenz():
                         np.asarray(mu_seq[:, :, 0]))
                  / (1.0 + np.abs(np.asarray(mu_seq[:, :, 0]))))
     assert err < 0.05, err
+
+
+def test_precond_fenrir_dalton_match_plain(fitz):
+    """Preconditioned fenrir/dalton return the same loglik values (the
+    Y-space density is invariant under the state coordinate change)."""
+    import importlib
+    fen = importlib.import_module("rodeo_tpu.inference.fenrir")
+    dal = importlib.import_module("rodeo_tpu.inference.dalton")
+    rng = np.random.default_rng(17)
+    n_obs = 5
+    obs_times = jnp.linspace(fitz["t_min"], fitz["t_max"], n_obs)
+    D = jnp.zeros((n_obs, 2, 1, 3)).at[:, :, :, 0].set(1.0)
+    Om = 0.01 * jnp.broadcast_to(jnp.eye(1), (n_obs, 2, 1, 1))
+    yobs = jnp.asarray(rng.standard_normal((n_obs, 2, 1)))
+    kw = dict(
+        key=None, ode_fun=fitz_fun, ode_weight=fitz["W"],
+        ode_init=fitz["x0_block"], t_min=fitz["t_min"],
+        t_max=fitz["t_max"], n_steps=fitz["n_steps"],
+        interrogate=interrogate_kramer, prior_pars=fitz["prior_pars"],
+        obs_data=yobs, obs_times=obs_times, obs_weight=D, obs_var=Om,
+        theta=fitz["theta"])
+    np.testing.assert_allclose(
+        float(precond.fenrir(**kw)), float(fen.fenrir(**kw)), rtol=1e-8)
+    np.testing.assert_allclose(
+        float(precond.dalton(**kw)), float(dal.dalton(**kw)), rtol=1e-8)
