@@ -146,6 +146,74 @@ def main():
     except Exception as e:  # noqa: BLE001
         details["vmap_error"] = repr(e)[:500]
 
+    # fenrir / dalton log-likelihood evals per second (vmapped batch,
+    # BASELINE config #4) on a 4k-step Lorenz grid with noisy observations
+    try:
+        import numpy as np
+        cfg_f = lorenz.setup(n_steps=4000, t_max=T_MAX, dtype=jnp.float32)
+        th_f = cfg_f.pop("theta")
+        n_obs = 21
+        obs_times = jnp.linspace(0.0, T_MAX, n_obs).astype(jnp.float32)
+        D = jnp.zeros((n_obs, 3, 1, 3), jnp.float32).at[:, :, :, 0].set(1.0)
+        Om = 0.005 * jnp.broadcast_to(jnp.eye(1, dtype=jnp.float32),
+                                      (n_obs, 3, 1, 1))
+        yobs = jnp.asarray(
+            np.random.default_rng(0).normal(size=(n_obs, 3, 1)) * 5,
+            dtype=jnp.float32)
+        nb = 16
+        ths = jnp.broadcast_to(th_f, (nb, 3)) + \
+            1e-4 * jnp.arange(nb, dtype=jnp.float32)[:, None]
+        for name, fn_ll in (("fenrir", precond.fenrir),
+                            ("dalton", precond.dalton)):
+            ll_fn = jax.jit(jax.vmap(lambda th: fn_ll(
+                key=None, interrogate=interrogate_kramer, theta=th,
+                obs_data=yobs, obs_times=obs_times, obs_weight=D,
+                obs_var=Om, **cfg_f)))
+            t_ll, out_ll = _timeit(ll_fn, (ths,), n_rep=3)
+            details[f"{name}_loglik_evals_per_sec"] = round(nb / t_ll, 2)
+            details[f"{name}_loglik_finite"] = bool(
+                jnp.all(jnp.isfinite(out_ll)))
+    except Exception as e:  # noqa: BLE001
+        details["loglik_bench_error"] = repr(e)[:500]
+
+    # pseudo-marginal MCMC chain throughput (BASELINE config #5)
+    try:
+        from rodeo_tpu.models import fitzhugh
+        from rodeo_tpu.inference import pseudo_marginal as pm
+        from rodeo_tpu.parallel import run_chains
+        cfg_m = fitzhugh.setup(n_steps=200, t_max=10.0, dtype=jnp.float32)
+        th_m = cfg_m.pop("theta")
+        mu_ref2, _ = precond.solve_mv(
+            key=jax.random.PRNGKey(0), interrogate=interrogate_kramer,
+            theta=th_m, **cfg_m)
+
+        def logpost(theta, key):
+            xs = precond.solve_sim(
+                key=key, interrogate=interrogate_kramer, theta=theta,
+                method="eigh", **cfg_m)
+            ll = -0.5 * jnp.sum((xs[:, :, 0] - mu_ref2[:, :, 0]) ** 2) / .01
+            return ll, xs[-1]
+
+        alg = pm.normal_random_walk(
+            logpost, 0.02 * jnp.ones(3, jnp.float32))
+        n_chains, n_samp = 32, 10
+        init = jnp.broadcast_to(th_m, (n_chains, 3))
+        t0 = time.perf_counter()
+        positions, state, accept = run_chains(
+            alg, init, jax.random.PRNGKey(3), n_samples=n_samp)
+        jax.tree_util.tree_leaves(positions)[0].block_until_ready()
+        warm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        positions, state, accept = run_chains(
+            alg, init, jax.random.PRNGKey(4), n_samples=n_samp)
+        jax.tree_util.tree_leaves(positions)[0].block_until_ready()
+        dt_run = time.perf_counter() - t0
+        details["mcmc_chain_steps_per_sec"] = round(
+            n_chains * n_samp / dt_run, 2)
+        details["mcmc_mean_accept"] = round(float(jnp.mean(accept)), 3)
+    except Exception as e:  # noqa: BLE001
+        details["mcmc_bench_error"] = repr(e)[:500]
+
     valid = {k: t for k, (t, ok) in candidates.items() if ok}
     details["candidates_ms"] = {
         k: round(t * 1000, 3) for k, (t, ok) in candidates.items()}

@@ -44,7 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rodeo_tpu.ops.precond import taylor_scale, scale_prior
 
-__all__ = ["fused_filter", "fused_smoother", "solve_mv_fused"]
+__all__ = ["fused_filter", "fused_smoother", "solve_mv_fused",
+           "jvp_jac_flat"]
 
 
 def _tri_idx(q):
@@ -141,6 +142,40 @@ def _sym_inv(q, p_cols):
         return [co00 * inv_det, co01 * inv_det, co02 * inv_det,
                 co11 * inv_det, co12 * inv_det, co22 * inv_det]
     raise NotImplementedError("fused smoother supports q <= 3")
+
+
+def jvp_jac_flat(ode_flat, n_block, q):
+    r"""
+    Build a Mosaic-safe block-diagonal Jacobian callable from ``ode_flat``
+    alone, via one ``jax.jvp`` per (block, state-column) pair with
+    single-entry seed columns (:math:`n_{block} \cdot q` forward-mode
+    tangents, unrolled at trace time).  Use when no hand-written
+    ``*_jac_flat`` exists; an analytic Jacobian is cheaper.
+    """
+
+    def jac_flat(x_cols, th, t):
+        def f(cols):
+            return ode_flat(cols, th, t)
+
+        out_cols = []
+        for j in range(q):
+            col = None
+            for b in range(n_block):
+                seeds = [jnp.zeros((n_block, 1), jnp.float32)
+                         for _ in range(q)]
+                onehot = jnp.concatenate(
+                    [jnp.ones((1, 1), jnp.float32) if bb == b
+                     else jnp.zeros((1, 1), jnp.float32)
+                     for bb in range(n_block)], axis=0)
+                seeds[j] = onehot
+                _, tang = jax.jvp(f, (x_cols,), (seeds,))
+                piece = tang[b:b + 1, 0:1]
+                col = piece if col is None else \
+                    jnp.concatenate([col, piece], axis=0)
+            out_cols.append(col)
+        return out_cols
+
+    return jac_flat
 
 
 def _pick_chunk(n_steps, target=256):

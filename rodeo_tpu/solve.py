@@ -120,17 +120,31 @@ def _solve_filter(key, ode_fun, ode_weight, ode_init,
     return scan_out
 
 
+def _sample_mvn(key, mean, cov, method):
+    """Per-step posterior draw.  ``method='svd'`` matches the reference
+    (``solve.py:179``); ``method='eigh'`` is the TPU fast path — a single
+    symmetric eigendecomposition factor instead of the two-pass SVD, with
+    eigenvalues clamped at zero for PSD safety."""
+    if method == "eigh":
+        w, v = jnp.linalg.eigh(cov)
+        factor = v * jnp.sqrt(jnp.maximum(w, 0.0))[..., None, :]
+        z = jax.random.normal(key, mean.shape, dtype=mean.dtype)
+        return mean + jnp.einsum("...ij,...j->...i", factor, z)
+    return jax.random.multivariate_normal(key, mean, cov, method=method)
+
+
 def solve_sim(key, ode_fun, ode_weight, ode_init,
               t_min, t_max, n_steps,
               interrogate,
               prior_pars,
-              kalman_type="standard", **params):
+              kalman_type="standard", method="svd", **params):
     r"""
     Draw a sample solution path from the stochastic ODE solver posterior.
 
     Same arguments as :func:`solve_mv`.  Parity: ``solve.py:125-205``
     including the key-split tree, so draws match the reference given the
-    same key (standard filter).
+    same key (standard filter, default ``method="svd"``).  On TPU prefer
+    ``method="eigh"`` (same distribution, one factorization per step).
 
     Returns:
         (ndarray(n_steps+1, n_block, n_bstate)): Sample solution path.
@@ -160,15 +174,15 @@ def solve_sim(key, ode_fun, ode_weight, ode_init,
             var_state_pred=smooth_kwargs["var_state_pred"],
             var_state=prior_var,
         )
-        x_state_curr = jax.random.multivariate_normal(
-            smooth_kwargs["key"], mean_state_sim, var_state_sim, method="svd")
+        x_state_curr = _sample_mvn(
+            smooth_kwargs["key"], mean_state_sim, var_state_sim, method)
         return x_state_curr, x_state_curr
 
-    scan_init = jax.random.multivariate_normal(
+    scan_init = _sample_mvn(
         subkeys[n_steps - 1],
         mean_state_filt[n_steps],
         var_state_filt[n_steps],
-        method="svd")
+        method)
     scan_kwargs = {
         "mean_state_filt": mean_state_filt[1:n_steps],
         "var_state_filt": var_state_filt[1:n_steps],

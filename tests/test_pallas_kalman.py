@@ -60,3 +60,34 @@ def test_fused_jittable(lorenz_cfg):
     # jit changes op fusion -> f32 rounding differences, which the
     # zero-noise filter recursion amplifies ~1e-2 over 200 Lorenz steps
     np.testing.assert_allclose(mu1, mu2, rtol=5e-2, atol=5e-2)
+
+
+def test_jvp_jac_matches_analytic():
+    """Generic jvp-based block-diagonal Jacobian == hand-written one."""
+    from rodeo_tpu.models import fitzhugh
+    th = jnp.array([[0.2], [0.2], [3.0]], jnp.float32)
+    x_cols = [jnp.array([[0.3], [-0.8]], jnp.float32),
+              jnp.zeros((2, 1), jnp.float32),
+              jnp.zeros((2, 1), jnp.float32)]
+    jac_auto = pallas_kalman.jvp_jac_flat(fitzhugh.fitzhugh_flat, 2, 3)
+    cols_auto = jac_auto(x_cols, th, 0.0)
+    cols_hand = fitzhugh.fitzhugh_jac_flat(x_cols, th, 0.0)
+    np.testing.assert_allclose(cols_auto[0], cols_hand[0], rtol=1e-6)
+    for j in (1, 2):
+        assert cols_hand[j] is None
+        np.testing.assert_allclose(cols_auto[j], 0.0, atol=1e-7)
+
+
+def test_fused_with_jvp_jacobian(lorenz_cfg):
+    """solve_mv_fused with the generic jvp Jacobian matches the analytic
+    one (through the Pallas interpreter)."""
+    cfg, theta = lorenz_cfg
+    jac_auto = pallas_kalman.jvp_jac_flat(lorenz.lorenz_flat, 3, 3)
+    mu_a, _ = pallas_kalman.solve_mv_fused(
+        key=None, interrogate=None, theta=theta,
+        ode_flat=lorenz.lorenz_flat, jac_flat=jac_auto, **cfg)
+    mu_h, _ = pallas_kalman.solve_mv_fused(
+        key=None, interrogate=None, theta=theta,
+        ode_flat=lorenz.lorenz_flat, jac_flat=lorenz.lorenz_jac_flat, **cfg)
+    # same f32 rounding-amplification allowance as test_fused_jittable
+    np.testing.assert_allclose(mu_a, mu_h, rtol=5e-2, atol=5e-2)

@@ -190,3 +190,17 @@ def test_solve_sim_shape_and_determinism(fitz):
     assert xs1.shape == (fitz["n_steps"] + 1, 2, 3)
     np.testing.assert_allclose(xs1, xs2)
     np.testing.assert_allclose(xs1[0], fitz["x0_block"])
+
+
+def test_solve_sim_eigh_method(fitz):
+    """TPU fast sampling path: same distribution (tight prior => draws hug
+    the same posterior mean), jittable."""
+    kwargs = dict(
+        key=fitz["key"], ode_fun=fitz_fun, ode_weight=fitz["W"],
+        ode_init=fitz["x0_block"], t_min=fitz["t_min"], t_max=fitz["t_max"],
+        n_steps=fitz["n_steps"], interrogate=interrogate_rodeo,
+        prior_pars=fitz["prior_pars"], theta=fitz["theta"])
+    xs_svd = rodeo_tpu.solve_sim(method="svd", **kwargs)
+    xs_eig = jax.jit(lambda: rodeo_tpu.solve_sim(method="eigh", **kwargs))()
+    np.testing.assert_allclose(xs_eig[:, :, 0], xs_svd[:, :, 0],
+                               rtol=1e-3, atol=1e-3)
