@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from rodeo_tpu.prior import ibm_init
 from rodeo_tpu.utils import first_order_pad
 
-__all__ = ["hes1_fun", "setup"]
+__all__ = ["hes1_fun", "hes1_flat", "setup"]
 
 N_VARS = 3
 N_DERIV = 3
@@ -32,6 +32,24 @@ def hes1_fun(X_t, t, theta):
     dM = -d + e / (1 + P * P) / M
     dH = -a * P + f / (H * (1 + P * P)) - g
     return jnp.array([[dP], [dM], [dH]])
+
+
+def hes1_flat(x_cols, th, t):
+    """Mosaic-safe Hes1 right-hand side (log scale); see
+    :func:`rodeo_tpu.models.lorenz.lorenz_flat` for the contract."""
+    del t
+    x0 = x_cols[0]
+    P = jnp.exp(x0[0:1, 0:1])
+    M = jnp.exp(x0[1:2, 0:1])
+    H = jnp.exp(x0[2:3, 0:1])
+    a, b, c = th[0:1, 0:1], th[1:2, 0:1], th[2:3, 0:1]
+    d, e = th[3:4, 0:1], th[4:5, 0:1]
+    f, g = th[5:6, 0:1], th[6:7, 0:1]
+    one_p2 = 1.0 + P * P
+    dP = -a * H + b * M / P - c
+    dM = -d + e / one_p2 / M
+    dH = -a * P + f / (H * one_p2) - g
+    return jnp.concatenate([dP, dM, dH], axis=0)
 
 
 def setup(n_steps=120, t_min=0.0, t_max=240.0, prior_sigma=0.1,

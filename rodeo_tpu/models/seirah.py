@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from rodeo_tpu.prior import ibm_init
 from rodeo_tpu.utils import first_order_pad
 
-__all__ = ["seirah_fun", "setup"]
+__all__ = ["seirah_fun", "seirah_flat", "setup"]
 
 N_VARS = 6
 N_DERIV = 3
@@ -38,6 +38,26 @@ def seirah_fun(X_t, t, theta):
     dA = (1 - r) * E / D_e - A / D_I
     dH = I / D_q - H / D_h
     return jnp.array([[dS], [dE], [dI], [dR], [dA], [dH]])
+
+
+def seirah_flat(x_cols, th, t):
+    """Mosaic-safe SEIRAH right-hand side; see
+    :func:`rodeo_tpu.models.lorenz.lorenz_flat` for the contract."""
+    del t
+    x0 = x_cols[0]
+    S, E, I = x0[0:1, 0:1], x0[1:2, 0:1], x0[2:3, 0:1]
+    R, A, H = x0[3:4, 0:1], x0[4:5, 0:1], x0[5:6, 0:1]
+    b, r, alpha = th[0:1, 0:1], th[1:2, 0:1], th[2:3, 0:1]
+    D_e, D_I, D_q = th[3:4, 0:1], th[4:5, 0:1], th[5:6, 0:1]
+    N = S + E + I + R + A + H
+    inf = b * S * (I + alpha * A) / N
+    dS = -inf
+    dE = inf - E / D_e
+    dI = r * E / D_e - I / D_q - I / D_I
+    dR = (I + A) / D_I + H / D_H
+    dA = (1.0 - r) * E / D_e - A / D_I
+    dH = I / D_q - H / D_H
+    return jnp.concatenate([dS, dE, dI, dR, dA, dH], axis=0)
 
 
 def setup(n_steps=80, t_min=0.0, t_max=60.0, prior_sigma=0.1,

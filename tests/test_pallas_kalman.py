@@ -91,3 +91,25 @@ def test_fused_with_jvp_jacobian(lorenz_cfg):
         ode_flat=lorenz.lorenz_flat, jac_flat=lorenz.lorenz_jac_flat, **cfg)
     # same f32 rounding-amplification allowance as test_fused_jittable
     np.testing.assert_allclose(mu_a, mu_h, rtol=5e-2, atol=5e-2)
+
+
+@pytest.mark.parametrize("model_name", ["hes1", "seirah"])
+def test_fused_other_models(model_name):
+    """Fused solver (jvp Jacobian) matches the preconditioned solver on the
+    remaining benchmark systems (through the Pallas interpreter)."""
+    import importlib
+    model = importlib.import_module(f"rodeo_tpu.models.{model_name}")
+    cfg = model.setup(n_steps=40, t_max=model.setup()["t_max"] / 4,
+                      dtype=jnp.float32)
+    theta = cfg.pop("theta")
+    mu_ref, _ = precond.solve_mv(
+        key=None, interrogate=interrogate_kramer, theta=theta, **cfg)
+    ode_flat = getattr(model, f"{model_name}_flat")
+    n_block = cfg["ode_weight"].shape[0]
+    jac = pallas_kalman.jvp_jac_flat(ode_flat, n_block, 3)
+    mu_f, _ = pallas_kalman.solve_mv_fused(
+        key=None, interrogate=None, theta=theta,
+        ode_flat=ode_flat, jac_flat=jac, **cfg)
+    assert not bool(jnp.any(jnp.isnan(mu_f)))
+    m, mr = np.asarray(mu_f[:, :, 0]), np.asarray(mu_ref[:, :, 0])
+    np.testing.assert_allclose(m, mr, rtol=2e-2, atol=2e-2 * np.abs(mr).max())
