@@ -108,7 +108,7 @@ def main():
     # latency (~26 ms through the experimental TPU tunnel, vs ~0 on CPU)
     # identically to how the CPU baseline is measured.  lax.map executes
     # solves one after another, so no parallelism is smuggled in.
-    B = 4
+    B = 8
     thetas = jnp.broadcast_to(theta, (B, 3))
 
     # preconditioned sequential covariance filter (f32-stable)
