@@ -303,7 +303,7 @@ def p_cols_at(p_cols, where, i, j):
     return p_cols[where[(i, j)]]
 
 
-# --- backward smoother kernel: see _smoother_kernel_entry below ----------------
+# --- backward smoother kernel: see _smoother_recursion_kernel below -------------
 
 
 # --- host-side wrappers ------------------------------------------------------------
@@ -406,41 +406,58 @@ def fused_smoother(n_steps, prior_weight,
                    chunk=None, interpret="auto"):
     """Invoke the fused backward-smoother kernel.
 
+    The smoothing gains/offsets depend only on the *filter* outputs, so
+    they are precomputed here as large batched XLA ops (vectorized over
+    the whole time axis — MXU/VPU-friendly); the Pallas kernel then runs
+    only the irreducibly sequential recursion
+    ``m_n = g_n + G_n m_{n+1}``, ``P_n = L_n + G_n P_{n+1} G_n'``,
+    whose dependency chain is ~4x shorter than recomputing gains in-loop.
+
     Args:
         mf, pf: filtered moments for steps ``1..n_steps-1``
-            (length ``n_steps - 1``).
+            (length ``n_steps - 1``; covariances packed upper-triangular).
         mp, pp: predicted moments for steps ``2..n_steps`` (same length,
             already shifted so row ``r`` holds step ``r+2``).
         mfN, pfN: terminal filtered moments (the smoothing seed).
 
-    Returns smoothed moments for steps ``1..n_steps-1``.
+    Returns smoothed moments for steps ``1..n_steps-1`` (packed).
     """
+    from rodeo_tpu.ops.linalg import inv_small
+    from rodeo_tpu.utils import mtt, mvdot
+
     n_len = mf.shape[0]
     n_block, q = mf.shape[1], mf.shape[2]
-    n_tri = pf.shape[2]
+    pairs, _ = _tri_idx(q)
+    n_tri = len(pairs)
     if chunk is None:
         chunk = _pick_chunk(n_len)
     n_chunks = n_len // chunk
-    q_const = _const_coefs(prior_weight.reshape(-1, prior_weight.shape[-1],
-                                                prior_weight.shape[-1]))
-    kern = functools.partial(_smoother_kernel_entry, chunk, q, n_block,
-                             n_tri, q_const)
+
+    # batched gain precompute: G = Pf Q' Pp^{-1}, g = mf - G mp,
+    # L = Pf - G Pp G'  (scale-normalized closed-form inverse, f32-safe)
+    Pf = _unpack_tri(pf, q, pairs)
+    Pp = _unpack_tri(pp, q, pairs)
+    G = (Pf @ mtt(prior_weight)) @ inv_small(Pp)
+    g = mf - mvdot(G, mp)
+    L = Pf - G @ Pp @ mtt(G)
+    L = 0.5 * (L + mtt(L))
+    G_flat = G.reshape(n_len, n_block, q * q).astype(jnp.float32)
+    L_packed = _pack_tri(L, pairs).astype(jnp.float32)
+
+    kern = functools.partial(_smoother_recursion_kernel, chunk, q, n_block,
+                             n_tri)
     outs = [
         jax.ShapeDtypeStruct((n_len, n_block, q), jnp.float32),
         jax.ShapeDtypeStruct((n_len, n_block, n_tri), jnp.float32),
     ]
     rev = lambda i: (n_chunks - 1 - i, 0, 0)
     in_specs = [
-        pl.BlockSpec((n_block, q * q), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),            # Q
         pl.BlockSpec((chunk, n_block, q), rev,
-                     memory_space=pltpu.VMEM),            # mf
+                     memory_space=pltpu.VMEM),            # g
+        pl.BlockSpec((chunk, n_block, q * q), rev,
+                     memory_space=pltpu.VMEM),            # G
         pl.BlockSpec((chunk, n_block, n_tri), rev,
-                     memory_space=pltpu.VMEM),            # pf
-        pl.BlockSpec((chunk, n_block, q), rev,
-                     memory_space=pltpu.VMEM),            # mp next
-        pl.BlockSpec((chunk, n_block, n_tri), rev,
-                     memory_space=pltpu.VMEM),            # pp next
+                     memory_space=pltpu.VMEM),            # L
         pl.BlockSpec((n_block, q), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),            # terminal mean
         pl.BlockSpec((n_block, n_tri), lambda i: (0, 0),
@@ -460,19 +477,17 @@ def fused_smoother(n_steps, prior_weight,
             pltpu.VMEM((n_block, n_tri), jnp.float32),
         ],
         interpret=_interpret_mode(interpret),
-    )(prior_weight.reshape(n_block, q * q).astype(jnp.float32),
-      mf, pf, mp, pp, mfN, pfN)
+    )(g.astype(jnp.float32), G_flat, L_packed, mfN, pfN)
 
 
-def _smoother_kernel_entry(chunk, q, n_block, n_tri, q_const,
-                           q_ref, mf_ref, pf_ref, mpn_ref, ppn_ref,
-                           mfN_ref, pfN_ref,
-                           ms_ref, ps_ref,
-                           m_scr, p_scr):
-    """Grid-step wrapper seeding the scratch from the terminal state."""
+def _smoother_recursion_kernel(chunk, q, n_block, n_tri,
+                               g_ref, G_ref, L_ref, mfN_ref, pfN_ref,
+                               ms_ref, ps_ref,
+                               m_scr, p_scr):
+    """Bare backward recursion over precomputed (g, G, L), streamed in
+    reverse chunk order with the smoothed state carried in VMEM scratch."""
     pairs, where = _tri_idx(q)
     gi = pl.program_id(0)
-    Qm = q_const if q_const is not None else _read_mat_cols(q_ref, q)
 
     @pl.when(gi == 0)
     def _seed():
@@ -483,36 +498,16 @@ def _smoother_kernel_entry(chunk, q, n_block, n_tri, q_const,
         r = chunk - 1 - k
         ms_cols = list(carry[:q])
         ps_cols = list(carry[q:])
-        mf_cols = [mf_ref[r, :, j:j + 1] for j in range(q)]
-        pf_cols = [pf_ref[r, :, kk:kk + 1] for kk in range(n_tri)]
-        mp_cols = [mpn_ref[r, :, j:j + 1] for j in range(q)]
-        pp_cols = [ppn_ref[r, :, kk:kk + 1] for kk in range(n_tri)]
-        ppinv = _sym_inv(q, pp_cols)
-        T = [[None] * q for _ in range(q)]
-        for i in range(q):
-            for l in range(q):
-                acc = None
-                for j in range(q):
-                    acc = _acc(acc, _coef_mul(
-                        Qm[l][j], p_cols_at(pf_cols, where, i, j)))
-                T[i][l] = acc
-        G = [[None] * q for _ in range(q)]
-        for i in range(q):
-            for l in range(q):
-                acc = None
-                for j in range(q):
-                    acc = _acc(acc, T[i][j] * p_cols_at(ppinv, where, j, l))
-                G[i][l] = acc
-        dm = [ms_cols[j] - mp_cols[j] for j in range(q)]
+        G = [[G_ref[r, :, i * q + j:i * q + j + 1] for j in range(q)]
+             for i in range(q)]
         m_out = []
         for i in range(q):
-            acc = mf_cols[i]
+            acc = g_ref[r, :, i:i + 1]
             for j in range(q):
-                acc = acc + G[i][j] * dm[j]
+                acc = acc + G[i][j] * ms_cols[j]
             m_out.append(acc)
-        dp = [ps_cols[kk] - pp_cols[kk] for kk in range(n_tri)]
-        gdp = _sym_quadform(q, G, dp, where)
-        p_out = [pf_cols[kk] + gdp[kk] for kk in range(n_tri)]
+        gpg = _sym_quadform(q, G, ps_cols, where)
+        p_out = [L_ref[r, :, kk:kk + 1] + gpg[kk] for kk in range(n_tri)]
         for j in range(q):
             ms_ref[r, :, j:j + 1] = m_out[j]
         for kk in range(n_tri):

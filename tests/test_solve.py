@@ -204,3 +204,29 @@ def test_solve_sim_eigh_method(fitz):
     xs_eig = jax.jit(lambda: rodeo_tpu.solve_sim(method="eigh", **kwargs))()
     np.testing.assert_allclose(xs_eig[:, :, 0], xs_svd[:, :, 0],
                                rtol=1e-3, atol=1e-3)
+
+
+def test_higher_order_q4_and_q5():
+    """Second-order ODE solved with q=4 and q=5 priors (higher-order
+    states exercise the generic-q kernel paths beyond the common q=3)."""
+    def higher_fun(x, t, **params):
+        return jnp.array([[jnp.sin(2 * t) - x[0, 0]]])
+
+    def exact_sol(t):
+        return (2 * np.sin(t) - 3 * np.cos(t) - np.sin(2 * t)) / 3.0
+
+    from rodeo_tpu.prior import ibm_init
+    for n_deriv, x0 in [
+        (4, jnp.array([[-1.0, 0.0, 1.0, 2.0]])),
+        (5, jnp.array([[-1.0, 0.0, 1.0, 2.0, -1.0]])),
+    ]:
+        W = jnp.zeros((1, 1, n_deriv)).at[:, :, 2].set(1.0)
+        n_steps = 100
+        prior = ibm_init(10.0 / n_steps, n_deriv, jnp.array([0.5]))
+        mu, _ = rodeo_tpu.solve_mv(
+            key=None, ode_fun=higher_fun, ode_weight=W, ode_init=x0,
+            t_min=0.0, t_max=10.0, n_steps=n_steps,
+            interrogate=interrogate_kramer, prior_pars=prior)
+        tseq = np.linspace(0.0, 10.0, n_steps + 1)
+        err = np.max(np.abs(np.asarray(mu[:, 0, 0]) - exact_sol(tseq)))
+        assert err < 0.05, (n_deriv, err)
