@@ -173,6 +173,20 @@ def main():
             details[f"{name}_loglik_evals_per_sec"] = round(nb / t_ll, 2)
             details[f"{name}_loglik_finite"] = bool(
                 jnp.all(jnp.isfinite(out_ll)))
+        # fused Pallas fenrir (sequential-map latency, not vmap)
+        from rodeo_tpu.ops import pallas_fenrir
+        Bf = 8
+        thsf = jnp.broadcast_to(th_f, (Bf, 3))
+        ll_fn = jax.jit(lambda ts: jax.lax.map(
+            lambda th: pallas_fenrir.fenrir_fused(
+                key=None, interrogate=interrogate_kramer, theta=th,
+                obs_data=yobs, obs_times=obs_times, obs_weight=D,
+                obs_var=Om, ode_flat=lorenz.lorenz_flat,
+                jac_flat=lorenz.lorenz_jac_flat, **cfg_f), ts))
+        t_ll, out_ll = _timeit(ll_fn, (thsf,), n_rep=3, per=Bf)
+        details["fenrir_fused_evals_per_sec"] = round(1.0 / t_ll, 2)
+        details["fenrir_fused_finite"] = bool(
+            jnp.all(jnp.isfinite(out_ll)))
     except Exception as e:  # noqa: BLE001
         details["loglik_bench_error"] = repr(e)[:500]
 

@@ -184,10 +184,10 @@ def dalton(key, ode_fun, ode_weight, ode_init,
         mean_y0 = mvdot(obs_weight[0], ode_init) + obs_mean
         logdens_zy = jnp.sum(multivariate_normal_logpdf(
             obs_data[0], mean=mean_y0, cov=obs_var[0]))
-        return logdens_zy, 1
+        return logdens_zy.astype(ode_init.dtype), 1
 
     def _no_logy0():
-        return 0.0, 0
+        return jnp.zeros((), dtype=ode_init.dtype), 0
 
     logdens_zy, i = jax.lax.cond(obs_ind[0] == 0, _logy0, _no_logy0)
 
@@ -195,7 +195,7 @@ def dalton(key, ode_fun, ode_weight, ode_init,
         "state_filt_joint": (mean_state_init, var_state_init),
         "state_filt_marg": (mean_state_init, var_state_init),
         "logdens_joint": logdens_zy,
-        "logdens_marg": 0.0,
+        "logdens_marg": jnp.zeros((), dtype=ode_init.dtype),
         "i": i,
     }
     if key is not None:

@@ -123,7 +123,8 @@ def _backward(mean_state_filt, var_state_filt,
         )
 
         def _no_obs():
-            return bmean_state_pred, bvar_state_pred, 0.0, i
+            zero = jnp.zeros((), dtype=bmean_state_pred.dtype)
+            return bmean_state_pred, bvar_state_pred, zero, i
 
         def _obs():
             logp, bmean_state_next, bvar_state_next = _forecast_update(
@@ -157,11 +158,12 @@ def _backward(mean_state_filt, var_state_filt,
     # terminal point update
     mean_state_term = mean_state_filt[n_steps]
     var_state_term = var_state_filt[n_steps]
-    logdens = 0.0
+    logdens = jnp.zeros((), dtype=mean_state_term.dtype)
     i = n_obs - 1
 
     def _no_obs_term():
-        return mean_state_term, var_state_term, 0.0, i
+        zero = jnp.zeros((), dtype=mean_state_term.dtype)
+        return mean_state_term, var_state_term, zero, i
 
     def _obs_term():
         logp, bmean_state_next, bvar_state_next = _forecast_update(

@@ -1,0 +1,259 @@
+r"""
+Fused Pallas fenrir likelihood.
+
+The fenrir backward pass (``rodeo_tpu/inference/fenrir.py::_backward``,
+reference ``fenrir.py:86-259``) is a Kalman filter over the *time-reversed*
+affine Markov chain obtained from the forward filter, with Gaussian
+observation updates at grid points that carry data.  Everything except the
+recursion itself is precomputable:
+
+1. the forward filter runs as the fused Pallas kernel
+   (:func:`rodeo_tpu.ops.pallas_kalman.fused_filter`);
+2. the backward-chain parameters :math:`(A_n, b_n, C_n)` — identical to the
+   smoothing gains — vectorize over the whole time axis as batched XLA ops;
+3. the observation model is scattered onto the solver grid as dense masked
+   arrays (zero weight / unit variance at no-obs steps, so the masked
+   update is an exact identity and the masked log-density term is zeroed) —
+   this removes the reference's per-step ``lax.cond`` branches, which is
+   exactly the "masked dense updates" transformation SURVEY.md §7 flags as
+   required for parallel/TPU execution;
+4. a Pallas kernel runs the remaining sequential recursion (predict through
+   the backward kernel + masked scalar-observation update + log-density
+   accumulation in scratch), streamed in reverse chunk order.
+
+Supported configuration (falls back to the XLA path otherwise):
+``n_bmeas == 1``, ``n_bobs == 1`` per block, ``q <= 3``, standard form,
+EK1/EK0 interrogations, observations on grid points.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rodeo_tpu.ops.precond import taylor_scale, scale_prior
+from rodeo_tpu.ops.pallas_kalman import (
+    fused_filter, _tri_idx, _pack_tri, _unpack_tri, _pick_chunk,
+    _sym_quadform, _interpret_mode, p_cols_at)
+from rodeo_tpu.utils import mtt, mvdot
+
+__all__ = ["fenrir_fused"]
+
+_LOG2PI = 1.8378770664093453
+
+
+def fenrir_fused(key, ode_fun, ode_weight, ode_init,
+                 t_min, t_max, n_steps,
+                 interrogate,
+                 prior_pars,
+                 obs_data, obs_times, obs_weight, obs_var,
+                 ode_flat=None, jac_flat=None, chunk=None,
+                 interpret="auto", **params):
+    r"""
+    Fenrir log-likelihood via fused Pallas kernels (Taylor-preconditioned,
+    float32).  Same value as :func:`rodeo_tpu.inference.fenrir.fenrir` up
+    to float32 rounding; see the module docstring for supported configs.
+
+    Returns:
+        (float): The log-likelihood value.
+    """
+    del key, interrogate
+    if ode_flat is None:
+        raise ValueError("fenrir_fused requires a Mosaic-safe `ode_flat`")
+    n_block, n_bmeas, q = ode_weight.shape
+    n_obs, _, n_bobs, _ = obs_weight.shape
+    if n_bmeas != 1 or n_bobs != 1:
+        raise NotImplementedError(
+            "fenrir_fused requires n_bmeas == n_bobs == 1")
+    pairs, _ = _tri_idx(q)
+    n_tri = len(pairs)
+    dt = (t_max - t_min) / n_steps
+    t_vec = taylor_scale(dt, q, dtype=jnp.float32)
+    Qs, Rs = scale_prior(prior_pars, t_vec)
+    W_s = (ode_weight * t_vec[None, None, :])[:, 0, :]
+    x0_s = (ode_init / t_vec).astype(jnp.float32)
+    tgrid = t_min + (t_max - t_min) * (jnp.arange(n_steps) + 1) / n_steps
+    theta = params.get("theta")
+    theta_col = jnp.zeros((1, 1), jnp.float32) if theta is None \
+        else jnp.asarray(theta)[:, None]
+
+    # 1. forward filter (scaled coordinates)
+    mf, pf, mp, pp = fused_filter(
+        ode_flat, jac_flat, n_steps, Qs, Rs, W_s, x0_s,
+        theta_col, tgrid, t_vec, chunk=chunk, interpret=interpret)
+
+    # 2. backward-chain parameters for n = 0..N-1 (batched):
+    #    A_n = Pf_n Q' Pp_{n+1}^{-1}, b_n = mf_n - A_n mp_{n+1},
+    #    C_n = Pf_n - A_n Pp_{n+1} A_n'   (step 0 uses the exact init)
+    from rodeo_tpu.ops.linalg import inv_small
+    zero_p = jnp.zeros((1, n_block, n_tri), jnp.float32)
+    mf_full = jnp.concatenate([x0_s[None], mf[:-1]])      # steps 0..N-1
+    pf_full = jnp.concatenate([zero_p, pf[:-1]])
+    Pf = _unpack_tri(pf_full, q, pairs)
+    Pp = _unpack_tri(pp, q, pairs)                        # steps 1..N
+    A = (Pf @ mtt(Qs)) @ inv_small(Pp)
+    b = mf_full - mvdot(A, mp)
+    # Joseph-form backward variance (PSD-preserving in float32):
+    # C = (I - A Q) Pf (I - A Q)' + A R A'
+    eye_q = jnp.eye(q, dtype=Pf.dtype)
+    IAQ = eye_q - A @ Qs
+    C = IAQ @ Pf @ mtt(IAQ) + A @ Rs @ mtt(A)
+    C = 0.5 * (C + mtt(C))
+    A_flat = A.reshape(n_steps, n_block, q * q).astype(jnp.float32)
+    C_packed = _pack_tri(C, pairs).astype(jnp.float32)
+
+    # 3. observation model scattered onto the grid (masked dense form);
+    #    the obs weight acts on original coordinates -> scale by t_vec
+    sim_times = jnp.linspace(t_min, t_max, n_steps + 1)
+    obs_ind = jnp.searchsorted(sim_times, obs_times)
+    D_scaled = (obs_weight[:, :, 0, :]
+                * t_vec.astype(obs_weight.dtype)).astype(jnp.float32)
+    d_grid = jnp.zeros((n_steps + 1, n_block, q), jnp.float32)
+    d_grid = d_grid.at[obs_ind].set(D_scaled)
+    y_grid = jnp.zeros((n_steps + 1, n_block, 1), jnp.float32)
+    y_grid = y_grid.at[obs_ind].set(obs_data[:, :, :1].astype(jnp.float32))
+    om_grid = jnp.ones((n_steps + 1, n_block, 1), jnp.float32)
+    om_grid = om_grid.at[obs_ind].set(
+        obs_var[:, :, 0, :1].astype(jnp.float32))
+    mask_grid = jnp.zeros((n_steps + 1, 1), jnp.float32)
+    mask_grid = mask_grid.at[obs_ind, 0].set(1.0)
+
+    # 4. terminal update at n = N (batched XLA, masked)
+    mN, pN = mf[-1], pf[-1]
+    PN = _unpack_tri(pN[None], q, pairs)[0]
+    DN = d_grid[n_steps]
+    SN = jnp.sum(DN * (PN @ DN[..., None])[..., 0], axis=-1,
+                 keepdims=True) + om_grid[n_steps]
+    zN = y_grid[n_steps] - jnp.sum(DN * mN, axis=-1, keepdims=True)
+    maskN = mask_grid[n_steps, 0]
+    ld0 = maskN * (-0.5) * jnp.sum(zN * zN / SN + jnp.log(SN) + _LOG2PI)
+    KN = (PN @ DN[..., None])[..., 0] / SN * maskN
+    m_seed = mN + KN * zN
+    eye = jnp.broadcast_to(jnp.eye(q, dtype=jnp.float32), (n_block, q, q))
+    IKD = eye - KN[..., None] * DN[:, None, :]
+    P_seed = IKD @ PN @ mtt(IKD) + \
+        (KN[..., None] * om_grid[n_steps][..., None]) * KN[:, None, :]
+    p_seed = _pack_tri(0.5 * (P_seed + mtt(P_seed)), pairs)
+
+    # 5. sequential backward recursion in one Pallas kernel
+    if chunk is None:
+        chunk = _pick_chunk(n_steps)
+    n_chunks = n_steps // chunk
+    rev = lambda i: (n_chunks - 1 - i, 0, 0)
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple([0] * len(shape)), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((chunk, n_block, q * q), rev,
+                     memory_space=pltpu.VMEM),            # A
+        pl.BlockSpec((chunk, n_block, q), rev,
+                     memory_space=pltpu.VMEM),            # b
+        pl.BlockSpec((chunk, n_block, n_tri), rev,
+                     memory_space=pltpu.VMEM),            # C
+        pl.BlockSpec((chunk, n_block, q), rev,
+                     memory_space=pltpu.VMEM),            # D (scaled)
+        pl.BlockSpec((chunk, n_block, 1), rev,
+                     memory_space=pltpu.VMEM),            # y
+        pl.BlockSpec((chunk, n_block, 1), rev,
+                     memory_space=pltpu.VMEM),            # Om
+        pl.BlockSpec((n_steps, 1), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),            # mask (full)
+        rep((n_block, q)),                                # seed mean
+        rep((n_block, n_tri)),                            # seed cov
+        rep((1, 1)),                                      # seed logdens
+    ]
+    kern = functools.partial(
+        _backward_kernel_global_mask, chunk, q, n_block, n_tri)
+    ld = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        grid=(n_chunks,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_block, q), jnp.float32),
+            pltpu.VMEM((n_block, n_tri), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+        ],
+        interpret=_interpret_mode(interpret),
+    )(A_flat, b.astype(jnp.float32), C_packed,
+      d_grid[:n_steps], y_grid[:n_steps], om_grid[:n_steps],
+      mask_grid[:n_steps],
+      m_seed.astype(jnp.float32), p_seed.astype(jnp.float32),
+      jnp.reshape(ld0, (1, 1)).astype(jnp.float32))
+    return ld[0, 0]
+
+
+def _backward_kernel_global_mask(chunk, q, n_block, n_tri,
+                                 A_ref, b_ref, C_ref, d_ref, y_ref, om_ref,
+                                 mask_ref,
+                                 m0_ref, p0_ref, ld0_ref,
+                                 ld_ref,
+                                 m_scr, p_scr, ld_scr):
+    """As :func:`_backward_kernel` but reading the obs mask from the full
+    (unchunked) array at the global row index."""
+    pairs, where = _tri_idx(q)
+    gi = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
+
+    @pl.when(gi == 0)
+    def _seed():
+        m_scr[:] = m0_ref[:]
+        p_scr[:] = p0_ref[:]
+        ld_scr[0, 0] = ld0_ref[0, 0]
+
+    def body(k, carry):
+        r = chunk - 1 - k
+        m_cols = list(carry[:q])
+        p_cols = list(carry[q:q + n_tri])
+        ld = carry[q + n_tri]
+        A = [[A_ref[r, :, i * q + j:i * q + j + 1] for j in range(q)]
+             for i in range(q)]
+        mp = []
+        for i in range(q):
+            acc = b_ref[r, :, i:i + 1]
+            for j in range(q):
+                acc = acc + A[i][j] * m_cols[j]
+            mp.append(acc)
+        app = _sym_quadform(q, A, p_cols, where)
+        pp = [C_ref[r, :, kk:kk + 1] + app[kk] for kk in range(n_tri)]
+        D = [d_ref[r, :, j:j + 1] for j in range(q)]
+        PD = []
+        for i in range(q):
+            acc = None
+            for j in range(q):
+                term = p_cols_at(pp, where, i, j) * D[j]
+                acc = term if acc is None else acc + term
+            PD.append(acc)
+        S = om_ref[r, :, 0:1]
+        for i in range(q):
+            S = S + D[i] * PD[i]
+        z = y_ref[r, :, 0:1]
+        for i in range(q):
+            z = z - D[i] * mp[i]
+        # global row index: chunks are streamed in reverse order
+        mask = mask_ref[(n_chunks - 1 - gi) * chunk + r, 0]
+        inv_S = 1.0 / S
+        logp = -0.5 * jnp.sum(z * z * inv_S + jnp.log(S) + _LOG2PI)
+        ld = ld + mask * logp
+        K = [PD[i] * inv_S * mask for i in range(q)]
+        m_out = [mp[i] + K[i] * z for i in range(q)]
+        IKD = [[(1.0 if i == j else 0.0) - K[i] * D[j]
+                for j in range(q)] for i in range(q)]
+        pj = _sym_quadform(q, IKD, pp, where)
+        om = om_ref[r, :, 0:1]
+        p_out = [pj[kk] + K[i] * K[j] * om
+                 for kk, (i, j) in enumerate(pairs)]
+        return tuple(m_out) + tuple(p_out) + (ld,)
+
+    m_in = [m_scr[:, j:j + 1] for j in range(q)]
+    p_in = [p_scr[:, k:k + 1] for k in range(n_tri)]
+    out = jax.lax.fori_loop(
+        0, chunk, body, tuple(m_in) + tuple(p_in) + (ld_scr[0, 0],))
+    for j in range(q):
+        m_scr[:, j:j + 1] = out[j]
+    for k in range(n_tri):
+        p_scr[:, k:k + 1] = out[q + k]
+    ld_scr[0, 0] = out[q + n_tri]
+    ld_ref[:, :] = jnp.full((1, 1), out[q + n_tri], jnp.float32)

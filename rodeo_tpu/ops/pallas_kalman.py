@@ -401,7 +401,7 @@ def fused_filter(ode_flat, jac_flat, n_steps,
       t_vec[None, :].astype(jnp.float32))
 
 
-def fused_smoother(n_steps, prior_weight,
+def fused_smoother(n_steps, prior_weight, prior_var,
                    mf, pf, mp, pp, mfN, pfN,
                    chunk=None, interpret="auto"):
     """Invoke the fused backward-smoother kernel.
@@ -433,13 +433,15 @@ def fused_smoother(n_steps, prior_weight,
         chunk = _pick_chunk(n_len)
     n_chunks = n_len // chunk
 
-    # batched gain precompute: G = Pf Q' Pp^{-1}, g = mf - G mp,
-    # L = Pf - G Pp G'  (scale-normalized closed-form inverse, f32-safe)
+    # batched gain precompute: G = Pf Q' Pp^{-1}, g = mf - G mp, and the
+    # Joseph-form offset L = (I - G Q) Pf (I - G Q)' + G R G'
+    # (PSD-preserving in float32, unlike the Pf - G Pp G' subtraction)
     Pf = _unpack_tri(pf, q, pairs)
     Pp = _unpack_tri(pp, q, pairs)
     G = (Pf @ mtt(prior_weight)) @ inv_small(Pp)
     g = mf - mvdot(G, mp)
-    L = Pf - G @ Pp @ mtt(G)
+    IGQ = jnp.eye(q, dtype=Pf.dtype) - G @ prior_weight
+    L = IGQ @ Pf @ mtt(IGQ) + G @ prior_var @ mtt(G)
     L = 0.5 * (L + mtt(L))
     G_flat = G.reshape(n_len, n_block, q * q).astype(jnp.float32)
     L_packed = _pack_tri(L, pairs).astype(jnp.float32)
@@ -568,7 +570,7 @@ def solve_mv_fused(key, ode_fun, ode_weight, ode_init,
         theta_col, tgrid, t_vec, chunk=chunk, interpret=interpret)
     # smoother over steps 1..n_steps-1 (terminal = filtered at n_steps)
     ms, ps = fused_smoother(
-        n_steps, Qs,
+        n_steps, Qs, Rs,
         mf[:-1], pf[:-1], mp[1:], pp[1:], mf[-1], pf[-1],
         chunk=chunk, interpret=interpret)
     # assemble (n_steps+1) rows: exact init, smoothed 1..N-1, filtered N

@@ -113,3 +113,51 @@ def test_fused_other_models(model_name):
     assert not bool(jnp.any(jnp.isnan(mu_f)))
     m, mr = np.asarray(mu_f[:, :, 0]), np.asarray(mu_ref[:, :, 0])
     np.testing.assert_allclose(m, mr, rtol=2e-2, atol=2e-2 * np.abs(mr).max())
+
+
+def test_fenrir_fused_matches_xla():
+    """Fused fenrir likelihood == XLA fenrir (f32, Pallas interpreter)."""
+    import importlib
+    from rodeo_tpu.ops import pallas_fenrir
+    fen = importlib.import_module("rodeo_tpu.inference.fenrir")
+    cfg = lorenz.setup(n_steps=400, t_max=4.0, dtype=jnp.float32)
+    theta = cfg.pop("theta")
+    rng = np.random.default_rng(5)
+    n_obs = 9
+    obs_times = jnp.linspace(0.0, 4.0, n_obs).astype(jnp.float32)
+    D = jnp.zeros((n_obs, 3, 1, 3), jnp.float32).at[:, :, :, 0].set(1.0)
+    Om = 0.01 * jnp.broadcast_to(jnp.eye(1, dtype=jnp.float32),
+                                 (n_obs, 3, 1, 1))
+    yobs = jnp.asarray(rng.normal(size=(n_obs, 3, 1)) * 3,
+                       dtype=jnp.float32)
+    kw = dict(key=None, interrogate=interrogate_kramer, theta=theta,
+              obs_data=yobs, obs_times=obs_times, obs_weight=D, obs_var=Om)
+    ll_fused = pallas_fenrir.fenrir_fused(
+        ode_flat=lorenz.lorenz_flat, jac_flat=lorenz.lorenz_jac_flat,
+        **kw, **cfg)
+    from rodeo_tpu.ops import precond
+    ll_xla = precond.fenrir(**kw, **cfg)
+    np.testing.assert_allclose(float(ll_fused), float(ll_xla),
+                               rtol=2e-3)
+
+
+def test_fenrir_fused_no_obs_at_terminal():
+    """Observations not touching t=0 or t=N still work."""
+    import importlib
+    from rodeo_tpu.ops import pallas_fenrir, precond
+    cfg = lorenz.setup(n_steps=200, t_max=2.0, dtype=jnp.float32)
+    theta = cfg.pop("theta")
+    rng = np.random.default_rng(6)
+    obs_times = jnp.asarray([0.5, 1.0, 1.5], jnp.float32)
+    n_obs = 3
+    D = jnp.zeros((n_obs, 3, 1, 3), jnp.float32).at[:, :, :, 0].set(1.0)
+    Om = 0.01 * jnp.broadcast_to(jnp.eye(1, dtype=jnp.float32),
+                                 (n_obs, 3, 1, 1))
+    yobs = jnp.asarray(rng.normal(size=(n_obs, 3, 1)) * 3, jnp.float32)
+    kw = dict(key=None, interrogate=interrogate_kramer, theta=theta,
+              obs_data=yobs, obs_times=obs_times, obs_weight=D, obs_var=Om)
+    ll_fused = pallas_fenrir.fenrir_fused(
+        ode_flat=lorenz.lorenz_flat, jac_flat=lorenz.lorenz_jac_flat,
+        **kw, **cfg)
+    ll_xla = precond.fenrir(**kw, **cfg)
+    np.testing.assert_allclose(float(ll_fused), float(ll_xla), rtol=2e-3)
