@@ -58,20 +58,40 @@ for _ in range(3):
     t0 = time.perf_counter(); mu = fn(thetas); mu.block_until_ready()
     best = min(best, (time.perf_counter() - t0) / B)
 print("BASELINE_SECONDS", best)
+# the reference's best throughput configuration: vmapped batch
+Bv = 8
+thv = jnp.broadcast_to(theta, (Bv, 3)) * (1 + 1e-6*jnp.arange(Bv)[:, None])
+fv = jax.jit(jax.vmap(lambda th: rodeo.solve_mv(
+    key=None, ode_fun=lorenz, ode_weight=W, ode_init=x0,
+    t_min=0., t_max=%(t_max)f, n_steps=n_steps,
+    interrogate=interrogate_kramer, prior_pars=prior, theta=th)[0]))
+mv = fv(thv); mv.block_until_ready()
+bestv = 1e9
+for _ in range(3):
+    t0 = time.perf_counter(); mv = fv(thv); mv.block_until_ready()
+    bestv = min(bestv, (time.perf_counter() - t0) / Bv)
+print("BASELINE_VMAPPED_SECONDS", bestv)
 """
 
 
 def cpu_reference_seconds():
-    """Time the reference implementation on CPU f64 in a subprocess."""
+    """Time the reference implementation on CPU f64 in a subprocess.
+
+    Returns (sequential_per_solve_s, vmapped_per_solve_s)."""
     src = _CPU_BASELINE_SRC % {"n_steps": N_STEPS, "t_max": T_MAX}
     out = subprocess.run(
         [sys.executable, "-c", src], capture_output=True, text=True,
-        timeout=1200)
+        timeout=2400)
+    seq = vm = None
     for line in out.stdout.splitlines():
         if line.startswith("BASELINE_SECONDS"):
-            return float(line.split()[1])
-    raise RuntimeError(
-        f"baseline failed: {out.stdout[-2000:]} {out.stderr[-2000:]}")
+            seq = float(line.split()[1])
+        if line.startswith("BASELINE_VMAPPED_SECONDS"):
+            vm = float(line.split()[1])
+    if seq is None:
+        raise RuntimeError(
+            f"baseline failed: {out.stdout[-2000:]} {out.stderr[-2000:]}")
+    return seq, vm if vm is not None else seq
 
 
 def _timeit(fn, args, n_rep=5, per=1):
@@ -131,6 +151,26 @@ def main():
         candidates["pallas_fused"] = (t_pk, ok_pk)
     except Exception as e:  # noqa: BLE001 - bench must always report
         details["pallas_error"] = repr(e)[:500]
+
+    # lane-batched fused throughput: 128 solves in one kernel pair
+    try:
+        from rodeo_tpu.ops import pallas_kalman as pk_mod
+        Bl = 128
+        ths_l = jnp.broadcast_to(theta, (Bl, 3)) * \
+            (1 + 1e-6 * jnp.arange(Bl, dtype=jnp.float32)[:, None])
+        inits_l = jnp.broadcast_to(
+            cfg["ode_init"], (Bl,) + cfg["ode_init"].shape)
+        fb = jax.jit(lambda ts: pk_mod.solve_mv_fused_batch(
+            thetas=ts, ode_weight=cfg["ode_weight"], ode_inits=inits_l,
+            t_min=cfg["t_min"], t_max=cfg["t_max"],
+            n_steps=cfg["n_steps"], prior_pars=cfg["prior_pars"],
+            ode_flat=lorenz.lorenz_flat,
+            jac_flat=lorenz.lorenz_jac_flat)[0])
+        t_fb, out_fb = _timeit(fb, (ths_l,), n_rep=4, per=Bl)
+        ok_fb = not bool(jnp.any(jnp.isnan(out_fb)))
+        candidates["pallas_fused_lane_batch128"] = (t_fb, ok_fb)
+    except Exception as e:  # noqa: BLE001
+        details["lane_batch_error"] = repr(e)[:500]
 
     # vmapped throughput: batch of full solves in one XLA program
     # (the production workload: parameter sweeps / MCMC chains)
@@ -235,15 +275,17 @@ def main():
     t_ours = valid[best_name]
     details["best"] = best_name
 
-    t_ref = cpu_reference_seconds()
-    details["cpu_reference_ms"] = round(t_ref * 1000, 3)
+    t_ref_seq, t_ref_vm = cpu_reference_seconds()
+    t_ref = min(t_ref_seq, t_ref_vm)
+    details["cpu_reference_ms"] = round(t_ref_seq * 1000, 3)
+    details["cpu_reference_vmapped_ms"] = round(t_ref_vm * 1000, 3)
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAILS.json"), "w") as f:
         json.dump(details, f, indent=2)
 
     print(json.dumps({
-        "metric": "lorenz63_10k_solve_wallclock",
+        "metric": "lorenz63_10k_solve_per_solve_wallclock",
         "value": round(t_ours * 1000, 3),
         "unit": "ms",
         "vs_baseline": round(t_ref / t_ours, 3),

@@ -39,12 +39,12 @@ def hes1_flat(x_cols, th, t):
     :func:`rodeo_tpu.models.lorenz.lorenz_flat` for the contract."""
     del t
     x0 = x_cols[0]
-    P = jnp.exp(x0[0:1, 0:1])
-    M = jnp.exp(x0[1:2, 0:1])
-    H = jnp.exp(x0[2:3, 0:1])
-    a, b, c = th[0:1, 0:1], th[1:2, 0:1], th[2:3, 0:1]
-    d, e = th[3:4, 0:1], th[4:5, 0:1]
-    f, g = th[5:6, 0:1], th[6:7, 0:1]
+    P = jnp.exp(x0[0:1, :])
+    M = jnp.exp(x0[1:2, :])
+    H = jnp.exp(x0[2:3, :])
+    a, b, c = th[0:1, :], th[1:2, :], th[2:3, :]
+    d, e = th[3:4, :], th[4:5, :]
+    f, g = th[5:6, :], th[6:7, :]
     one_p2 = 1.0 + P * P
     dP = -a * H + b * M / P - c
     dM = -d + e / one_p2 / M

@@ -43,8 +43,8 @@ def lorenz_flat(x_cols, th, t):
     """
     del t
     x0 = x_cols[0]
-    x, y, z = x0[0:1, 0:1], x0[1:2, 0:1], x0[2:3, 0:1]
-    rho, sigma, beta = th[0:1, 0:1], th[1:2, 0:1], th[2:3, 0:1]
+    x, y, z = x0[0:1, :], x0[1:2, :], x0[2:3, :]
+    rho, sigma, beta = th[0:1, :], th[1:2, :], th[2:3, :]
     f0 = -sigma * x + sigma * y
     f1 = rho * x - y - x * z
     f2 = -beta * z + x * y
@@ -59,8 +59,8 @@ def lorenz_jac_flat(x_cols, th, t):
     the in-block partials are ``(-sigma, -1, -beta)``.
     """
     del x_cols, t
-    sigma, beta = th[1:2, 0:1], th[2:3, 0:1]
-    one = jnp.ones((1, 1), jnp.float32)
+    sigma, beta = th[1:2, :], th[2:3, :]
+    one = jnp.ones_like(sigma)
     col0 = jnp.concatenate([-sigma, -one, -beta], axis=0)
     return [col0] + [None] * (N_DERIV - 1)
 

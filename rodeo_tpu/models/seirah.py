@@ -45,10 +45,10 @@ def seirah_flat(x_cols, th, t):
     :func:`rodeo_tpu.models.lorenz.lorenz_flat` for the contract."""
     del t
     x0 = x_cols[0]
-    S, E, I = x0[0:1, 0:1], x0[1:2, 0:1], x0[2:3, 0:1]
-    R, A, H = x0[3:4, 0:1], x0[4:5, 0:1], x0[5:6, 0:1]
-    b, r, alpha = th[0:1, 0:1], th[1:2, 0:1], th[2:3, 0:1]
-    D_e, D_I, D_q = th[3:4, 0:1], th[4:5, 0:1], th[5:6, 0:1]
+    S, E, I = x0[0:1, :], x0[1:2, :], x0[2:3, :]
+    R, A, H = x0[3:4, :], x0[4:5, :], x0[5:6, :]
+    b, r, alpha = th[0:1, :], th[1:2, :], th[2:3, :]
+    D_e, D_I, D_q = th[3:4, :], th[4:5, :], th[5:6, :]
     N = S + E + I + R + A + H
     inf = b * S * (I + alpha * A) / N
     dS = -inf

@@ -204,6 +204,26 @@ def _const_coefs(prior_weight):
     return [[float(qw[0, i, j]) for j in range(q)] for i in range(q)]
 
 
+def _static_scaled_qconst(prior_weight_raw, dt, q):
+    """Trace-time constants of the Taylor-scaled transition, computed in
+    numpy from the *raw* (pre-scaling) prior so it works even when the
+    scaling itself is traced under jit.  Returns None if the raw prior is
+    a tracer or differs across blocks."""
+    import numpy as np
+    from scipy.special import gammaln
+    try:
+        qw = np.asarray(prior_weight_raw, dtype=np.float64)
+    except Exception:
+        return None
+    if not np.all(qw == qw[0]):
+        return None
+    i = np.arange(q, dtype=np.float64)
+    tv = np.sqrt(dt) * dt ** (q - 1.0 - i) / np.exp(gammaln(q - i))
+    qs = qw[0] * (tv[None, :] / tv[:, None])
+    return [[float(np.float32(qs[i2, j2])) for j2 in range(q)]
+            for i2 in range(q)]
+
+
 # --- forward filter kernel -------------------------------------------------------
 
 
@@ -335,7 +355,8 @@ def _unpack_tri(packed, q, pairs):
 
 def fused_filter(ode_flat, jac_flat, n_steps,
                  prior_weight, prior_var, ode_weight, ode_init,
-                 theta_col, tgrid, t_vec, chunk=None, interpret="auto"):
+                 theta_col, tgrid, t_vec, chunk=None, interpret="auto",
+                 raw_q_const=None):
     """Invoke the fused forward-filter kernel (preconditioned inputs).
 
     Returns stacked ``(n_steps, n_block, q / n_tri)`` filtered/predicted
@@ -348,6 +369,8 @@ def fused_filter(ode_flat, jac_flat, n_steps,
         chunk = _pick_chunk(n_steps)
     n_chunks = n_steps // chunk
     q_const = _const_coefs(prior_weight)
+    if q_const is None:
+        q_const = raw_q_const
     kern = functools.partial(_filter_kernel, ode_flat, jac_flat,
                              chunk, q, n_block, n_tri, q_const)
     outs = [
@@ -558,6 +581,7 @@ def solve_mv_fused(key, ode_fun, ode_weight, ode_init,
     dt = (t_max - t_min) / n_steps
     t_vec = taylor_scale(dt, q, dtype=jnp.float32)
     Qs, Rs = scale_prior(prior_pars, t_vec)
+    raw_q_const = _static_scaled_qconst(prior_pars[0], dt, q)
     W_s = (ode_weight * t_vec[None, None, :])[:, 0, :]
     x0_s = (ode_init / t_vec).astype(jnp.float32)
     tgrid = t_min + (t_max - t_min) * (jnp.arange(n_steps) + 1) / n_steps
@@ -567,7 +591,8 @@ def solve_mv_fused(key, ode_fun, ode_weight, ode_init,
 
     mf, pf, mp, pp = fused_filter(
         ode_flat, jac_flat, n_steps, Qs, Rs, W_s, x0_s,
-        theta_col, tgrid, t_vec, chunk=chunk, interpret=interpret)
+        theta_col, tgrid, t_vec, chunk=chunk, interpret=interpret,
+        raw_q_const=raw_q_const)
     # smoother over steps 1..n_steps-1 (terminal = filtered at n_steps)
     ms, ps = fused_smoother(
         n_steps, Qs, Rs,
@@ -583,3 +608,397 @@ def solve_mv_fused(key, ode_fun, ode_weight, ode_init,
     mean_out = ms_full * t_v
     var_out = _unpack_tri(ps_full, q, pairs) * (t_v[:, None] * t_v[None, :])
     return mean_out, var_out
+
+
+# --- lane-batched variants ---------------------------------------------------------
+#
+# Every op in the fused kernels is elementwise over a trailing lane axis, so
+# up to ~128 independent solves (parameter candidates, MCMC chains) ride one
+# kernel at nearly the wall-clock of a single solve: columns become
+# ``(n_block, n_lane)`` tiles and the TPU vector lanes do the batching.
+# This is the throughput path; the unbatched kernels above are the latency
+# path.
+
+
+def _filter_kernel_batch(ode_flat, jac_flat, chunk, q, n_block, n_tri,
+                         n_lane, q_const,
+                         q_ref, r_ref, w_ref, x0_ref, th_ref, tgrid_ref,
+                         tv_ref,
+                         mf_ref, pf_ref, mp_ref, pp_ref,
+                         m_scr, p_scr):
+    """Lane-batched forward filter: state columns are (n_block, n_lane)."""
+    pairs, where = _tri_idx(q)
+    gi = pl.program_id(0)
+    Qm = q_const if q_const is not None else _read_mat_cols(q_ref, q)
+    R_cols = [r_ref[:, k:k + 1] for k in range(n_tri)]     # (nb,1) bcast
+    W_cols = [w_ref[:, j:j + 1] for j in range(q)]
+    tv_cols = [tv_ref[:, j:j + 1] for j in range(q)]       # (1,1) bcast
+
+    @pl.when(gi == 0)
+    def _init():
+        for j in range(q):
+            m_scr[j] = x0_ref[j]
+        for k in range(n_tri):
+            p_scr[k] = jnp.zeros((n_block, n_lane), jnp.float32)
+
+    def body(r, carry):
+        m_cols = list(carry[:q])
+        p_cols = list(carry[q:])
+        mp_cols = _matvec(q, Qm, m_cols)
+        pp_cols = _sym_quadform(q, Qm, p_cols, where)
+        pp_cols = [pp_cols[k] + R_cols[k] for k in range(n_tri)]
+        x_cols = [mp_cols[j] * tv_cols[j] for j in range(q)]
+        t_n = tgrid_ref[gi * chunk + r, 0]
+        f0 = ode_flat(x_cols, th_ref, t_n)                 # (nb, B)
+        jd_cols = jac_flat(x_cols, th_ref, t_n) if jac_flat is not None \
+            else [None] * q
+        H_cols = []
+        for j in range(q):
+            if jd_cols[j] is None:
+                H_cols.append(W_cols[j])
+            else:
+                H_cols.append(W_cols[j] - jd_cols[j] * tv_cols[j])
+        hm = None
+        for j in range(q):
+            hm = _acc(hm, H_cols[j] * mp_cols[j])
+        mm = -f0
+        for j in range(q):
+            if jd_cols[j] is not None:
+                mm = mm + jd_cols[j] * x_cols[j]
+        z = -(hm + mm)
+        PH_cols = []
+        for i in range(q):
+            acc = None
+            for j in range(q):
+                acc = _acc(acc, p_cols_at(pp_cols, where, i, j) * H_cols[j])
+            PH_cols.append(acc)
+        S = None
+        for i in range(q):
+            S = _acc(S, H_cols[i] * PH_cols[i])
+        if jac_flat is None:
+            S = S + S
+        inv_S = 1.0 / S
+        gain = [PH_cols[i] * inv_S for i in range(q)]
+        mf_cols = [mp_cols[i] + gain[i] * z for i in range(q)]
+        IKW = [[(1.0 if i == j else 0.0) - gain[i] * H_cols[j]
+                for j in range(q)] for i in range(q)]
+        pf_cols = _sym_quadform(q, IKW, pp_cols, where)
+        if jac_flat is None:
+            V = S * 0.5
+            pf_cols = [pf_cols[k] + gain[i] * gain[j] * V
+                       for k, (i, j) in enumerate(pairs)]
+        for j in range(q):
+            mp_ref[r, j] = mp_cols[j]
+            mf_ref[r, j] = mf_cols[j]
+        for k in range(n_tri):
+            pp_ref[r, k] = pp_cols[k]
+            pf_ref[r, k] = pf_cols[k]
+        return tuple(mf_cols) + tuple(pf_cols)
+
+    m0 = [m_scr[j] for j in range(q)]
+    p0 = [p_scr[k] for k in range(n_tri)]
+    out = jax.lax.fori_loop(0, chunk, body, tuple(m0) + tuple(p0))
+    for j in range(q):
+        m_scr[j] = out[j]
+    for k in range(n_tri):
+        p_scr[k] = out[q + k]
+
+
+def _pick_chunk_batch(n_steps, n_lane, budget_bytes=6 * 2 ** 20):
+    """Chunk size keeping the double-buffered output blocks within a VMEM
+    budget (lane dim pads to 128, block dim to 8)."""
+    import math
+    row_bytes = 30 * 8 * max(128, ((n_lane + 127) // 128) * 128) * 4
+    target = max(8, budget_bytes // (2 * row_bytes))
+    return _pick_chunk(n_steps, target=target)
+
+
+def fused_filter_batch(ode_flat, jac_flat, n_steps,
+                       prior_weight, prior_var, ode_weight, x0_lanes,
+                       theta_lanes, tgrid, t_vec, chunk=None,
+                       interpret="auto", raw_q_const=None):
+    """Lane-batched fused forward filter.
+
+    Args:
+        x0_lanes (ndarray(q, n_block, n_lane)): Per-lane scaled initial
+            states.
+        theta_lanes (ndarray(n_theta, n_lane)): Per-lane parameters.
+        (other args as :func:`fused_filter`; prior/weights shared across
+        lanes)
+
+    Returns:
+        4 arrays of shape ``(n_steps, q | n_tri, n_block, n_lane)``:
+        filtered mean/cov, predicted mean/cov (covs packed).
+    """
+    q, n_block, n_lane = x0_lanes.shape
+    pairs, _ = _tri_idx(q)
+    n_tri = len(pairs)
+    if chunk is None:
+        chunk = _pick_chunk_batch(n_steps, n_lane)
+    n_chunks = n_steps // chunk
+    q_const = _const_coefs(prior_weight)
+    if q_const is None:
+        q_const = raw_q_const
+    kern = functools.partial(_filter_kernel_batch, ode_flat, jac_flat,
+                             chunk, q, n_block, n_tri, n_lane, q_const)
+    outs = [
+        jax.ShapeDtypeStruct((n_steps, q, n_block, n_lane), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, n_tri, n_block, n_lane), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, q, n_block, n_lane), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, n_tri, n_block, n_lane), jnp.float32),
+    ]
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple([0] * len(shape)), memory_space=pltpu.VMEM)
+    in_specs = [
+        rep((n_block, q * q)),
+        rep((n_block, n_tri)),
+        rep((n_block, q)),
+        rep((q, n_block, n_lane)),
+        rep(theta_lanes.shape),
+        pl.BlockSpec((n_steps, 1), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        rep((1, q)),
+    ]
+    blk = lambda d: pl.BlockSpec((chunk, d, n_block, n_lane),
+                                 lambda i: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    out_specs = [blk(q), blk(n_tri), blk(q), blk(n_tri)]
+    R_packed = _pack_tri(prior_var, pairs)
+    return pl.pallas_call(
+        kern, out_shape=outs, grid=(n_chunks,),
+        in_specs=in_specs, out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((q, n_block, n_lane), jnp.float32),
+            pltpu.VMEM((n_tri, n_block, n_lane), jnp.float32),
+        ],
+        interpret=_interpret_mode(interpret),
+    )(prior_weight.reshape(n_block, q * q).astype(jnp.float32),
+      R_packed.astype(jnp.float32),
+      ode_weight.astype(jnp.float32),
+      x0_lanes.astype(jnp.float32),
+      theta_lanes.astype(jnp.float32),
+      tgrid[:, None].astype(jnp.float32),
+      t_vec[None, :].astype(jnp.float32))
+
+
+def _smoother_kernel_batch(chunk, q, n_block, n_tri, n_lane,
+                           g_ref, G_ref, L_ref, mN_ref, pN_ref,
+                           ms_ref, ps_ref, m_scr, p_scr):
+    """Lane-batched bare smoothing recursion."""
+    pairs, where = _tri_idx(q)
+    gi = pl.program_id(0)
+
+    @pl.when(gi == 0)
+    def _seed():
+        for j in range(q):
+            m_scr[j] = mN_ref[j]
+        for k in range(n_tri):
+            p_scr[k] = pN_ref[k]
+
+    def body(k, carry):
+        r = chunk - 1 - k
+        ms_cols = list(carry[:q])
+        ps_cols = list(carry[q:])
+        G = [[G_ref[r, i * q + j] for j in range(q)] for i in range(q)]
+        m_out = []
+        for i in range(q):
+            acc = g_ref[r, i]
+            for j in range(q):
+                acc = acc + G[i][j] * ms_cols[j]
+            m_out.append(acc)
+        gpg = _sym_quadform(q, G, ps_cols, where)
+        p_out = [L_ref[r, kk] + gpg[kk] for kk in range(n_tri)]
+        for j in range(q):
+            ms_ref[r, j] = m_out[j]
+        for kk in range(n_tri):
+            ps_ref[r, kk] = p_out[kk]
+        return tuple(m_out) + tuple(p_out)
+
+    m_in = [m_scr[j] for j in range(q)]
+    p_in = [p_scr[k] for k in range(n_tri)]
+    out = jax.lax.fori_loop(0, chunk, body, tuple(m_in) + tuple(p_in))
+    for j in range(q):
+        m_scr[j] = out[j]
+    for k in range(n_tri):
+        p_scr[k] = out[q + k]
+
+
+def _gain_cols_batched(q, n_tri, q_const, R_cols_b,
+                       mf_cols, pf_cols, mpn_cols, ppn_cols):
+    """Smoothing gains/offsets computed entirely in "column" layout
+    (arrays of shape (T, n_block, n_lane)) via the same unrolled helpers
+    the kernels use — no dense (q, q) trailing dims are ever materialized,
+    which would tile-pad catastrophically on TPU.
+
+    Returns (G cols list-of-lists, g cols, L packed cols).
+    """
+    pairs, where = _tri_idx(q)
+    ppinv = _sym_inv(q, ppn_cols)
+    # T1 = Pf Q'  (T1[i][l] = sum_j Pf(i,j) Q[l][j])
+    T1 = [[None] * q for _ in range(q)]
+    for i in range(q):
+        for l in range(q):
+            acc = None
+            for j in range(q):
+                acc = _acc(acc, _coef_mul(
+                    q_const[l][j], p_cols_at(pf_cols, where, i, j)))
+            T1[i][l] = acc
+    G = [[None] * q for _ in range(q)]
+    for i in range(q):
+        for l in range(q):
+            acc = None
+            for j in range(q):
+                acc = _acc(acc, T1[i][j] * p_cols_at(ppinv, where, j, l))
+            G[i][l] = acc
+    g = []
+    for i in range(q):
+        acc = mf_cols[i]
+        for j in range(q):
+            acc = acc - G[i][j] * mpn_cols[j]
+        g.append(acc)
+    # Joseph offset: L = (I - G Q) Pf (I - G Q)' + G R G'
+    IGQ = [[None] * q for _ in range(q)]
+    for i in range(q):
+        for j in range(q):
+            acc = 1.0 if i == j else None
+            s = None
+            for k in range(q):
+                s = _acc(s, _coef_mul(q_const[k][j], G[i][k]))
+            if acc is None:
+                IGQ[i][j] = -s
+            else:
+                IGQ[i][j] = 1.0 - s
+    L = _sym_quadform(q, IGQ, pf_cols, where)
+    GR = _sym_quadform(q, G, R_cols_b, where)
+    L = [L[k] + GR[k] for k in range(n_tri)]
+    return G, g, L
+
+
+def solve_mv_fused_batch(thetas, ode_weight, ode_inits,
+                         t_min, t_max, n_steps,
+                         prior_pars,
+                         ode_flat, jac_flat=None,
+                         chunk=None, interpret="auto"):
+    r"""
+    Lane-batched fused solve: ``n_lane`` independent solves (parameter
+    candidates / chains) in one pair of Pallas kernels, batched over the
+    TPU vector lanes.  Throughput path — per-solve cost is roughly the
+    single-solve kernel time divided by ``n_lane`` (up to ~128 lanes).
+
+    The lane axis is LAST in all outputs (TPU tiling: anything else pads
+    tiny trailing dims to (8, 128) tiles and explodes HBM), and the
+    covariance comes back packed upper-triangular; use
+    ``unpack_cov(var[..., i])`` on a lane slice for a dense matrix.
+
+    Args:
+        thetas (ndarray(n_lane, n_theta)): Per-lane parameters.
+        ode_inits (ndarray(n_lane, n_block, q)): Per-lane initial states
+            (original coordinates).
+        (other args as :func:`solve_mv_fused`; requires a block-constant
+        transition, i.e. the IBM prior)
+
+    Returns:
+        (tuple):
+        - **mean** (ndarray(n_steps+1, n_block, q, n_lane)).
+        - **var_packed** (ndarray(n_steps+1, n_block, n_tri, n_lane)).
+    """
+    n_lane = thetas.shape[0]
+    n_block, n_bmeas, q = ode_weight.shape
+    if n_bmeas != 1:
+        raise NotImplementedError("fused kernels require n_bmeas == 1")
+    pairs, _ = _tri_idx(q)
+    n_tri = len(pairs)
+    dt = (t_max - t_min) / n_steps
+    t_vec = taylor_scale(dt, q, dtype=jnp.float32)
+    Qs, Rs = scale_prior(prior_pars, t_vec)
+    q_const = _const_coefs(Qs)
+    if q_const is None:
+        q_const = _static_scaled_qconst(prior_pars[0], dt, q)
+    if q_const is None:
+        raise NotImplementedError(
+            "solve_mv_fused_batch requires a block-constant transition "
+            "available at trace time (close over the prior rather than "
+            "passing it as a jit argument)")
+    W_s = (ode_weight * t_vec[None, None, :])[:, 0, :]
+    x0_lanes = jnp.transpose(
+        (ode_inits / t_vec).astype(jnp.float32), (2, 1, 0))   # (q, nb, B)
+    tgrid = t_min + (t_max - t_min) * (jnp.arange(n_steps) + 1) / n_steps
+    theta_lanes = jnp.transpose(thetas).astype(jnp.float32)
+
+    mf, pf, mp, pp = fused_filter_batch(
+        ode_flat, jac_flat, n_steps, Qs, Rs, W_s, x0_lanes,
+        theta_lanes, tgrid, t_vec, chunk=chunk, interpret=interpret,
+        raw_q_const=q_const)
+
+    # smoothing gains in column layout (T-1, nb, B) — batched over time
+    # and lanes at once, no dense (q, q) trailing dims
+    R_packed = _pack_tri(Rs, pairs)                           # (nb, n_tri)
+    R_cols_b = [R_packed[None, :, k, None] for k in range(n_tri)]
+    mf_cols = [mf[:-1, j] for j in range(q)]
+    pf_cols = [pf[:-1, k] for k in range(n_tri)]
+    mpn_cols = [mp[1:, j] for j in range(q)]
+    ppn_cols = [pp[1:, k] for k in range(n_tri)]
+    G, g, L = _gain_cols_batched(q, n_tri, q_const, R_cols_b,
+                                 mf_cols, pf_cols, mpn_cols, ppn_cols)
+    G_k = jnp.stack([G[i][j] for i in range(q) for j in range(q)],
+                    axis=1).astype(jnp.float32)               # (T-1,q*q,nb,B)
+    g_k = jnp.stack(g, axis=1).astype(jnp.float32)
+    L_k = jnp.stack(L, axis=1).astype(jnp.float32)
+
+    n_len = n_steps - 1
+    if chunk is None:
+        s_chunk = _pick_chunk_batch(n_len, n_lane)
+    else:
+        s_chunk = _pick_chunk(n_len, target=chunk)
+    n_chunks = n_len // s_chunk
+    kern = functools.partial(_smoother_kernel_batch, s_chunk, q, n_block,
+                             n_tri, n_lane)
+    outs = [
+        jax.ShapeDtypeStruct((n_len, q, n_block, n_lane), jnp.float32),
+        jax.ShapeDtypeStruct((n_len, n_tri, n_block, n_lane), jnp.float32),
+    ]
+    rev4 = lambda i: (n_chunks - 1 - i, 0, 0, 0)
+    blk = lambda d: pl.BlockSpec((s_chunk, d, n_block, n_lane), rev4,
+                                 memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple([0] * len(shape)), memory_space=pltpu.VMEM)
+    ms, ps = pl.pallas_call(
+        kern, out_shape=outs, grid=(n_chunks,),
+        in_specs=[blk(q), blk(q * q), blk(n_tri),
+                  rep((q, n_block, n_lane)), rep((n_tri, n_block, n_lane))],
+        out_specs=[blk(q), blk(n_tri)],
+        scratch_shapes=[
+            pltpu.VMEM((q, n_block, n_lane), jnp.float32),
+            pltpu.VMEM((n_tri, n_block, n_lane), jnp.float32),
+        ],
+        interpret=_interpret_mode(interpret),
+    )(g_k, G_k, L_k, mf[-1], pf[-1])
+
+    # assemble (N+1, nb, q | n_tri, B) in original coordinates, lanes last
+    def rows(a):  # (T, d, nb, B) -> (T, nb, d, B)
+        return jnp.transpose(a, (0, 2, 1, 3))
+
+    t_col = t_vec.astype(jnp.float32)[:, None]                # (q, 1)
+    mean_rows = jnp.concatenate([
+        jnp.transpose(x0_lanes, (1, 0, 2))[None],             # (1, nb, q, B)
+        rows(ms),
+        rows(mf[-1][None]),
+    ], axis=0) * t_col
+    tri_scale = jnp.stack(
+        [t_vec[i] * t_vec[j] for (i, j) in pairs]).astype(jnp.float32)
+    var_rows = jnp.concatenate([
+        jnp.zeros((1, n_block, n_tri, n_lane), jnp.float32),
+        rows(ps),
+        rows(pf[-1][None]),
+    ], axis=0) * tri_scale[:, None]
+    return mean_rows, var_rows
+
+
+def unpack_cov(packed):
+    """Expand a packed upper-triangular covariance (..., n_tri) into a
+    dense symmetric (..., q, q) matrix (host-side convenience for slices
+    of :func:`solve_mv_fused_batch` output)."""
+    n_tri = packed.shape[-1]
+    q = int((jnp.sqrt(8 * n_tri + 1) - 1) // 2) if False else         {1: 1, 3: 2, 6: 3, 10: 4}[n_tri]
+    pairs, _ = _tri_idx(q)
+    return _unpack_tri(packed, q, pairs)

@@ -161,3 +161,29 @@ def test_fenrir_fused_no_obs_at_terminal():
         **kw, **cfg)
     ll_xla = precond.fenrir(**kw, **cfg)
     np.testing.assert_allclose(float(ll_fused), float(ll_xla), rtol=2e-3)
+
+
+def test_solve_mv_fused_batch_matches_single(lorenz_cfg):
+    """Lane-batched fused solve == per-lane single fused solves."""
+    cfg, theta = lorenz_cfg
+    B = 4
+    thetas = jnp.stack([theta * (1.0 + 0.01 * i) for i in range(B)])
+    ode_inits = jnp.broadcast_to(cfg["ode_init"],
+                                 (B,) + cfg["ode_init"].shape)
+    mu_b, var_b = pallas_kalman.solve_mv_fused_batch(
+        thetas=thetas, ode_weight=cfg["ode_weight"], ode_inits=ode_inits,
+        t_min=cfg["t_min"], t_max=cfg["t_max"], n_steps=cfg["n_steps"],
+        prior_pars=cfg["prior_pars"],
+        ode_flat=lorenz.lorenz_flat, jac_flat=lorenz.lorenz_jac_flat)
+    # lane axis last, covariances packed upper-triangular
+    assert mu_b.shape == (cfg["n_steps"] + 1, 3, 3, B)
+    assert var_b.shape == (cfg["n_steps"] + 1, 3, 6, B)
+    for i in range(B):
+        mu_i, var_i = pallas_kalman.solve_mv_fused(
+            key=None, interrogate=None, theta=thetas[i],
+            ode_flat=lorenz.lorenz_flat, jac_flat=lorenz.lorenz_jac_flat,
+            **{**cfg, "ode_init": ode_inits[i]})
+        np.testing.assert_allclose(mu_b[..., i], mu_i, rtol=5e-2, atol=5e-2)
+        vd = pallas_kalman.unpack_cov(var_b[..., i])
+        scale = float(jnp.max(jnp.abs(var_i))) + 1e-30
+        np.testing.assert_allclose(vd / scale, var_i / scale, atol=5e-2)
