@@ -110,6 +110,15 @@ def _timeit(fn, args, n_rep=5, per=1):
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
+    # persistent compilation cache: kernel compiles through the TPU tunnel
+    # take minutes; cache them across bench invocations
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - older jax without these flags
+        pass
     import jax.numpy as jnp
     import rodeo_tpu
     from rodeo_tpu.models import lorenz
@@ -227,6 +236,23 @@ def main():
         details["fenrir_fused_evals_per_sec"] = round(1.0 / t_ll, 2)
         details["fenrir_fused_finite"] = bool(
             jnp.all(jnp.isfinite(out_ll)))
+        # lane-batched fused fenrir: 128 likelihood evals per kernel pass
+        Blf = 128
+        ths_lf = jnp.broadcast_to(th_f, (Blf, 3)) * \
+            (1 + 1e-6 * jnp.arange(Blf, dtype=jnp.float32)[:, None])
+        inits_lf = jnp.broadcast_to(
+            cfg_f["ode_init"], (Blf,) + cfg_f["ode_init"].shape)
+        llb_fn = jax.jit(lambda ts: pallas_fenrir.fenrir_fused_batch(
+            thetas=ts, ode_weight=cfg_f["ode_weight"], ode_inits=inits_lf,
+            t_min=cfg_f["t_min"], t_max=cfg_f["t_max"],
+            n_steps=cfg_f["n_steps"], prior_pars=cfg_f["prior_pars"],
+            obs_data=yobs, obs_times=obs_times, obs_weight=D, obs_var=Om,
+            ode_flat=lorenz.lorenz_flat, jac_flat=lorenz.lorenz_jac_flat))
+        t_llb, out_llb = _timeit(llb_fn, (ths_lf,), n_rep=3, per=Blf)
+        details["fenrir_fused_batch128_evals_per_sec"] = round(
+            1.0 / t_llb, 2)
+        details["fenrir_fused_batch128_finite"] = bool(
+            jnp.all(jnp.isfinite(out_llb)))
     except Exception as e:  # noqa: BLE001
         details["loglik_bench_error"] = repr(e)[:500]
 

@@ -257,3 +257,234 @@ def _backward_kernel_global_mask(chunk, q, n_block, n_tri,
         p_scr[:, k:k + 1] = out[q + k]
     ld_scr[0, 0] = out[q + n_tri]
     ld_ref[:, :] = jnp.full((1, 1), out[q + n_tri], jnp.float32)
+
+
+# --- lane-batched fenrir -----------------------------------------------------------
+
+
+def _fenrir_backward_kernel_batch(chunk, q, n_block, n_tri, n_lane,
+                                  A_ref, b_ref, C_ref, d_ref, y_ref, om_ref,
+                                  mask_ref,
+                                  m0_ref, p0_ref, ld0_ref,
+                                  ld_ref,
+                                  m_scr, p_scr, ld_scr):
+    """Lane-batched backward filter with masked scalar-obs updates; the
+    per-lane log-density row accumulates in VMEM scratch."""
+    from rodeo_tpu.ops.pallas_kalman import (
+        _tri_idx, _sym_quadform, p_cols_at)
+    pairs, where = _tri_idx(q)
+    gi = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
+
+    @pl.when(gi == 0)
+    def _seed():
+        for j in range(q):
+            m_scr[j] = m0_ref[j]
+        for k in range(n_tri):
+            p_scr[k] = p0_ref[k]
+        ld_scr[:] = ld0_ref[:]
+
+    def body(k, carry):
+        r = chunk - 1 - k
+        m_cols = list(carry[:q])
+        p_cols = list(carry[q:q + n_tri])
+        ld = carry[q + n_tri]
+        A = [[A_ref[r, i * q + j] for j in range(q)] for i in range(q)]
+        mp = []
+        for i in range(q):
+            acc = b_ref[r, i]
+            for j in range(q):
+                acc = acc + A[i][j] * m_cols[j]
+            mp.append(acc)
+        app = _sym_quadform(q, A, p_cols, where)
+        pp = [C_ref[r, kk] + app[kk] for kk in range(n_tri)]
+        D = [d_ref[r, j] for j in range(q)]                  # (nb, 1)
+        PD = []
+        for i in range(q):
+            acc = None
+            for j in range(q):
+                term = p_cols_at(pp, where, i, j) * D[j]
+                acc = term if acc is None else acc + term
+            PD.append(acc)
+        S = om_ref[r, 0]
+        for i in range(q):
+            S = S + D[i] * PD[i]
+        z = y_ref[r, 0]
+        for i in range(q):
+            z = z - D[i] * mp[i]
+        mask = mask_ref[(n_chunks - 1 - gi) * chunk + r, 0]
+        inv_S = 1.0 / S
+        logp = -0.5 * jnp.sum(z * z * inv_S + jnp.log(S) + _LOG2PI,
+                              axis=0, keepdims=True)         # (1, B)
+        ld = ld + mask * logp
+        K = [PD[i] * inv_S * mask for i in range(q)]
+        m_out = [mp[i] + K[i] * z for i in range(q)]
+        IKD = [[(1.0 if i == j else 0.0) - K[i] * D[j]
+                for j in range(q)] for i in range(q)]
+        pj = _sym_quadform(q, IKD, pp, where)
+        om = om_ref[r, 0]
+        p_out = [pj[kk] + K[i] * K[j] * om
+                 for kk, (i, j) in enumerate(pairs)]
+        return tuple(m_out) + tuple(p_out) + (ld,)
+
+    m_in = [m_scr[j] for j in range(q)]
+    p_in = [p_scr[k] for k in range(n_tri)]
+    out = jax.lax.fori_loop(
+        0, chunk, body, tuple(m_in) + tuple(p_in) + (ld_scr[:],))
+    for j in range(q):
+        m_scr[j] = out[j]
+    for k in range(n_tri):
+        p_scr[k] = out[q + k]
+    ld_scr[:] = out[q + n_tri]
+    ld_ref[:] = out[q + n_tri]
+
+
+def fenrir_fused_batch(thetas, ode_weight, ode_inits,
+                       t_min, t_max, n_steps,
+                       prior_pars,
+                       obs_data, obs_times, obs_weight, obs_var,
+                       ode_flat, jac_flat=None, chunk=None,
+                       interpret="auto"):
+    r"""
+    Lane-batched fused fenrir: ``n_lane`` likelihood evaluations (parameter
+    candidates against the same observations) in one kernel pipeline.
+
+    Args:
+        thetas (ndarray(n_lane, n_theta)): Per-lane parameters.
+        ode_inits (ndarray(n_lane, n_block, q)): Per-lane initial states.
+        (other args as :func:`fenrir_fused`)
+
+    Returns:
+        (ndarray(n_lane,)): Log-likelihood values.
+    """
+    from rodeo_tpu.ops.pallas_kalman import (
+        fused_filter_batch, _tri_idx, _pick_chunk, _pick_chunk_batch,
+        _static_scaled_qconst, _gain_cols_batched, _interpret_mode,
+        p_cols_at, _pack_tri)
+
+    n_lane = thetas.shape[0]
+    n_block, n_bmeas, q = ode_weight.shape
+    n_obs, _, n_bobs, _ = obs_weight.shape
+    if n_bmeas != 1 or n_bobs != 1:
+        raise NotImplementedError(
+            "fenrir_fused_batch requires n_bmeas == n_bobs == 1")
+    pairs, where = _tri_idx(q)
+    n_tri = len(pairs)
+    dt = (t_max - t_min) / n_steps
+    t_vec = taylor_scale(dt, q, dtype=jnp.float32)
+    Qs, Rs = scale_prior(prior_pars, t_vec)
+    q_const = _static_scaled_qconst(prior_pars[0], dt, q)
+    if q_const is None:
+        raise NotImplementedError(
+            "fenrir_fused_batch requires a block-constant transition "
+            "available at trace time")
+    W_s = (ode_weight * t_vec[None, None, :])[:, 0, :]
+    x0_lanes = jnp.transpose(
+        (ode_inits / t_vec).astype(jnp.float32), (2, 1, 0))   # (q, nb, B)
+    tgrid = t_min + (t_max - t_min) * (jnp.arange(n_steps) + 1) / n_steps
+    theta_lanes = jnp.transpose(thetas).astype(jnp.float32)
+
+    mf, pf, mp, pp = fused_filter_batch(
+        ode_flat, jac_flat, n_steps, Qs, Rs, W_s, x0_lanes,
+        theta_lanes, tgrid, t_vec, chunk=chunk, interpret=interpret,
+        raw_q_const=q_const)
+
+    # backward-chain (A, b, C) for steps 0..N-1 in column layout
+    R_packed = _pack_tri(Rs, pairs)
+    R_cols_b = [R_packed[None, :, k, None] for k in range(n_tri)]
+    zero1 = jnp.zeros((1, n_block, n_lane), jnp.float32)
+    mf_full = [jnp.concatenate([x0_lanes[j][None], mf[:-1, j]])
+               for j in range(q)]
+    pf_full = [jnp.concatenate([zero1, pf[:-1, k]]) for k in range(n_tri)]
+    mpn = [mp[:, j] for j in range(q)]
+    ppn = [pp[:, k] for k in range(n_tri)]
+    A, b, C = _gain_cols_batched(q, n_tri, q_const, R_cols_b,
+                                 mf_full, pf_full, mpn, ppn)
+    A_k = jnp.stack([A[i][j] for i in range(q) for j in range(q)],
+                    axis=1).astype(jnp.float32)
+    b_k = jnp.stack(b, axis=1).astype(jnp.float32)
+    C_k = jnp.stack(C, axis=1).astype(jnp.float32)
+
+    # observation model on the grid (shared across lanes)
+    sim_times = jnp.linspace(t_min, t_max, n_steps + 1)
+    obs_ind = jnp.searchsorted(sim_times, obs_times)
+    D_scaled = (obs_weight[:, :, 0, :]
+                * t_vec.astype(obs_weight.dtype)).astype(jnp.float32)
+    d_grid = jnp.zeros((n_steps + 1, n_block, q), jnp.float32)
+    d_grid = d_grid.at[obs_ind].set(D_scaled)
+    y_grid = jnp.zeros((n_steps + 1, n_block, 1), jnp.float32)
+    y_grid = y_grid.at[obs_ind].set(obs_data[:, :, :1].astype(jnp.float32))
+    om_grid = jnp.ones((n_steps + 1, n_block, 1), jnp.float32)
+    om_grid = om_grid.at[obs_ind].set(
+        obs_var[:, :, 0, :1].astype(jnp.float32))
+    mask_grid = jnp.zeros((n_steps + 1, 1), jnp.float32)
+    mask_grid = mask_grid.at[obs_ind, 0].set(1.0)
+    # kernel layout: (N, q|1, nb, 1), lane-broadcast
+    d_k = jnp.transpose(d_grid[:n_steps], (0, 2, 1))[..., None]
+    y_k = jnp.transpose(y_grid[:n_steps], (0, 2, 1))[..., None]
+    om_k = jnp.transpose(om_grid[:n_steps], (0, 2, 1))[..., None]
+
+    # terminal masked update (column algebra, lane axis last)
+    mN = [mf[-1, j] for j in range(q)]                        # (nb, B)
+    pN = [pf[-1, k] for k in range(n_tri)]
+    DN = [d_grid[n_steps, :, j, None] for j in range(q)]      # (nb, 1)
+    omN = om_grid[n_steps, :, :1]
+    yN = y_grid[n_steps, :, :1]
+    PD = []
+    for i in range(q):
+        acc = None
+        for j in range(q):
+            term = p_cols_at(pN, where, i, j) * DN[j]
+            acc = term if acc is None else acc + term
+        PD.append(acc)
+    SN = omN
+    for i in range(q):
+        SN = SN + DN[i] * PD[i]
+    zN = yN
+    for i in range(q):
+        zN = zN - DN[i] * mN[i]
+    maskN = mask_grid[n_steps, 0]
+    ld0 = maskN * (-0.5) * jnp.sum(
+        zN * zN / SN + jnp.log(SN) + _LOG2PI, axis=0, keepdims=True)
+    KN = [PD[i] / SN * maskN for i in range(q)]
+    m_seed = jnp.stack([mN[i] + KN[i] * zN for i in range(q)])
+    IKD = [[(1.0 if i == j else 0.0) - KN[i] * DN[j]
+            for j in range(q)] for i in range(q)]
+    pj = _sym_quadform(q, IKD, pN, where)
+    p_seed = jnp.stack([pj[kk] + KN[i] * KN[j] * omN
+                        for kk, (i, j) in enumerate(pairs)])
+
+    if chunk is None:
+        s_chunk = _pick_chunk_batch(n_steps, n_lane)
+    else:
+        s_chunk = _pick_chunk(n_steps, target=chunk)
+    n_chunks = n_steps // s_chunk
+    kern = functools.partial(_fenrir_backward_kernel_batch, s_chunk, q,
+                             n_block, n_tri, n_lane)
+    rev4 = lambda i: (n_chunks - 1 - i, 0, 0, 0)
+    blk = lambda d, lanes: pl.BlockSpec((s_chunk, d, n_block, lanes), rev4,
+                                        memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple([0] * len(shape)), memory_space=pltpu.VMEM)
+    ld = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((1, n_lane), jnp.float32),
+        grid=(n_chunks,),
+        in_specs=[blk(q * q, n_lane), blk(q, n_lane), blk(n_tri, n_lane),
+                  blk(q, 1), blk(1, 1), blk(1, 1),
+                  pl.BlockSpec((n_steps, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  rep((q, n_block, n_lane)), rep((n_tri, n_block, n_lane)),
+                  rep((1, n_lane))],
+        out_specs=pl.BlockSpec((1, n_lane), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((q, n_block, n_lane), jnp.float32),
+            pltpu.VMEM((n_tri, n_block, n_lane), jnp.float32),
+            pltpu.VMEM((1, n_lane), jnp.float32),
+        ],
+        interpret=_interpret_mode(interpret),
+    )(A_k, b_k, C_k, d_k, y_k, om_k, mask_grid[:n_steps],
+      m_seed.astype(jnp.float32), p_seed.astype(jnp.float32),
+      ld0.astype(jnp.float32))
+    return ld[0]
