@@ -253,6 +253,19 @@ def main():
             1.0 / t_llb, 2)
         details["fenrir_fused_batch128_finite"] = bool(
             jnp.all(jnp.isfinite(out_llb)))
+        # lane-batched fused DALTON
+        from rodeo_tpu.ops import pallas_dalton
+        lld_fn = jax.jit(lambda ts: pallas_dalton.dalton_fused_batch(
+            thetas=ts, ode_weight=cfg_f["ode_weight"], ode_inits=inits_lf,
+            t_min=cfg_f["t_min"], t_max=cfg_f["t_max"],
+            n_steps=cfg_f["n_steps"], prior_pars=cfg_f["prior_pars"],
+            obs_data=yobs, obs_times=obs_times, obs_weight=D, obs_var=Om,
+            ode_flat=lorenz.lorenz_flat, jac_flat=lorenz.lorenz_jac_flat))
+        t_lld, out_lld = _timeit(lld_fn, (ths_lf,), n_rep=3, per=Blf)
+        details["dalton_fused_batch128_evals_per_sec"] = round(
+            1.0 / t_lld, 2)
+        details["dalton_fused_batch128_finite"] = bool(
+            jnp.all(jnp.isfinite(out_lld)))
     except Exception as e:  # noqa: BLE001
         details["loglik_bench_error"] = repr(e)[:500]
 

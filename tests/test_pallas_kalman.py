@@ -217,3 +217,32 @@ def test_fenrir_fused_batch_matches_single():
             ode_flat=lorenz.lorenz_flat, jac_flat=lorenz.lorenz_jac_flat,
             **kw, **{**cfg, "ode_init": inits[i]})
         np.testing.assert_allclose(float(lls[i]), float(ll_i), rtol=2e-3)
+
+
+def test_dalton_fused_batch_matches_xla():
+    """Lane-batched fused DALTON == XLA dalton (f32, interpreter)."""
+    from rodeo_tpu.ops import pallas_dalton, precond
+    cfg = lorenz.setup(n_steps=200, t_max=2.0, dtype=jnp.float32)
+    theta = cfg.pop("theta")
+    rng = np.random.default_rng(8)
+    n_obs = 5
+    obs_times = jnp.linspace(0.0, 2.0, n_obs).astype(jnp.float32)
+    D = jnp.zeros((n_obs, 3, 1, 3), jnp.float32).at[:, :, :, 0].set(1.0)
+    Om = 0.01 * jnp.broadcast_to(jnp.eye(1, dtype=jnp.float32),
+                                 (n_obs, 3, 1, 1))
+    yobs = jnp.asarray(rng.normal(size=(n_obs, 3, 1)) * 3, jnp.float32)
+    B = 3
+    thetas = jnp.stack([theta * (1.0 + 0.01 * i) for i in range(B)])
+    inits = jnp.broadcast_to(cfg["ode_init"], (B,) + cfg["ode_init"].shape)
+    kw = dict(obs_data=yobs, obs_times=obs_times, obs_weight=D, obs_var=Om)
+    lls = pallas_dalton.dalton_fused_batch(
+        thetas=thetas, ode_weight=cfg["ode_weight"], ode_inits=inits,
+        t_min=cfg["t_min"], t_max=cfg["t_max"], n_steps=cfg["n_steps"],
+        prior_pars=cfg["prior_pars"],
+        ode_flat=lorenz.lorenz_flat, jac_flat=lorenz.lorenz_jac_flat, **kw)
+    assert lls.shape == (B,)
+    for i in range(B):
+        ll_i = precond.dalton(
+            key=None, interrogate=interrogate_kramer, theta=thetas[i],
+            **kw, **{**cfg, "ode_init": inits[i]})
+        np.testing.assert_allclose(float(lls[i]), float(ll_i), rtol=5e-3)
