@@ -14,13 +14,15 @@ private helpers).  Known reference bug fixed here: ``dalton.py:430`` passes
 ``var_State=`` (typo) to ``smooth_mv``, which breaks the square-root backend;
 this implementation passes ``var_state=`` correctly.
 """
+import math
+
 import jax
 import jax.numpy as jnp
 import jax.scipy as jsp
 
 from rodeo_tpu.kalmantv import get_backend
-from rodeo_tpu.inference.fenrir import _forecast_update
-from rodeo_tpu.utils import multivariate_normal_logpdf, mvdot
+from rodeo_tpu.inference.fenrir import _forecast_update, _obs_grid
+from rodeo_tpu.utils import multivariate_normal_logpdf, mvdot, quadform
 from rodeo_tpu.solve import _solve_filter as _solve_filter_ode
 
 __all__ = ["dalton", "daltonng", "solve_mv", "solve_sim", "solve_mv_nn"]

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from rodeo_tpu.kalmantv import get_backend
 from rodeo_tpu.solve import _solve_filter
-from rodeo_tpu.utils import multivariate_normal_logpdf
+from rodeo_tpu.utils import multivariate_normal_logpdf, mvdot
+from rodeo_tpu.ops import ptime as _ptime
 
 __all__ = ["fenrir", "solve_mv"]
 
@@ -214,12 +215,170 @@ def _backward(mean_state_filt, var_state_filt,
     return scan_out["logdens"], scan_out2
 
 
+def _obs_grid(t_min, t_max, n_steps, obs_data, obs_times, obs_weight,
+              obs_var, dtype):
+    r"""
+    Scatter the observation model onto the solver grid as dense masked
+    arrays: zero weight / zero data / identity variance at rows without an
+    observation, plus a ``(n_steps+1,)`` 0/1 mask.  With ``D_n = 0`` a
+    Kalman update is an exact identity (the gain is exactly zero) and the
+    masked log-density term is exactly zeroed, so per-step ``lax.cond``
+    branching — which forces both branches to execute under ``vmap`` and
+    blocks parallel-in-time execution — is eliminated (the "masked dense
+    updates" transformation of SURVEY.md §7; upstream branching at
+    ``/root/reference/src/rodeo/inference/fenrir.py:177-179``).
+
+    Requires observation times to sit on grid points (one observation per
+    grid row), as upstream de-facto does via ``searchsorted`` equality.
+    """
+    n_obs, n_block, n_bobs, n_bstate = obs_weight.shape
+    sim_times = jnp.linspace(t_min, t_max, n_steps + 1)
+    obs_ind = jnp.searchsorted(sim_times, obs_times)
+    d_grid = jnp.zeros((n_steps + 1, n_block, n_bobs, n_bstate), dtype)
+    d_grid = d_grid.at[obs_ind].set(obs_weight.astype(dtype))
+    y_grid = jnp.zeros((n_steps + 1, n_block, n_bobs), dtype)
+    y_grid = y_grid.at[obs_ind].set(obs_data.astype(dtype))
+    om_grid = jnp.tile(jnp.eye(n_bobs, dtype=dtype),
+                       (n_steps + 1, n_block, 1, 1))
+    om_grid = om_grid.at[obs_ind].set(obs_var.astype(dtype))
+    mask = jnp.zeros((n_steps + 1,), dtype)
+    mask = mask.at[obs_ind].set(1.0)
+    return d_grid, y_grid, om_grid, mask
+
+
+def _backward_dense(mean_state_filt, var_state_filt,
+                    mean_state_pred, var_state_pred,
+                    prior_weight, prior_var,
+                    t_min, t_max, n_steps,
+                    obs_data, obs_times,
+                    obs_weight, obs_var,
+                    kalman_funs, temporal="sequential"):
+    r"""
+    Masked-dense backward pass (standard form): same return contract as
+    :func:`_backward`, TPU-first restructuring:
+
+    1. the backward-chain parameters :math:`(A_n, b_n, C_n)` are ONE
+       batched ``smooth_cond`` over the whole time axis (hoisted out of
+       the scan — they depend only on stored forward moments);
+    2. the observation model is grid-scattered and masked
+       (:func:`_obs_grid`), so the scan body is just predict + update with
+       no branches and no observation-index carry;
+    3. all forecast log-densities are ONE batched masked
+       ``multivariate_normal_logpdf`` over the stacked backward
+       predictions — no per-step eigendecompositions;
+    4. with ``temporal="parallel"`` the remaining linear recursion runs as
+       an exact parallel-in-time associative scan
+       (:func:`rodeo_tpu.ops.ptime.parallel_filter_tv`), O(log N) depth.
+    """
+    dtype = mean_state_filt.dtype
+    n_obs, n_block, n_bobs, n_bstate = obs_weight.shape
+
+    # backward-chain parameters for n = 0..N-1, one batched call
+    A, b, C = kalman_funs.smooth_cond(
+        mean_state_filt=mean_state_filt[:n_steps],
+        var_state_filt=var_state_filt[:n_steps],
+        mean_state_pred=mean_state_pred[1:n_steps + 1],
+        var_state_pred=var_state_pred[1:n_steps + 1],
+        wgt_state=prior_weight,
+        var_state=prior_var,
+    )
+    d_grid, y_grid, om_grid, mask = _obs_grid(
+        t_min, t_max, n_steps, obs_data, obs_times, obs_weight, obs_var,
+        dtype)
+    obs_mean = jnp.zeros((n_block, n_bobs), dtype)
+
+    # terminal masked update at row N (D=0 rows are exact identities)
+    mean_state_term = mean_state_filt[n_steps]
+    var_state_term = var_state_filt[n_steps]
+    m_seed, P_seed = kalman_funs.update(
+        mean_state_pred=mean_state_term,
+        var_state_pred=var_state_term,
+        x_meas=y_grid[n_steps],
+        mean_meas=obs_mean,
+        wgt_meas=d_grid[n_steps],
+        var_meas=om_grid[n_steps],
+    )
+
+    if temporal == "parallel":
+        # linear chain in reversed time: transition k maps grid row
+        # N-k+1 -> N-k via (A, b, C)[N-k]; measurements are the masked
+        # grid rows in the same order
+        rev = slice(None, None, -1)
+        out = _ptime.parallel_filter_tv(
+            mean_init=m_seed, var_init=P_seed,
+            wgt_state=A[rev], mean_state=b[rev], var_state=C[rev],
+            wgt_meas=d_grid[:n_steps][rev],
+            mean_meas=jnp.zeros((n_steps, n_block, n_bobs), dtype),
+            var_meas=om_grid[:n_steps][rev],
+            x_meas=y_grid[:n_steps][rev])
+        mean_scan_filt = out["state_filt"][0][1:][rev]
+        var_scan_filt = out["state_filt"][1][1:][rev]
+        mean_scan_pred = out["state_pred"][0][1:][rev]
+        var_scan_pred = out["state_pred"][1][1:][rev]
+    elif temporal == "sequential":
+        def scan_fun(carry, xs):
+            bmean_filt, bvar_filt = carry
+            bmean_pred, bvar_pred = kalman_funs.predict(
+                mean_state_past=bmean_filt,
+                var_state_past=bvar_filt,
+                mean_state=xs["b"],
+                wgt_state=xs["A"],
+                var_state=xs["C"],
+            )
+            bmean_next, bvar_next = kalman_funs.update(
+                mean_state_pred=bmean_pred,
+                var_state_pred=bvar_pred,
+                x_meas=xs["y"],
+                mean_meas=obs_mean,
+                wgt_meas=xs["D"],
+                var_meas=xs["Om"],
+            )
+            return (bmean_next, bvar_next), {
+                "state_pred": (bmean_pred, bvar_pred),
+                "state_filt": (bmean_next, bvar_next),
+            }
+
+        xs = {"A": A, "b": b, "C": C, "D": d_grid[:n_steps],
+              "y": y_grid[:n_steps], "Om": om_grid[:n_steps]}
+        _, stack = jax.lax.scan(scan_fun, (m_seed, P_seed), xs,
+                                reverse=True)
+        mean_scan_pred, var_scan_pred = stack["state_pred"]
+        mean_scan_filt, var_scan_filt = stack["state_filt"]
+    else:
+        raise NotImplementedError(
+            f"unknown temporal mode {temporal!r}; "
+            "expected 'sequential' or 'parallel'")
+
+    # all forecast log-densities in one batched masked pass over the
+    # stacked backward predictions (rows 0..N-1) + the terminal moments
+    bpred_mean = jnp.concatenate([mean_scan_pred, mean_state_term[None]])
+    bpred_var = jnp.concatenate([var_scan_pred, var_state_term[None]])
+    fore_mean = mvdot(d_grid, bpred_mean)
+    fore_var = d_grid @ bpred_var @ jnp.swapaxes(d_grid, -1, -2) + om_grid
+    logp = multivariate_normal_logpdf(y_grid, mean=fore_mean, cov=fore_var)
+    logdens = jnp.sum(mask[:, None] * logp)
+
+    state_par = {
+        "state_pred": (
+            jnp.concatenate([mean_scan_pred, mean_state_term[None]]),
+            jnp.concatenate([var_scan_pred, var_state_term[None]]),
+        ),
+        "state_filt": (
+            jnp.concatenate([mean_scan_filt, m_seed[None]]),
+            jnp.concatenate([var_scan_filt, P_seed[None]]),
+        ),
+        "wgt_state": A,
+        "var_state": C,
+    }
+    return logdens, state_par
+
+
 def fenrir(key, ode_fun, ode_weight, ode_init,
            t_min, t_max, n_steps,
            interrogate,
            prior_pars,
            obs_data, obs_times, obs_weight, obs_var,
-           kalman_type="standard", **params):
+           kalman_type="standard", temporal="sequential", **params):
     r"""
     Fenrir approximate log-likelihood :math:`\log p(Y_{0:M} \mid Z_{1:N})`.
 
@@ -254,7 +413,7 @@ def fenrir(key, ode_fun, ode_weight, ode_init,
         prior_weight=prior_weight, prior_var=prior_var,
         kalman_funs=kalman_funs, **params,
     )
-    logdens, _ = _backward(
+    kwargs = dict(
         mean_state_filt=filt_out["state_filt"][0],
         var_state_filt=filt_out["state_filt"][1],
         mean_state_pred=filt_out["state_pred"][0],
@@ -266,6 +425,12 @@ def fenrir(key, ode_fun, ode_weight, ode_init,
         obs_weight=obs_weight, obs_var=obs_var,
         kalman_funs=kalman_funs,
     )
+    if kalman_type == "standard":
+        logdens, _ = _backward_dense(temporal=temporal, **kwargs)
+    else:
+        # square-root form: masked updates are not exact identities under
+        # QR re-factorization, so keep the branched backward pass
+        logdens, _ = _backward(**kwargs)
     return logdens
 
 
@@ -323,7 +488,7 @@ def solve_mv(key, ode_fun, ode_weight, ode_init,
              interrogate,
              prior_pars,
              obs_data, obs_times, obs_weight, obs_var,
-             kalman_type="standard", **params):
+             kalman_type="standard", temporal="sequential", **params):
     r"""
     Fenrir data-conditioned solution posterior
     :math:`p(X_{0:N} \mid Z_{1:N}, Y_{0:M})`.  Same arguments as
@@ -343,7 +508,7 @@ def solve_mv(key, ode_fun, ode_weight, ode_init,
         prior_weight=prior_weight, prior_var=prior_var,
         kalman_funs=kalman_funs, **params,
     )
-    _, state_par = _backward(
+    kwargs = dict(
         mean_state_filt=filt_out["state_filt"][0],
         var_state_filt=filt_out["state_filt"][1],
         mean_state_pred=filt_out["state_pred"][0],
@@ -355,4 +520,8 @@ def solve_mv(key, ode_fun, ode_weight, ode_init,
         obs_weight=obs_weight, obs_var=obs_var,
         kalman_funs=kalman_funs,
     )
+    if kalman_type == "standard":
+        _, state_par = _backward_dense(temporal=temporal, **kwargs)
+    else:
+        _, state_par = _backward(**kwargs)
     return _smooth_mv(state_par, kalman_funs)

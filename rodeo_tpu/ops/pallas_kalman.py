@@ -999,6 +999,6 @@ def unpack_cov(packed):
     dense symmetric (..., q, q) matrix (host-side convenience for slices
     of :func:`solve_mv_fused_batch` output)."""
     n_tri = packed.shape[-1]
-    q = int((jnp.sqrt(8 * n_tri + 1) - 1) // 2) if False else         {1: 1, 3: 2, 6: 3, 10: 4}[n_tri]
+    q = {1: 1, 3: 2, 6: 3, 10: 4, 15: 5}[n_tri]
     pairs, _ = _tri_idx(q)
     return _unpack_tri(packed, q, pairs)

@@ -159,14 +159,15 @@ def fenrir(key, ode_fun, ode_weight, ode_init,
            interrogate,
            prior_pars,
            obs_data, obs_times, obs_weight, obs_var,
-           **params):
+           temporal="sequential", **params):
     r"""
     Preconditioned :func:`rodeo_tpu.inference.fenrir.fenrir`.
 
     The observation model transforms as :math:`\tilde D = D T`; the
     log-density of the Y-space observations is invariant under the state
     coordinate change, so this returns the same value as the plain
-    implementation — but float32-stable on TPU.
+    implementation — but float32-stable on TPU.  ``temporal="parallel"``
+    runs the backward pass as a parallel-in-time associative scan.
     """
     from rodeo_tpu.inference import fenrir as _fenrir_fn
     t_vec, W_s, x0_s, prior_s = _scaled_inputs(
@@ -179,7 +180,8 @@ def fenrir(key, ode_fun, ode_weight, ode_init,
             interrogate=_wrap_interrogate(interrogate, ode_weight, t_vec),
             prior_pars=prior_s,
             obs_data=obs_data, obs_times=obs_times,
-            obs_weight=obs_weight_s, obs_var=obs_var, **params)
+            obs_weight=obs_weight_s, obs_var=obs_var,
+            temporal=temporal, **params)
 
 
 def dalton(key, ode_fun, ode_weight, ode_init,

@@ -37,6 +37,7 @@ from rodeo_tpu.ops.linalg import solve_small
 
 __all__ = [
     "parallel_filter",
+    "parallel_filter_tv",
     "parallel_smooth_mv",
     "solve_mv_iterated",
 ]
@@ -166,6 +167,89 @@ def parallel_filter(mean_init, var_init,
         jnp.concatenate([var_init[None], var_pred]),
     )
     return {"state_filt": out_filt, "state_pred": out_pred}
+
+
+def _filter_elements_tv(mean_init, var_init,
+                        wgt_state, mean_state, var_state,
+                        wgt_meas, mean_meas, var_meas, x_meas):
+    r"""
+    Per-step filtering elements for a fully time-varying affine model
+    :math:`x_k = Q_k x_{k-1} + c_k + R_k^{1/2}\epsilon`,
+    :math:`y_k = d_k + H_k x_k + V_k^{1/2}\eta` (all arrays lead with the
+    time axis).  Same 5-tuple contract as :func:`_filter_elements`.
+    """
+    Q, c, R = wgt_state, mean_state, var_state
+    H, d, V, y = wgt_meas, mean_meas, var_meas, x_meas
+    resid = y - d - mvdot(H, c)
+
+    S = quadform(H, R) + V
+    gain = mtt(solve_small(S, H @ R))                 # R H' S^{-1}
+    A = Q - gain @ (H @ Q)
+    b = c + mvdot(gain, resid)
+    C = _sym(R - gain @ (H @ R))
+    HQ = H @ Q
+    eta = mvdot(mtt(HQ), solve_small(S, resid[..., None])[..., 0])
+    J = _sym(mtt(HQ) @ solve_small(S, HQ))
+
+    # first element: condition on the known initial distribution
+    m1 = mvdot(Q[0], mean_init) + c[0]
+    P1 = quadform(Q[0], var_init) + R[0]
+    S1 = quadform(H[0], P1) + V[0]
+    gain1 = mtt(solve_small(S1, H[0] @ P1))
+    b1 = m1 + mvdot(gain1, y[0] - d[0] - mvdot(H[0], m1))
+    C1 = _sym(P1 - gain1 @ (H[0] @ P1))
+    A = A.at[0].set(0.0)
+    b = b.at[0].set(b1)
+    C = C.at[0].set(C1)
+    return A, b, C, eta, J
+
+
+def parallel_filter_tv(mean_init, var_init,
+                       wgt_state, mean_state, var_state,
+                       wgt_meas, mean_meas, var_meas, x_meas):
+    r"""
+    Exact parallel-in-time Kalman filter for a fully *time-varying* affine
+    state-space model (per-step transitions AND measurements), with
+    :math:`O(\log N)` sequential depth.  Used for linear conditional chains
+    such as the fenrir backward pass, whose per-step transition
+    :math:`(A_n, b_n, C_n)` comes from ``smooth_cond``.
+
+    Args:
+        mean_init (ndarray(n_block, s)): Initial state mean.
+        var_init (ndarray(n_block, s, s)): Initial state variance.
+        wgt_state (ndarray(n_steps, n_block, s, s)): Per-step transitions
+            :math:`Q_k`.
+        mean_state (ndarray(n_steps, n_block, s)): Per-step offsets
+            :math:`c_k`.
+        var_state (ndarray(n_steps, n_block, s, s)): Per-step process noise
+            :math:`R_k`.
+        wgt_meas, mean_meas, var_meas, x_meas: Per-step measurement model,
+            as in :func:`parallel_filter`.
+
+    Returns:
+        (dict): ``state_filt`` / ``state_pred`` stacked
+        ``(n_steps+1, n_block, ...)`` pytree (initial state prepended) —
+        the ``rodeo_tpu.solve._solve_filter`` contract.
+    """
+    elems = _filter_elements_tv(
+        mean_init, var_init, wgt_state, mean_state, var_state,
+        wgt_meas, mean_meas, var_meas, x_meas)
+    _, mean_filt, var_filt, _, _ = jax.lax.associative_scan(
+        _filter_combine, elems)
+    mean_prev = jnp.concatenate([mean_init[None], mean_filt[:-1]])
+    var_prev = jnp.concatenate([var_init[None], var_filt[:-1]])
+    mean_pred = mvdot(wgt_state, mean_prev) + mean_state
+    var_pred = quadform(wgt_state, var_prev) + var_state
+    return {
+        "state_filt": (
+            jnp.concatenate([mean_init[None], mean_filt]),
+            jnp.concatenate([var_init[None], var_filt]),
+        ),
+        "state_pred": (
+            jnp.concatenate([mean_init[None], mean_pred]),
+            jnp.concatenate([var_init[None], var_pred]),
+        ),
+    }
 
 
 # --- parallel smoother ----------------------------------------------------------

@@ -5,4 +5,5 @@ the natural scale-out axes for this library, see SURVEY.md §5).
 """
 from rodeo_tpu.parallel.mesh import (
     make_mesh, batch_sharding, replicated_sharding)
-from rodeo_tpu.parallel.chains import run_chains, sharded_loglik
+from rodeo_tpu.parallel.chains import (
+    run_chains, run_chains_fused, sharded_loglik)
