@@ -1,8 +1,10 @@
 """
-Timing harness in the spirit of the reference JSS preprint Table 3
-(`examples/timings.py` upstream): wall-clock of the probabilistic solver
-against scipy LSODA and against the non-blocked (dense, `indep_init`)
-variant on the four benchmark systems.
+Timing harness reproducing the reference JSS preprint Table 3
+(`/root/reference/examples/timings.py`): wall-clock of the probabilistic
+solver against LSODA, against RK45 (diffrax Dopri5 when available, scipy
+solve_ivp RK45 otherwise -- diffrax is not in this image), and against the
+non-blocked (dense, `indep_init`) variant, on the preprint's benchmark
+systems (Chkrebtii q=4, FitzHugh-Nagumo, Hes1, SEIRAH) plus Lorenz63.
 
 Run: python examples/timings.py
 """
@@ -19,9 +21,29 @@ import rodeo_tpu
 from rodeo_tpu.prior import indep_init
 from rodeo_tpu.interrogate import interrogate_kramer
 from rodeo_tpu.models import fitzhugh, hes1, seirah, lorenz
-from scipy.integrate import odeint
+from scipy.integrate import odeint, solve_ivp
+
+try:  # RK45 column: diffrax Dopri5 as upstream (`timings.py:81-109`) ...
+    import diffrax
+except ImportError:  # ... scipy's RK45 otherwise
+    diffrax = None
 
 N_LOOPS = 20
+
+
+def _rk45_bench(odeint_fun, x0_ode, t_min, t_max, th_np, tseq):
+    if diffrax is not None:
+        term = diffrax.ODETerm(
+            lambda t, y, args: jnp.asarray(odeint_fun(y, t, args)))
+        solver = diffrax.Dopri5()
+        sol = jax.jit(lambda y0: diffrax.diffeqsolve(
+            term, solver, t0=t_min, t1=t_max, dt0=tseq[1] - tseq[0],
+            y0=y0, args=th_np,
+            saveat=diffrax.SaveAt(ts=jnp.asarray(tseq))).ys)
+        return _bench(lambda: sol(jnp.asarray(x0_ode)).block_until_ready())
+    return _bench(lambda: solve_ivp(
+        lambda t, y: odeint_fun(y, t, th_np), (t_min, t_max), x0_ode,
+        method="RK45", t_eval=tseq))
 
 
 def _bench(fn, *args):
@@ -59,15 +81,21 @@ def time_model(name, model, odeint_fun, x0_ode, n_steps, t_max):
     t_dense = _bench(lambda th: solve_nb(th).block_until_ready(), theta)
 
     tseq = np.linspace(cfg["t_min"], cfg["t_max"], n_steps + 1)
-    th_np = np.asarray(theta)
+    th_np = np.asarray(theta) if theta is not None else None
     t_lsoda = _bench(lambda: odeint(odeint_fun, x0_ode, tseq, args=(th_np,)))
+    t_rk45 = _rk45_bench(odeint_fun, x0_ode, cfg["t_min"], cfg["t_max"],
+                         th_np, tseq)
 
     print(f"{name:10s}  rodeo-tpu {t_blocked*1e3:7.2f} ms | "
           f"LSODA/rodeo {t_lsoda/t_blocked:5.2f}x | "
+          f"RK45/rodeo {t_rk45/t_blocked:5.2f}x | "
           f"dense/blocked {t_dense/t_blocked:5.2f}x")
 
 
 def main():
+    def chkrebtii_np(X, t, th):
+        return np.array([X[1], np.sin(2 * t) - X[0]])
+
     def fitz_np(X, t, th):
         a, b, c = th
         V, R = X
@@ -99,6 +127,9 @@ def main():
         return np.array([-sigma * x + sigma * y, rho * x - y - x * z,
                          -beta * z + x * y])
 
+    from rodeo_tpu.models import chkrebtii
+    time_model("Chkrebtii", chkrebtii, chkrebtii_np,
+               np.array([-1.0, 0.0]), 30, 10.0)
     time_model("FitzHugh", fitzhugh, fitz_np,
                np.array([-1.0, 1.0]), 250, 10.0)
     time_model("Hes1", hes1, hes1_np,

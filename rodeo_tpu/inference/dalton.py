@@ -72,6 +72,15 @@ def dalton(key, ode_fun, ode_weight, ode_init,
     kalman_funs = get_backend(kalman_type)
     prior_weight, prior_var = prior_pars
 
+    if kalman_type == "standard":
+        return _dalton_dense(
+            key=key, ode_fun=ode_fun, ode_weight=ode_weight,
+            ode_init=ode_init, t_min=t_min, t_max=t_max, n_steps=n_steps,
+            interrogate=interrogate, prior_weight=prior_weight,
+            prior_var=prior_var, obs_data=obs_data, obs_times=obs_times,
+            obs_weight=obs_weight, obs_var=obs_var,
+            kalman_funs=kalman_funs, **params)
+
     sim_times = jnp.linspace(t_min, t_max, n_steps + 1)
     obs_ind = jnp.searchsorted(sim_times, obs_times)
 
@@ -209,6 +218,150 @@ def dalton(key, ode_fun, ode_weight, ode_init,
     return out["logdens_joint"] - out["logdens_marg"]
 
 
+def _dalton_dense(key, ode_fun, ode_weight, ode_init,
+                  t_min, t_max, n_steps,
+                  interrogate,
+                  prior_weight, prior_var,
+                  obs_data, obs_times, obs_weight, obs_var,
+                  kalman_funs, **params):
+    r"""
+    Masked-dense DALTON likelihood (standard form): the observation model
+    is grid-scattered (:func:`rodeo_tpu.inference.fenrir._obs_grid`), so
+    every step of the single scan performs ONE stacked update per filter —
+    no ``lax.cond`` branches (which execute both sides under ``vmap``,
+    each with its own forecast eigendecomposition) and no observation
+    index carry.  All forecast log-densities evaluate in one batched
+    masked pass over the stacked forecast moments; at rows without an
+    observation the stacked update is exactly the plain ODE update (zero
+    observation rows give an exactly-zero gain) and the log-density
+    reduces to the ODE term plus an exactly-cancelled
+    :math:`-\tfrac12 n_{bobs}\log 2\pi` constant per block.
+    Values match the branched reference algorithm
+    (``/root/reference/src/rodeo/inference/dalton.py:39-235``) to fp
+    rounding.
+    """
+    n_block, n_bmeas, n_bstate = ode_weight.shape
+    n_bobs = obs_weight.shape[2]
+    dtype = ode_init.dtype
+
+    d_grid, y_grid, om_grid, mask = _obs_grid(
+        t_min, t_max, n_steps, obs_data, obs_times, obs_weight, obs_var,
+        dtype)
+    x_meas = jnp.zeros((n_block, n_bmeas), dtype=dtype)
+    obs_mean = jnp.zeros((n_block, n_bobs), dtype=dtype)
+    mean_state = jnp.zeros((n_block, n_bstate), dtype=dtype)
+    var_state_init = jnp.zeros((n_block, n_bstate, n_bstate), dtype=dtype)
+
+    def scan(carry, xs):
+        mean_filt_zy, var_filt_zy = carry["state_filt_joint"]
+        mean_filt_z, var_filt_z = carry["state_filt_marg"]
+        ode_time = t_min + (t_max - t_min) * (xs["t"] + 1) / n_steps
+
+        # --- joint filter p(Z, Y): one stacked masked update ---
+        mean_pred_zy, var_pred_zy = kalman_funs.predict(
+            mean_state_past=mean_filt_zy,
+            var_state_past=var_filt_zy,
+            mean_state=mean_state,
+            wgt_state=prior_weight,
+            var_state=prior_var,
+        )
+        wgt_meas, mean_meas, var_meas = interrogate(
+            key=xs["key"][0],
+            ode_fun=ode_fun,
+            ode_weight=ode_weight,
+            t=ode_time,
+            mean_state_pred=mean_pred_zy,
+            var_state_pred=var_pred_zy,
+            **params,
+        )
+        wgt_stack = jnp.concatenate(
+            [ode_weight + wgt_meas, xs["D"]], axis=1)
+        mean_stack = jnp.concatenate([mean_meas, obs_mean], axis=1)
+        var_stack = _block_diag2(var_meas, xs["Om"])
+        x_stack = jnp.concatenate([x_meas, xs["y"]], axis=1)
+        mean_next_zy, var_next_zy = kalman_funs.update(
+            mean_state_pred=mean_pred_zy,
+            var_state_pred=var_pred_zy,
+            x_meas=x_stack,
+            mean_meas=mean_stack,
+            wgt_meas=wgt_stack,
+            var_meas=var_stack,
+        )
+        fore_mean_zy = mvdot(wgt_stack, mean_pred_zy) + mean_stack
+        fore_var_zy = quadform(wgt_stack, var_pred_zy) + var_stack
+
+        # --- marginal filter p(Z) ---
+        mean_pred_z, var_pred_z = kalman_funs.predict(
+            mean_state_past=mean_filt_z,
+            var_state_past=var_filt_z,
+            mean_state=mean_state,
+            wgt_state=prior_weight,
+            var_state=prior_var,
+        )
+        wgt_meas, mean_meas, var_meas = interrogate(
+            key=xs["key"][1],
+            ode_fun=ode_fun,
+            ode_weight=ode_weight,
+            t=ode_time,
+            mean_state_pred=mean_pred_z,
+            var_state_pred=var_pred_z,
+            **params,
+        )
+        W_meas = ode_weight + wgt_meas
+        mean_next_z, var_next_z = kalman_funs.update(
+            mean_state_pred=mean_pred_z,
+            var_state_pred=var_pred_z,
+            x_meas=x_meas,
+            mean_meas=mean_meas,
+            wgt_meas=W_meas,
+            var_meas=var_meas,
+        )
+        fore_mean_z = mvdot(W_meas, mean_pred_z) + mean_meas
+        fore_var_z = quadform(W_meas, var_pred_z) + var_meas
+
+        carry = {
+            "state_filt_joint": (mean_next_zy, var_next_zy),
+            "state_filt_marg": (mean_next_z, var_next_z),
+        }
+        stack = {
+            "x_stack": x_stack,
+            "fore_mean_zy": fore_mean_zy, "fore_var_zy": fore_var_zy,
+            "fore_mean_z": fore_mean_z, "fore_var_z": fore_var_z,
+        }
+        return carry, stack
+
+    scan_init = {
+        "state_filt_joint": (ode_init, var_state_init),
+        "state_filt_marg": (ode_init, var_state_init),
+    }
+    if key is not None:
+        keys = jax.random.split(key, num=(n_steps, 2))
+    else:
+        keys = jnp.zeros((n_steps, 2))
+    xs = {
+        "t": jnp.arange(n_steps), "key": keys,
+        "D": d_grid[1:], "y": y_grid[1:], "Om": om_grid[1:],
+    }
+    _, stack = jax.lax.scan(scan, scan_init, xs)
+
+    # log-density of p(Y_0 | X_0) if an observation sits at t = 0
+    logp0 = jnp.sum(multivariate_normal_logpdf(
+        y_grid[0], mean=mvdot(d_grid[0], ode_init) + obs_mean,
+        cov=om_grid[0]))
+    # joint: batched masked logpdf over the stacked forecasts; the
+    # no-obs rows' exact identity-block contribution is cancelled
+    logp_zy = multivariate_normal_logpdf(
+        stack["x_stack"], mean=stack["fore_mean_zy"],
+        cov=stack["fore_var_zy"])                         # (N, nb)
+    corr = (1.0 - mask[1:]) * (0.5 * n_bobs * math.log(2.0 * math.pi))
+    logdens_zy = mask[0] * logp0 + jnp.sum(logp_zy + corr[:, None])
+    logp_z = multivariate_normal_logpdf(
+        jnp.zeros_like(stack["fore_mean_z"]), mean=stack["fore_mean_z"],
+        cov=stack["fore_var_z"])
+    logdens_z = jnp.sum(logp_z)
+    return logdens_zy - logdens_z
+
+
 # --- ODE solver --------------------------------------------------------------
 
 
@@ -225,6 +378,16 @@ def _solve_filter(key, ode_fun, ode_weight, ode_init,
     Returns the same ``state_filt`` / ``state_pred`` pytree as
     :func:`rodeo_tpu.solve._solve_filter`.
     """
+    from rodeo_tpu.kalmantv import standard as _standard
+    if kalman_funs is _standard:
+        return _solve_filter_dense(
+            key=key, ode_fun=ode_fun, ode_weight=ode_weight,
+            ode_init=ode_init, t_min=t_min, t_max=t_max, n_steps=n_steps,
+            interrogate=interrogate, prior_weight=prior_weight,
+            prior_var=prior_var, obs_data=obs_data, obs_times=obs_times,
+            obs_weight=obs_weight, obs_var=obs_var,
+            kalman_funs=kalman_funs, **params)
+
     n_block, n_bmeas, n_bstate = ode_weight.shape
     n_bobs = obs_weight.shape[2]
 
@@ -312,6 +475,86 @@ def _solve_filter(key, ode_fun, ode_weight, ode_init,
     )
     scan_out["state_pred"] = (
         jnp.concatenate([mean_state_init[None], scan_out["state_pred"][0]]),
+        jnp.concatenate([var_state_init[None], scan_out["state_pred"][1]]),
+    )
+    return scan_out
+
+
+def _solve_filter_dense(key, ode_fun, ode_weight, ode_init,
+                        t_min, t_max, n_steps,
+                        interrogate,
+                        prior_weight, prior_var,
+                        obs_data, obs_times, obs_weight, obs_var,
+                        kalman_funs, **params):
+    r"""
+    Masked-dense data-conditioned forward filter (standard form): one
+    stacked update per step with the grid-scattered observation model
+    (zero observation rows at no-obs steps are exactly the plain ODE
+    update), instead of the reference's per-step branch + index carry
+    (``/root/reference/src/rodeo/inference/dalton.py:242-371``).
+    """
+    n_block, n_bmeas, n_bstate = ode_weight.shape
+    n_bobs = obs_weight.shape[2]
+    dtype = ode_init.dtype
+
+    d_grid, y_grid, om_grid, _ = _obs_grid(
+        t_min, t_max, n_steps, obs_data, obs_times, obs_weight, obs_var,
+        dtype)
+    x_meas = jnp.zeros((n_block, n_bmeas), dtype=dtype)
+    obs_mean = jnp.zeros((n_block, n_bobs), dtype=dtype)
+    mean_state = jnp.zeros((n_block, n_bstate), dtype=dtype)
+    var_state_init = jnp.zeros((n_block, n_bstate, n_bstate), dtype=dtype)
+
+    def scan_fun(carry, xs):
+        mean_state_filt, var_state_filt = carry
+        ode_time = t_min + (t_max - t_min) * (xs["t"] + 1) / n_steps
+        mean_state_pred, var_state_pred = kalman_funs.predict(
+            mean_state_past=mean_state_filt,
+            var_state_past=var_state_filt,
+            mean_state=mean_state,
+            wgt_state=prior_weight,
+            var_state=prior_var,
+        )
+        wgt_meas, mean_meas, var_meas = interrogate(
+            key=xs["key"],
+            ode_fun=ode_fun,
+            ode_weight=ode_weight,
+            t=ode_time,
+            mean_state_pred=mean_state_pred,
+            var_state_pred=var_state_pred,
+            **params,
+        )
+        mean_state_next, var_state_next = kalman_funs.update(
+            mean_state_pred=mean_state_pred,
+            var_state_pred=var_state_pred,
+            x_meas=jnp.concatenate([x_meas, xs["y"]], axis=1),
+            mean_meas=jnp.concatenate([mean_meas, obs_mean], axis=1),
+            wgt_meas=jnp.concatenate(
+                [ode_weight + wgt_meas, xs["D"]], axis=1),
+            var_meas=_block_diag2(var_meas, xs["Om"]),
+        )
+        carry = (mean_state_next, var_state_next)
+        stack = {
+            "state_filt": (mean_state_next, var_state_next),
+            "state_pred": (mean_state_pred, var_state_pred),
+        }
+        return carry, stack
+
+    if key is not None:
+        keys = jax.random.split(key, num=n_steps)
+    else:
+        keys = jnp.zeros(n_steps)
+    xs = {
+        "t": jnp.arange(n_steps), "key": keys,
+        "D": d_grid[1:], "y": y_grid[1:], "Om": om_grid[1:],
+    }
+    _, scan_out = jax.lax.scan(scan_fun, (ode_init, var_state_init), xs)
+    scan_out["state_filt"] = (
+        jnp.concatenate([ode_init[None], scan_out["state_filt"][0]]),
+        jnp.concatenate([var_state_init[None], scan_out["state_filt"][1]]),
+    )
+    scan_out["state_pred"] = (
+        jnp.concatenate([ode_init[None], scan_out["state_pred"][0]]),
         jnp.concatenate([var_state_init[None], scan_out["state_pred"][1]]),
     )
     return scan_out
@@ -514,6 +757,17 @@ def _solve_filter_nn(key, ode_fun, ode_weight, ode_init,
                 jnp.diagonal(obs_hes, axis1=0, axis2=2), -1, 0)
             obs_var_hat = -jnp.linalg.pinv(hes_diag)
             obs_wgt_hat = jnp.where(obs_var_hat != 0, 1.0, 0.0).astype(dtype)
+            # vacuous rows (state components the log-likelihood does not
+            # touch: zero weight AND zero variance) make the stacked
+            # innovation matrix exactly singular; give them unit variance
+            # so they become exact identity updates (zero gain).  The
+            # reference (upstream ``dalton.py:613-622``) leaves them
+            # singular and relies on the zero-residual cancellation, which
+            # NaNs under f32/fast-linalg.
+            dead = jnp.all(obs_wgt_hat == 0, axis=-1)
+            obs_var_hat = obs_var_hat + (
+                jnp.eye(obs_var_hat.shape[-1], dtype=dtype)
+                * dead[..., None].astype(dtype))
             obs_hat = mvdot(obs_wgt_hat, mean_state_pred) + \
                 mvdot(obs_var_hat, obs_grad)
             # stack interrogation and pseudo-observation rows

@@ -218,8 +218,27 @@ def smooth_sim(x_state_next,
         var_state_filt, var_state_pred, wgt_state)
     mean_state_sim = mean_state_filt + mvdot(
         gain, x_state_next - mean_state_pred)
-    var_state_sim = var_state_filt - gain @ mtt(var_state_temp)
+    var_state_sim = _sim_var(gain, var_state_temp, var_state_filt,
+                             wgt_state, kwargs.get("var_state"))
     return mean_state_sim, var_state_sim
+
+
+def _sim_var(gain, var_state_temp, var_state_filt, wgt_state, var_state):
+    r"""Sampling-smoother conditional variance
+    :math:`\Sigma_{n|n} - G_n \Sigma_{n+1|n} G_n'`.  On the fast-linalg
+    path (and when the process noise is available) it is computed in the
+    algebraically equal Joseph form
+    :math:`(I - G Q)\Sigma_{n|n}(I - G Q)' + G R G'`, which stays PSD
+    under float32 cancellation (the subtraction form goes indefinite and
+    NaNs downstream log-densities)."""
+    from rodeo_tpu.ops.linalg import fast_linalg_enabled
+    if fast_linalg_enabled() and var_state is not None:
+        eye = jnp.broadcast_to(
+            jnp.eye(var_state_filt.shape[-1], dtype=var_state_filt.dtype),
+            var_state_filt.shape)
+        igq = eye - gain @ wgt_state
+        return quadform(igq, var_state_filt) + quadform(gain, var_state)
+    return var_state_filt - gain @ mtt(var_state_temp)
 
 
 def smooth(x_state_next,
@@ -244,7 +263,8 @@ def smooth(x_state_next,
         var_state_filt, var_state_pred, wgt_state)
     mean_state_sim = mean_state_filt + mvdot(
         gain, x_state_next - mean_state_pred)
-    var_state_sim = var_state_filt - gain @ mtt(var_state_temp)
+    var_state_sim = _sim_var(gain, var_state_temp, var_state_filt,
+                             wgt_state, kwargs.get("var_state"))
     mean_state_smooth = mean_state_filt + mvdot(
         gain, mean_state_next - mean_state_pred)
     var_state_smooth = var_state_filt + quadform(

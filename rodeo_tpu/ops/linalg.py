@@ -47,7 +47,7 @@ def _det2(a):
 
 
 def inv_small(a):
-    """Closed-form inverse for trailing dims 1x1, 2x2 or 3x3 (batched).
+    """Closed-form inverse for trailing dims up to 5x5 (batched).
 
     Scale-normalized: the determinant of an n x n adjugate grows like
     ``|a|**n``, which overflows float32 for entry magnitudes beyond ~1e12,
@@ -91,18 +91,34 @@ def _inv_small_normed(a):
             jnp.stack([c02, c12, c22], axis=-1),
         ], axis=-2)
         return adj / det[..., None, None]
-    raise ValueError(f"inv_small supports n in (1, 2, 3), got {n}")
+    if n in (4, 5):
+        # one level of 2+(n-2) block partitioning (Schur complement),
+        # recursing into the direct cofactor forms
+        k = 2
+        A, B = a[..., :k, :k], a[..., :k, k:]
+        Cc, D = a[..., k:, :k], a[..., k:, k:]
+        Ainv = _inv_small_normed(A)
+        AinvB = Ainv @ B
+        CAinv = Cc @ Ainv
+        Sinv = _inv_small_normed(D - CAinv @ B)
+        UR = -(AinvB @ Sinv)
+        UL = Ainv - UR @ CAinv
+        LL = -(Sinv @ CAinv)
+        top = jnp.concatenate([UL, UR], axis=-1)
+        bot = jnp.concatenate([LL, Sinv], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)
+    raise ValueError(f"inv_small supports n in (1, ..., 5), got {n}")
 
 
 def solve_small(a, b):
     """
     ``a^{-1} b`` with a closed form when the trailing dimension of ``a`` is
-    at most 3 *and* :func:`fast_linalg` is active; falls back to
+    at most 5 *and* :func:`fast_linalg` is active; falls back to
     ``jnp.linalg.solve`` otherwise.  ``b`` may be a matrix (``(..., n, k)``)
     or a vector (``(..., n)``).
     """
     n = a.shape[-1]
-    if not _FAST.get() or n > 3:
+    if not _FAST.get() or n > 5:
         return jnp.linalg.solve(a, b)
     if b.ndim == a.ndim - 1:
         if n == 1:

@@ -22,7 +22,7 @@ recursion itself is precomputable:
    accumulation in scratch), streamed in reverse chunk order.
 
 Supported configuration (falls back to the XLA path otherwise):
-``n_bmeas == 1``, ``n_bobs == 1`` per block, ``q <= 3``, standard form,
+``n_bmeas == 1``, ``n_bobs == 1`` per block, ``q <= 5``, standard form,
 EK1/EK0 interrogations, observations on grid points.
 """
 import functools

@@ -33,7 +33,7 @@ Design notes (Mosaic constraints shape everything here):
 
 The public entry point :func:`solve_mv_fused` matches the ``solve_mv``
 signature/contract for supported configurations (``n_bmeas == 1``,
-standard form, EK1/zero-order interrogations, ``q <= 3`` for the smoother).
+standard form, EK1/zero-order interrogations, ``q <= 5`` for the smoother).
 """
 import functools
 
@@ -118,8 +118,12 @@ def _read_mat_cols(ref, q):
 
 
 def _sym_inv(q, p_cols):
-    """Closed-form inverse of a packed-symmetric matrix, q <= 3,
-    scale-normalized against float32 determinant overflow."""
+    """Closed-form inverse of a packed-symmetric matrix in column
+    arithmetic, scale-normalized against float32 determinant overflow.
+    Direct cofactor forms for q <= 3; q = 4, 5 via one level of 2+(q-2)
+    block partitioning (Schur complement), recursing into the small
+    forms — every operation stays an elementwise FMA on columns, so the
+    whole inverse unrolls inside Pallas kernels and batched XLA alike."""
     if q == 1:
         return [1.0 / p_cols[0]]
     if q == 2:
@@ -141,7 +145,61 @@ def _sym_inv(q, p_cols):
         inv_det = rs / det
         return [co00 * inv_det, co01 * inv_det, co02 * inv_det,
                 co11 * inv_det, co12 * inv_det, co22 * inv_det]
-    raise NotImplementedError("fused smoother supports q <= 3")
+    if q in (4, 5):
+        pairs, where = _tri_idx(q)
+        diag = [p_cols[where[(i, i)]] for i in range(q)]
+        s = diag[0]
+        for dcol in diag[1:]:
+            s = jnp.maximum(jnp.abs(s), jnp.abs(dcol))
+        rs = 1.0 / jnp.maximum(s, 1e-30)
+        pc = [col * rs for col in p_cols]
+        k, m = 2, q - 2
+        # M = [[A, B], [B', D]] with A (k,k), B (k,m), D (m,m)
+        Ainv = _sym_inv(k, [pc[where[(0, 0)]], pc[where[(0, 1)]],
+                            pc[where[(1, 1)]]])
+        _, whA = _tri_idx(k)
+        B = [[pc[where[(i, k + j)]] for j in range(m)] for i in range(k)]
+        # C = A^{-1} B
+        C = [[None] * m for _ in range(k)]
+        for i in range(k):
+            for j in range(m):
+                acc = None
+                for l in range(k):
+                    acc = _acc(acc, Ainv[whA[(i, l)]] * B[l][j])
+                C[i][j] = acc
+        # Schur complement S = D - B' C (packed symmetric)
+        _, whS = _tri_idx(m)
+        S_cols = []
+        for i in range(m):
+            for j in range(i, m):
+                acc = pc[where[(k + i, k + j)]]
+                for l in range(k):
+                    acc = acc - B[l][i] * C[l][j]
+                S_cols.append(acc)
+        Sinv = _sym_inv(m, S_cols)
+        # inverse blocks: UL = A^{-1} + C S^{-1} C', UR = -C S^{-1},
+        # LR = S^{-1}
+        UR = [[None] * m for _ in range(k)]
+        for i in range(k):
+            for j in range(m):
+                acc = None
+                for l in range(m):
+                    acc = _acc(acc, C[i][l] * Sinv[whS[(l, j)]])
+                UR[i][j] = -acc
+        out = []
+        for i in range(q):
+            for j in range(i, q):
+                if j < k:                       # UL block
+                    acc = Ainv[whA[(i, j)]]
+                    for l in range(m):
+                        acc = acc - UR[i][l] * C[j][l]
+                    out.append(acc * rs)
+                elif i < k:                     # UR block
+                    out.append(UR[i][j - k] * rs)
+                else:                           # LR block
+                    out.append(Sinv[whS[(i - k, j - k)]] * rs)
+        return out
+    raise NotImplementedError("fused kernels support q <= 5")
 
 
 def jvp_jac_flat(ode_flat, n_block, q):
@@ -553,13 +611,13 @@ def solve_mv_fused(key, ode_fun, ode_weight, ode_init,
                    interrogate,
                    prior_pars,
                    ode_flat=None, jac_flat=None, interpret="auto",
-                   chunk=None, **params):
+                   chunk=None, k_compose=None, **params):
     r"""
     Posterior mean/variance of the ODE solve via fused Pallas kernels.
 
     Matches :func:`rodeo_tpu.solve.solve_mv` (standard filter,
     Taylor-preconditioned internally) for configurations with one
-    measurement row per block and ``q <= 3``.  The ODE enters through
+    measurement row per block and ``q <= 5``.  The ODE enters through
     Mosaic-safe ``ode_flat(x_cols, th, t) -> (n_block, 1)`` and (for EK1)
     ``jac_flat(x_cols, th, t) -> [q columns or None]`` callables; models in
     :mod:`rodeo_tpu.models` provide them.  ``jac_flat=None`` selects the
@@ -593,11 +651,20 @@ def solve_mv_fused(key, ode_fun, ode_weight, ode_init,
         ode_flat, jac_flat, n_steps, Qs, Rs, W_s, x0_s,
         theta_col, tgrid, t_vec, chunk=chunk, interpret=interpret,
         raw_q_const=raw_q_const)
-    # smoother over steps 1..n_steps-1 (terminal = filtered at n_steps)
-    ms, ps = fused_smoother(
-        n_steps, Qs, Rs,
-        mf[:-1], pf[:-1], mp[1:], pp[1:], mf[-1], pf[-1],
-        chunk=chunk, interpret=interpret)
+    # smoother over steps 1..n_steps-1 (terminal = filtered at n_steps);
+    # k_compose > 1 shortens the sequential recursion k-fold by exact
+    # k-step composition (latency path)
+    if k_compose is not None and k_compose > 1:
+        ms, ps = fused_smoother_composed(
+            n_steps, Qs, Rs,
+            mf[:-1], pf[:-1], mp[1:], pp[1:], mf[-1], pf[-1],
+            raw_q_const=raw_q_const, k_compose=k_compose,
+            chunk=chunk, interpret=interpret)
+    else:
+        ms, ps = fused_smoother(
+            n_steps, Qs, Rs,
+            mf[:-1], pf[:-1], mp[1:], pp[1:], mf[-1], pf[-1],
+            chunk=chunk, interpret=interpret)
     # assemble (n_steps+1) rows: exact init, smoothed 1..N-1, filtered N
     zero_m = x0_s[None]
     zero_p = jnp.zeros((1, n_block, len(pairs)), jnp.float32)
@@ -608,6 +675,177 @@ def solve_mv_fused(key, ode_fun, ode_weight, ode_init,
     mean_out = ms_full * t_v
     var_out = _unpack_tri(ps_full, q, pairs) * (t_v[:, None] * t_v[None, :])
     return mean_out, var_out
+
+
+# --- k-step composed smoother (latency path) ----------------------------------------
+#
+# The smoother recursion  m_n = g_n + G_n m_{n+1},  P_n = L_n + G_n P_{n+1} G_n'
+# is affine, so k consecutive steps compose exactly into one step of the
+# same form:  (G, g, L)_{i..j} = (G_i G_j, g_i + G_i g_j, L_i + G_i L_j G_i').
+# Composites are batched XLA ops over the whole time axis (cheap), the
+# sequential Pallas kernel then runs only N/k boundary steps (k x shorter
+# dependency chain), and the k-1 interior steps of every group recover in
+# ONE batched application of the suffix composites to the boundary values.
+# Exact in exact arithmetic; fp differs only by reassociation.
+
+
+def _affine_cov_compose(q, n_tri, where, early, late):
+    """Compose two affine-covariance smoother elements in column layout:
+    ``early`` then (to its right in time) ``late``; each is
+    (G list-of-lists, g list, L packed list) of like-shaped columns."""
+    G_i, g_i, L_i = early
+    G_j, g_j, L_j = late
+    G = [[None] * q for _ in range(q)]
+    for i in range(q):
+        for j in range(q):
+            acc = None
+            for l in range(q):
+                acc = _acc(acc, G_i[i][l] * G_j[l][j])
+            G[i][j] = acc
+    g = [g_i[i] + sum(G_i[i][l] * g_j[l] for l in range(q))
+         for i in range(q)]
+    GLG = _sym_quadform(q, G_i, L_j, where)
+    L = [L_i[k] + GLG[k] for k in range(n_tri)]
+    return G, g, L
+
+
+def fused_smoother_composed(n_steps, prior_weight, prior_var,
+                            mf, pf, mp, pp, mfN, pfN, raw_q_const,
+                            k_compose=8, chunk=None, interpret="auto"):
+    """As :func:`fused_smoother`, but with the sequential recursion
+    shortened ``k_compose``-fold by exact k-step composition (see module
+    comment above).  Returns smoothed moments for steps ``1..n_steps-1``
+    (packed covariances), identical to :func:`fused_smoother` up to fp
+    reassociation.
+    """
+    n_len = mf.shape[0]
+    n_block, q = mf.shape[1], mf.shape[2]
+    pairs, where = _tri_idx(q)
+    n_tri = len(pairs)
+    q_const = _const_coefs(prior_weight)
+    if q_const is None:
+        q_const = raw_q_const
+    if q_const is None:
+        raise NotImplementedError(
+            "fused_smoother_composed requires a block-constant transition")
+
+    # per-step (G, g, L) in column layout (T, nb)
+    R_packed = _pack_tri(prior_var, pairs)
+    R_cols_b = [R_packed[None, :, kk] for kk in range(n_tri)]
+    mf_cols = [mf[:, :, j] for j in range(q)]
+    pf_cols = [pf[:, :, kk] for kk in range(n_tri)]
+    mpn_cols = [mp[:, :, j] for j in range(q)]
+    ppn_cols = [pp[:, :, kk] for kk in range(n_tri)]
+    G, g, L = _gain_cols_batched(q, n_tri, q_const, R_cols_b,
+                                 mf_cols, pf_cols, mpn_cols, ppn_cols)
+
+    # front-pad with identity elements so k divides the axis
+    k = max(1, int(k_compose))
+    pad = (-n_len) % k
+    n_rows = n_len + pad
+    n_groups = n_rows // k
+
+    def pad_front(col, fill):
+        if pad == 0:
+            return col
+        return jnp.concatenate(
+            [jnp.full((pad, n_block), fill, col.dtype), col])
+
+    G = [[pad_front(G[i][j], 1.0 if i == j else 0.0) for j in range(q)]
+         for i in range(q)]
+    g = [pad_front(g[i], 0.0) for i in range(q)]
+    L = [pad_front(L[kk], 0.0) for kk in range(n_tri)]
+
+    # suffix composites within each group: comp[i] composes offsets i..k-1
+    # (comp[0] = the full-group composite used by the boundary kernel)
+    def grp(col):                                  # (n_groups, k, nb)
+        return col.reshape(n_groups, k, n_block)
+    Gg = [[grp(G[i][j]) for j in range(q)] for i in range(q)]
+    gg = [grp(g[i]) for i in range(q)]
+    Lg = [grp(L[kk]) for kk in range(n_tri)]
+    comp = [None] * k
+    comp[k - 1] = ([[Gg[i][j][:, k - 1] for j in range(q)]
+                    for i in range(q)],
+                   [gg[i][:, k - 1] for i in range(q)],
+                   [Lg[kk][:, k - 1] for kk in range(n_tri)])
+    for i in range(k - 2, -1, -1):
+        elem_i = ([[Gg[a][b][:, i] for b in range(q)] for a in range(q)],
+                  [gg[a][:, i] for a in range(q)],
+                  [Lg[kk][:, i] for kk in range(n_tri)])
+        comp[i] = _affine_cov_compose(q, n_tri, where, elem_i, comp[i + 1])
+
+    # boundary recursion over n_groups composed steps (sequential kernel)
+    Gc, gc, Lc = comp[0]
+    g_b = jnp.stack(gc, axis=-1)                   # (n_groups, nb, q)
+    G_b = jnp.stack([Gc[i][j] for i in range(q) for j in range(q)],
+                    axis=-1)                       # (n_groups, nb, q*q)
+    L_b = jnp.stack(Lc, axis=-1)                   # (n_groups, nb, n_tri)
+    if chunk is None:
+        chunk = _pick_chunk(n_groups)
+    n_chunks = n_groups // chunk
+    kern = functools.partial(_smoother_recursion_kernel, chunk, q, n_block,
+                             n_tri)
+    rev = lambda i: (n_chunks - 1 - i, 0, 0)
+    outs = [
+        jax.ShapeDtypeStruct((n_groups, n_block, q), jnp.float32),
+        jax.ShapeDtypeStruct((n_groups, n_block, n_tri), jnp.float32),
+    ]
+    in_specs = [
+        pl.BlockSpec((chunk, n_block, q), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk, n_block, q * q), rev,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk, n_block, n_tri), rev,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_block, q), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_block, n_tri), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((chunk, n_block, q), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk, n_block, n_tri), rev,
+                     memory_space=pltpu.VMEM),
+    ]
+    mb, pb = pl.pallas_call(
+        kern, out_shape=outs, grid=(n_chunks,),
+        in_specs=in_specs, out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((n_block, q), jnp.float32),
+            pltpu.VMEM((n_block, n_tri), jnp.float32),
+        ],
+        interpret=_interpret_mode(interpret),
+    )(g_b.astype(jnp.float32),
+      G_b.reshape(n_groups, n_block, q * q).astype(jnp.float32),
+      L_b.astype(jnp.float32), mfN, pfN)
+    # mb[g] = smoothed state at the LEFT edge of group g (row g*k - pad,
+    # i.e. offset 0); right-boundary value for group g is mb[g+1] (or the
+    # terminal seed for the last group)
+    mb_right = jnp.concatenate([mb[1:], mfN[None]])    # (n_groups, nb, q)
+    pb_right = jnp.concatenate([pb[1:], pfN[None]])
+
+    # interior recovery: offsets 1..k-1 of every group, one batched op
+    mb_r_cols = [mb_right[:, :, j] for j in range(q)]
+    pb_r_cols = [pb_right[:, :, kk] for kk in range(n_tri)]
+    rows_m = [[mb[:, :, j] for j in range(q)]]         # offset 0 = kernel
+    rows_p = [[pb[:, :, kk] for kk in range(n_tri)]]
+    for i in range(1, k):
+        Gi, gi, Li = comp[i]
+        m_i = []
+        for a in range(q):
+            acc = gi[a]
+            for b in range(q):
+                acc = acc + Gi[a][b] * mb_r_cols[b]
+            m_i.append(acc)
+        GP = _sym_quadform(q, Gi, pb_r_cols, where)
+        p_i = [Li[kk] + GP[kk] for kk in range(n_tri)]
+        rows_m.append(m_i)
+        rows_p.append(p_i)
+    # interleave offsets back into the time axis: (n_groups, k, nb, d)
+    ms = jnp.stack([jnp.stack(rm, axis=-1) for rm in rows_m],
+                   axis=1).reshape(n_rows, n_block, q)
+    ps = jnp.stack([jnp.stack(rp, axis=-1) for rp in rows_p],
+                   axis=1).reshape(n_rows, n_block, n_tri)
+    return ms[pad:], ps[pad:]
 
 
 # --- lane-batched variants ---------------------------------------------------------

@@ -31,7 +31,9 @@ from rodeo_tpu.ops import ptime as _ptime
 from rodeo_tpu.ops.linalg import fast_linalg
 
 __all__ = ["taylor_scale", "scale_prior", "solve_mv", "solve_sim",
-           "solve_mv_iterated", "fenrir", "dalton"]
+           "solve_mv_iterated", "fenrir", "dalton", "basic", "daltonng",
+           "magi_logdens", "fenrir_solve_mv", "dalton_solve_mv",
+           "dalton_solve_sim", "dalton_solve_mv_nn"]
 
 
 def _factorial(x):
@@ -206,6 +208,212 @@ def dalton(key, ode_fun, ode_weight, ode_init,
             prior_pars=prior_s,
             obs_data=obs_data, obs_times=obs_times,
             obs_weight=obs_weight_s, obs_var=obs_var, **params)
+
+
+def basic(key, ode_fun, ode_weight, ode_init,
+          t_min, t_max, n_steps,
+          interrogate,
+          prior_pars,
+          obs_data, obs_times, obs_loglik,
+          **params):
+    r"""
+    Preconditioned :func:`rodeo_tpu.inference.basic.basic`: the solve runs
+    in Taylor-scaled coordinates (f32-stable) and the user observation
+    log-likelihood is evaluated on the unscaled solution, so the value
+    matches the plain implementation.
+    """
+    import jax.numpy as _jnp
+    Xt, _ = solve_mv(
+        key=key, ode_fun=ode_fun, ode_weight=ode_weight,
+        ode_init=ode_init, t_min=t_min, t_max=t_max, n_steps=n_steps,
+        interrogate=interrogate, prior_pars=prior_pars, **params)
+    sim_times = _jnp.linspace(t_min, t_max, n_steps + 1)
+    ode_data = Xt[_jnp.searchsorted(sim_times, obs_times)]
+    return obs_loglik(obs_data, ode_data, **params), Xt
+
+
+def _wrap_obs_loglik(obs_loglik_i, t_vec):
+    """Adapter so a user observation log-likelihood written for original
+    coordinates sees the unscaled state (its gradient/Hessian then
+    linearize w.r.t. the scaled state by the chain rule automatically)."""
+
+    def wrapped(obs_i, state_scaled, i, **params):
+        return obs_loglik_i(obs_i, state_scaled * t_vec.astype(
+            state_scaled.dtype), i, **params)
+
+    return wrapped
+
+
+def daltonng(key, ode_fun, ode_weight, ode_init,
+             t_min, t_max, n_steps,
+             interrogate,
+             prior_pars,
+             obs_data, obs_times, obs_loglik_i,
+             **params):
+    r"""
+    Preconditioned :func:`rodeo_tpu.inference.dalton.daltonng` (non-Gaussian
+    DALTON).  The two state-path log-densities (``logx_z`` and
+    ``logx_yhat``) each pick up the same coordinate-change Jacobian, which
+    cancels in the assembled value ``logy_x + logx_z - logx_yhat``, so
+    the result matches the plain implementation (the Laplace linearization
+    is chain-ruled through the scaling by :func:`_wrap_obs_loglik`).
+    """
+    from rodeo_tpu.inference import daltonng as _daltonng_fn
+    t_vec, W_s, x0_s, prior_s = _scaled_inputs(
+        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps)
+    with fast_linalg():
+        return _daltonng_fn(
+            key=key, ode_fun=ode_fun, ode_weight=W_s, ode_init=x0_s,
+            t_min=t_min, t_max=t_max, n_steps=n_steps,
+            interrogate=_wrap_interrogate(interrogate, ode_weight, t_vec),
+            prior_pars=prior_s,
+            obs_data=obs_data, obs_times=obs_times,
+            obs_loglik_i=_wrap_obs_loglik(obs_loglik_i, t_vec), **params)
+
+
+def magi_logdens(ode_data_subset, ode_expand, n_active, prior_pars, dt,
+                 kalman_type="standard", **params):
+    r"""
+    Preconditioned :func:`rodeo_tpu.inference.magi.magi_logdens`.
+
+    The MAGI filter runs on the Taylor-scaled state; since the observed
+    pseudo-data are the scaled first ``n_active`` derivatives, the scaled
+    log-density differs from the original by the exact change-of-variables
+    Jacobian :math:`N\,n_{block}\sum_{i<n_{active}}\log t_i`, which is
+    added back — so the value matches the plain implementation, but stays
+    finite in float32.
+
+    Args:
+        dt (float): Solver step size (needed to build the Taylor scaling;
+            the plain API encodes it only implicitly in ``prior_pars``).
+        (other arguments as :func:`rodeo_tpu.inference.magi.magi_logdens`)
+    """
+    from rodeo_tpu.inference import magi_logdens as _magi_fn
+    probe = ode_expand(ode_data_subset, **params)
+    n_steps_p1, n_block, n_deriv = probe.shape
+    dtype = probe.dtype
+    t_vec = taylor_scale(dt, n_deriv, dtype=dtype)
+    prior_s = scale_prior(prior_pars, t_vec)
+
+    def ode_expand_s(subset, **p):
+        return ode_expand(subset, **p) / t_vec.astype(dtype)
+
+    with fast_linalg():
+        logdens_s = _magi_fn(
+            ode_data_subset=ode_data_subset, ode_expand=ode_expand_s,
+            n_active=n_active, prior_pars=prior_s,
+            kalman_type=kalman_type, **params)
+    n_terms = n_steps_p1 - 1
+    jacobian = n_terms * n_block * jnp.sum(jnp.log(t_vec[:n_active]))
+    return logdens_s - jacobian
+
+
+def fenrir_solve_mv(key, ode_fun, ode_weight, ode_init,
+                    t_min, t_max, n_steps,
+                    interrogate,
+                    prior_pars,
+                    obs_data, obs_times, obs_weight, obs_var,
+                    temporal="sequential", **params):
+    r"""
+    Preconditioned :func:`rodeo_tpu.inference.fenrir.solve_mv`
+    (data-conditioned posterior; unscaled moments returned).
+    """
+    import importlib
+    _fenrir_mod = importlib.import_module("rodeo_tpu.inference.fenrir")
+    t_vec, W_s, x0_s, prior_s = _scaled_inputs(
+        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps)
+    obs_weight_s = obs_weight * t_vec.astype(obs_weight.dtype)
+    # NB: no fast_linalg here — the final smoothing pass runs over the
+    # *backward* chain, whose predicted variances become numerically
+    # singular near the exact-init end (C_0 = 0); the closed-form
+    # determinant inverse explodes there, while the factorization-based
+    # solve stays bounded.  This reconstruction is not a hot path.
+    mean_s, var_s = _fenrir_mod.solve_mv(
+        key=key, ode_fun=ode_fun, ode_weight=W_s, ode_init=x0_s,
+        t_min=t_min, t_max=t_max, n_steps=n_steps,
+        interrogate=_wrap_interrogate(interrogate, ode_weight, t_vec),
+        prior_pars=prior_s,
+        obs_data=obs_data, obs_times=obs_times,
+        obs_weight=obs_weight_s, obs_var=obs_var,
+        temporal=temporal, **params)
+    t_v = t_vec.astype(mean_s.dtype)
+    return mean_s * t_v, var_s * (t_v[:, None] * t_v[None, :])
+
+
+def _dalton_mod():
+    import importlib
+    return importlib.import_module("rodeo_tpu.inference.dalton")
+
+
+def dalton_solve_mv(key, ode_fun, ode_weight, ode_init,
+                    t_min, t_max, n_steps,
+                    interrogate,
+                    prior_pars,
+                    obs_data, obs_times, obs_weight, obs_var,
+                    **params):
+    r"""
+    Preconditioned :func:`rodeo_tpu.inference.dalton.solve_mv`.
+    """
+    t_vec, W_s, x0_s, prior_s = _scaled_inputs(
+        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps)
+    obs_weight_s = obs_weight * t_vec.astype(obs_weight.dtype)
+    with fast_linalg():
+        mean_s, var_s = _dalton_mod().solve_mv(
+            key=key, ode_fun=ode_fun, ode_weight=W_s, ode_init=x0_s,
+            t_min=t_min, t_max=t_max, n_steps=n_steps,
+            interrogate=_wrap_interrogate(interrogate, ode_weight, t_vec),
+            prior_pars=prior_s,
+            obs_data=obs_data, obs_times=obs_times,
+            obs_weight=obs_weight_s, obs_var=obs_var, **params)
+    t_v = t_vec.astype(mean_s.dtype)
+    return mean_s * t_v, var_s * (t_v[:, None] * t_v[None, :])
+
+
+def dalton_solve_sim(key, ode_fun, ode_weight, ode_init,
+                     t_min, t_max, n_steps,
+                     interrogate,
+                     prior_pars,
+                     obs_data, obs_times, obs_weight, obs_var,
+                     **params):
+    r"""
+    Preconditioned :func:`rodeo_tpu.inference.dalton.solve_sim`.
+    """
+    t_vec, W_s, x0_s, prior_s = _scaled_inputs(
+        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps)
+    obs_weight_s = obs_weight * t_vec.astype(obs_weight.dtype)
+    with fast_linalg():
+        xs = _dalton_mod().solve_sim(
+            key=key, ode_fun=ode_fun, ode_weight=W_s, ode_init=x0_s,
+            t_min=t_min, t_max=t_max, n_steps=n_steps,
+            interrogate=_wrap_interrogate(interrogate, ode_weight, t_vec),
+            prior_pars=prior_s,
+            obs_data=obs_data, obs_times=obs_times,
+            obs_weight=obs_weight_s, obs_var=obs_var, **params)
+    return xs * t_vec.astype(xs.dtype)
+
+
+def dalton_solve_mv_nn(key, ode_fun, ode_weight, ode_init,
+                       t_min, t_max, n_steps,
+                       interrogate,
+                       prior_pars,
+                       obs_data, obs_times, obs_loglik_i,
+                       **params):
+    r"""
+    Preconditioned :func:`rodeo_tpu.inference.dalton.solve_mv_nn`
+    (non-Gaussian data-conditioned posterior).
+    """
+    t_vec, W_s, x0_s, prior_s = _scaled_inputs(
+        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps)
+    with fast_linalg():
+        mean_s, var_s = _dalton_mod().solve_mv_nn(
+            key=key, ode_fun=ode_fun, ode_weight=W_s, ode_init=x0_s,
+            t_min=t_min, t_max=t_max, n_steps=n_steps,
+            interrogate=_wrap_interrogate(interrogate, ode_weight, t_vec),
+            prior_pars=prior_s,
+            obs_data=obs_data, obs_times=obs_times,
+            obs_loglik_i=_wrap_obs_loglik(obs_loglik_i, t_vec), **params)
+    t_v = t_vec.astype(mean_s.dtype)
+    return mean_s * t_v, var_s * (t_v[:, None] * t_v[None, :])
 
 
 def solve_mv_iterated(key, ode_fun, ode_weight, ode_init,

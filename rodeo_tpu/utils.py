@@ -132,7 +132,14 @@ def multivariate_normal_logpdf(x, mean, cov):
     w, v = jnp.linalg.eigh(cov)
     z = mvdot(mtt(v), x - mean)
     z2 = z * z
-    live = ~jnp.isclose(w, 0.0, rtol=1e-300)
+    # degenerate-direction mask: absolute (reference semantics,
+    # ``utils.py:71-77``) AND dtype-relative — eigh of a PSD-up-to-rounding
+    # matrix returns eigenvalues negative at ~eps * ||cov||, which for
+    # large-scale covariances (e.g. diffuse priors in float32) far exceeds
+    # any absolute threshold and would NaN through log().
+    wmax = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+    rel_tol = 100.0 * jnp.finfo(w.dtype).eps
+    live = (~jnp.isclose(w, 0.0, rtol=1e-300)) & (w > rel_tol * wmax)
     w_safe = jnp.where(live, w, 1.0)
     val = z2 / w_safe + jnp.log(w_safe)
     val = -0.5 * jnp.sum(jnp.where(live, val, 0.0), axis=-1)

@@ -115,6 +115,75 @@ def test_fused_other_models(model_name):
     np.testing.assert_allclose(m, mr, rtol=2e-2, atol=2e-2 * np.abs(mr).max())
 
 
+def test_fused_smoother_composed(lorenz_cfg):
+    """k-step composed smoother == plain fused smoother up to f32
+    reassociation (the composition is exact in exact arithmetic)."""
+    cfg, theta = lorenz_cfg
+    kw = dict(key=None, interrogate=None, theta=theta,
+              ode_flat=lorenz.lorenz_flat, jac_flat=lorenz.lorenz_jac_flat,
+              **cfg)
+    mu0, var0 = pallas_kalman.solve_mv_fused(**kw)
+    scale = float(jnp.max(jnp.abs(var0))) + 1e-30
+    for k in (4, 8):
+        mu, var = pallas_kalman.solve_mv_fused(k_compose=k, **kw)
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(mu0),
+                                   rtol=5e-2, atol=5e-2)
+        np.testing.assert_allclose(np.asarray(var) / scale,
+                                   np.asarray(var0) / scale, atol=1e-4)
+
+
+def test_sym_inv_q45():
+    """Blocked Schur-complement closed-form inverse for q = 4, 5."""
+    rng = np.random.default_rng(12)
+    for q in (4, 5):
+        pairs, _ = pallas_kalman._tri_idx(q)
+        a = rng.standard_normal((7, q, q))
+        m = a @ np.swapaxes(a, -1, -2) + 0.1 * np.eye(q)
+        m *= 10.0 ** rng.integers(-6, 6, size=(7, 1, 1))
+        p_cols = [jnp.asarray(m[:, i, j]) for (i, j) in pairs]
+        inv_cols = pallas_kalman._sym_inv(q, p_cols)
+        inv = np.zeros_like(m)
+        for k, (i, j) in enumerate(pairs):
+            inv[:, i, j] = inv[:, j, i] = np.asarray(inv_cols[k])
+        ref = np.linalg.inv(m)
+        np.testing.assert_allclose(inv / np.abs(ref).max(),
+                                   ref / np.abs(ref).max(), atol=1e-10)
+
+
+def test_fused_q4_chkrebtii():
+    """q=4 higher-order ODE (the reference's Chkrebtii d*p=4 benchmark,
+    `/root/reference/examples/timings.py:104-169`) rides the fused path
+    and matches the preconditioned XLA solver."""
+    from rodeo_tpu.models import chkrebtii
+    cfg = chkrebtii.setup(n_steps=40, dtype=jnp.float32)
+    cfg.pop("theta")
+    mu_ref, var_ref = precond.solve_mv(
+        key=None, interrogate=interrogate_kramer, **cfg)
+    mu_f, var_f = pallas_kalman.solve_mv_fused(
+        key=None, interrogate=None,
+        ode_flat=chkrebtii.chkrebtii_flat,
+        jac_flat=chkrebtii.chkrebtii_jac_flat, **cfg)
+    assert not bool(jnp.any(jnp.isnan(mu_f)))
+    np.testing.assert_allclose(
+        np.asarray(mu_f[:, :, 0]), np.asarray(mu_ref[:, :, 0]),
+        rtol=2e-3, atol=2e-3)
+    # lane-batched variant
+    B = 3
+    inits = jnp.broadcast_to(cfg["ode_init"], (B,) + cfg["ode_init"].shape)
+    mu_b, var_b = pallas_kalman.solve_mv_fused_batch(
+        thetas=jnp.zeros((B, 1), jnp.float32),
+        ode_weight=cfg["ode_weight"], ode_inits=inits,
+        t_min=cfg["t_min"], t_max=cfg["t_max"], n_steps=cfg["n_steps"],
+        prior_pars=cfg["prior_pars"],
+        ode_flat=chkrebtii.chkrebtii_flat,
+        jac_flat=chkrebtii.chkrebtii_jac_flat)
+    assert mu_b.shape == (cfg["n_steps"] + 1, 1, 4, B)
+    for i in range(B):
+        np.testing.assert_allclose(
+            np.asarray(mu_b[:, :, 0, i]), np.asarray(mu_ref[:, :, 0]),
+            rtol=2e-3, atol=2e-3)
+
+
 def test_fenrir_fused_matches_xla():
     """Fused fenrir likelihood == XLA fenrir (f32, Pallas interpreter)."""
     import importlib
@@ -245,4 +314,7 @@ def test_dalton_fused_batch_matches_xla():
         ll_i = precond.dalton(
             key=None, interrogate=interrogate_kramer, theta=thetas[i],
             **kw, **{**cfg, "ode_init": inits[i]})
-        np.testing.assert_allclose(float(lls[i]), float(ll_i), rtol=5e-3)
+        # both values are f32 differences of ~1e5-magnitude 200-term sums,
+        # so cross-implementation agreement is limited to ~1e-2 relative
+        # (f64 parity vs the reference is covered at 1e-7 elsewhere)
+        np.testing.assert_allclose(float(lls[i]), float(ll_i), rtol=2e-2)

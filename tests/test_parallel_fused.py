@@ -1,0 +1,122 @@
+"""
+Multi-chip sharding of the fused lane-batched kernels (8 virtual CPU
+devices via conftest; Pallas kernels run through the interpreter).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rodeo_tpu.models import lorenz, fitzhugh
+from rodeo_tpu.ops import pallas_kalman, pallas_fenrir
+from rodeo_tpu.parallel import (
+    make_mesh, sharded_solve_mv_fused_batch, sharded_fenrir_fused_batch,
+    sharded_solve_sim_fused_batch, run_chains_fused_sharded)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8
+    return make_mesh(n_devices=8, axis_name="batch")
+
+
+@pytest.fixture(scope="module")
+def lorenz_cfg():
+    cfg = lorenz.setup(n_steps=100, t_max=1.0, dtype=jnp.float32)
+    cfg.pop("theta")
+    return cfg
+
+
+def test_sharded_solve_mv_fused_batch(mesh):
+    # FitzHugh (non-chaotic): the sharded and unsharded paths differ only
+    # by f32 reduction order (per-shard lane counts change the XLA gain
+    # precompute vectorization), which chaotic systems would amplify
+    cfg = fitzhugh.setup(n_steps=100, t_max=4.0, dtype=jnp.float32)
+    theta = cfg.pop("theta")
+    B = 16                                  # 2 lanes per device
+    thetas = jnp.stack([theta * (1 + 0.01 * i) for i in range(B)])
+    inits = jnp.broadcast_to(cfg["ode_init"], (B,) + cfg["ode_init"].shape)
+    kw = dict(ode_weight=cfg["ode_weight"], t_min=cfg["t_min"],
+              t_max=cfg["t_max"], n_steps=cfg["n_steps"],
+              prior_pars=cfg["prior_pars"], ode_flat=fitzhugh.fitzhugh_flat,
+              jac_flat=fitzhugh.fitzhugh_jac_flat)
+    mu_s, var_s = sharded_solve_mv_fused_batch(
+        thetas=thetas, ode_inits=inits, mesh=mesh, **kw)
+    mu_1, var_1 = pallas_kalman.solve_mv_fused_batch(
+        thetas=thetas, ode_inits=inits, **kw)
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_1),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_1),
+                               rtol=1e-2, atol=1e-2 * float(
+                                   jnp.max(jnp.abs(var_1))))
+
+
+def test_sharded_fenrir_fused_batch(mesh, lorenz_cfg):
+    cfg = lorenz_cfg
+    rng = np.random.default_rng(31)
+    n_obs = 3
+    obs_times = jnp.linspace(0.0, 1.0, n_obs).astype(jnp.float32)
+    D = jnp.zeros((n_obs, 3, 1, 3), jnp.float32).at[:, :, :, 0].set(1.0)
+    Om = 0.01 * jnp.broadcast_to(jnp.eye(1, dtype=jnp.float32),
+                                 (n_obs, 3, 1, 1))
+    yobs = jnp.asarray(rng.normal(size=(n_obs, 3, 1)) * 3, jnp.float32)
+    B = 8
+    theta = jnp.array([28.0, 10.0, 8.0 / 3.0], jnp.float32)
+    thetas = jnp.stack([theta * (1 + 0.01 * i) for i in range(B)])
+    inits = jnp.broadcast_to(cfg["ode_init"], (B,) + cfg["ode_init"].shape)
+    kw = dict(ode_weight=cfg["ode_weight"], t_min=cfg["t_min"],
+              t_max=cfg["t_max"], n_steps=cfg["n_steps"],
+              prior_pars=cfg["prior_pars"],
+              obs_data=yobs, obs_times=obs_times, obs_weight=D, obs_var=Om,
+              ode_flat=lorenz.lorenz_flat, jac_flat=lorenz.lorenz_jac_flat)
+    ll_s = sharded_fenrir_fused_batch(
+        thetas=thetas, ode_inits=inits, mesh=mesh, **kw)
+    ll_1 = pallas_fenrir.fenrir_fused_batch(
+        thetas=thetas, ode_inits=inits, **kw)
+    np.testing.assert_allclose(np.asarray(ll_s), np.asarray(ll_1),
+                               rtol=1e-4)
+
+
+def test_sharded_solve_sim_fused_batch(mesh, lorenz_cfg):
+    cfg = lorenz_cfg
+    B = 16
+    theta = jnp.array([28.0, 10.0, 8.0 / 3.0], jnp.float32)
+    thetas = jnp.broadcast_to(theta, (B, 3))
+    inits = jnp.broadcast_to(cfg["ode_init"], (B,) + cfg["ode_init"].shape)
+    paths = sharded_solve_sim_fused_batch(
+        key=jax.random.PRNGKey(0), thetas=thetas, ode_inits=inits,
+        mesh=mesh, ode_weight=cfg["ode_weight"], t_min=cfg["t_min"],
+        t_max=cfg["t_max"], n_steps=cfg["n_steps"],
+        prior_pars=cfg["prior_pars"], ode_flat=lorenz.lorenz_flat,
+        jac_flat=lorenz.lorenz_jac_flat)
+    assert paths.shape == (cfg["n_steps"] + 1, 3, 3, B)
+    assert bool(jnp.all(jnp.isfinite(paths)))
+    # lanes on different devices draw different noise
+    assert float(jnp.max(jnp.abs(paths[1:, ..., 0] - paths[1:, ..., B - 1]
+                                 ))) > 0.0
+
+
+def test_run_chains_fused_sharded(mesh):
+    cfg = fitzhugh.setup(n_steps=20, t_max=2.0, dtype=jnp.float32)
+    theta = cfg.pop("theta")
+    mu_ref, _ = pallas_kalman.solve_mv_fused(
+        key=None, interrogate=None, theta=theta,
+        ode_flat=fitzhugh.fitzhugh_flat,
+        jac_flat=fitzhugh.fitzhugh_jac_flat, **cfg)
+
+    def loglik(positions, paths):
+        resid = paths[:, :, 0, :] - mu_ref[:, :, 0, None]
+        return -0.5 * jnp.sum(resid * resid, axis=(0, 1)) / 0.01
+
+    B, n_samp = 16, 4
+    init = jnp.broadcast_to(theta, (B, 3)).astype(jnp.float32)
+    positions, ll, accept = run_chains_fused_sharded(
+        loglik, init, jax.random.PRNGKey(7), n_samples=n_samp,
+        rw_scale=0.02, ode_weight=cfg["ode_weight"],
+        ode_init=cfg["ode_init"], t_min=cfg["t_min"], t_max=cfg["t_max"],
+        n_steps=cfg["n_steps"], prior_pars=cfg["prior_pars"],
+        ode_flat=fitzhugh.fitzhugh_flat,
+        jac_flat=fitzhugh.fitzhugh_jac_flat, mesh=mesh, axis_name="batch")
+    assert positions.shape == (n_samp, B, 3)
+    assert ll.shape == (B,) and bool(jnp.all(jnp.isfinite(ll)))
+    assert float(jnp.mean(accept)) > 0.0

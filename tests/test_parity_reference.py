@@ -16,9 +16,13 @@ sys.path.insert(0, "/root/reference/src")
 
 import importlib  # noqa: E402
 
-import rodeo as ref_rodeo  # noqa: E402
-import rodeo.interrogate as ref_interrogate  # noqa: E402
-from rodeo.prior import ibm_init as ref_ibm_init  # noqa: E402
+try:
+    import rodeo as ref_rodeo  # noqa: E402
+    import rodeo.interrogate as ref_interrogate  # noqa: E402
+    from rodeo.prior import ibm_init as ref_ibm_init  # noqa: E402
+except ImportError:  # upstream checkout absent (e.g. CI): skip the module
+    pytest.skip("reference rodeo checkout not available",
+                allow_module_level=True)
 
 # the `fenrir`/`dalton`/`magi_logdens` function re-exports shadow the
 # submodule attributes (in both libraries), so resolve modules explicitly
@@ -150,11 +154,50 @@ def test_dalton_parity(fitz):
 
 
 def test_daltonng_parity(fitz):
+    """Parity is checked with a FULL-rank observation log-likelihood (one
+    informing every state component): with a partially-observed state, the
+    reference's Laplace pseudo-observation produces zero-weight/
+    zero-variance rows that make the stacked innovation matrix exactly
+    singular, and upstream ``dalton.py:613-622`` returns NaN (this was
+    previously hidden by ``assert_allclose``'s ``equal_nan=True``
+    default).  Our implementation regularizes those vacuous rows to exact
+    identity updates; the partially-observed case is covered by
+    ``test_daltonng_partial_obs_finite``."""
     rng = np.random.default_rng(9)
     obs_data, obs_times, obs_weight, obs_var = _obs_setup(fitz, rng)
 
     def obs_loglik_i(obs_data_i, state, i, **params):
-        # Gaussian loglik of the first derivative entry of each block
+        # Gaussian loglik informing ALL state components of each block
+        return jnp.sum(
+            -0.5 * (obs_data_i[:, 0:1] - state) ** 2 / 0.01
+            - 0.5 * jnp.log(2 * jnp.pi * 0.01))
+
+    kw = dict(obs_data=obs_data, obs_times=obs_times,
+              obs_loglik_i=obs_loglik_i)
+    ll = tpu_dalton_mod.daltonng(
+        **_solve_kwargs(fitz, tpu_interrogate.interrogate_kramer), **kw)
+    ll_r = ref_dalton_mod.daltonng(
+        **_solve_kwargs(fitz, ref_interrogate.interrogate_kramer), **kw)
+    assert np.isfinite(float(ll_r)), "reference NaN: fixture invalid"
+    np.testing.assert_allclose(ll, ll_r, rtol=1e-7, equal_nan=False)
+
+    mu, var = tpu_dalton_mod.solve_mv_nn(
+        **_solve_kwargs(fitz, tpu_interrogate.interrogate_kramer), **kw)
+    mu_r, var_r = ref_dalton_mod.solve_mv_nn(
+        **_solve_kwargs(fitz, ref_interrogate.interrogate_kramer), **kw)
+    assert np.all(np.isfinite(np.asarray(mu_r)))
+    np.testing.assert_allclose(mu, mu_r, rtol=1e-8, atol=1e-10,
+                               equal_nan=False)
+
+
+def test_daltonng_partial_obs_finite(fitz):
+    """With a partially-observed state the reference NaNs (exactly
+    singular stacked innovation); the vacuous-row regularization keeps
+    ours finite — a deliberate, documented fix, not a parity bug."""
+    rng = np.random.default_rng(9)
+    obs_data, obs_times, obs_weight, obs_var = _obs_setup(fitz, rng)
+
+    def obs_loglik_i(obs_data_i, state, i, **params):
         mean = state[:, 0]
         return jnp.sum(
             -0.5 * (obs_data_i[:, 0] - mean) ** 2 / 0.01
@@ -164,15 +207,11 @@ def test_daltonng_parity(fitz):
               obs_loglik_i=obs_loglik_i)
     ll = tpu_dalton_mod.daltonng(
         **_solve_kwargs(fitz, tpu_interrogate.interrogate_kramer), **kw)
+    assert np.isfinite(float(ll)), "daltonng not finite on partial obs"
     ll_r = ref_dalton_mod.daltonng(
         **_solve_kwargs(fitz, ref_interrogate.interrogate_kramer), **kw)
-    np.testing.assert_allclose(ll, ll_r, rtol=1e-7)
-
-    mu, var = tpu_dalton_mod.solve_mv_nn(
-        **_solve_kwargs(fitz, tpu_interrogate.interrogate_kramer), **kw)
-    mu_r, var_r = ref_dalton_mod.solve_mv_nn(
-        **_solve_kwargs(fitz, ref_interrogate.interrogate_kramer), **kw)
-    np.testing.assert_allclose(mu, mu_r, rtol=1e-8, atol=1e-10)
+    assert not np.isfinite(float(ll_r)), (
+        "reference is now finite here; restore the strict parity check")
 
 
 def test_magi_parity(fitz):
