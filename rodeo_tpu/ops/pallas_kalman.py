@@ -202,6 +202,41 @@ def _sym_inv(q, p_cols):
     raise NotImplementedError("fused kernels support q <= 5")
 
 
+def _chol_cols(q, p_cols, where, floor=1e-12):
+    """Closed-form Cholesky of a packed-symmetric matrix in column layout
+    (list of ``n_tri`` like-shaped arrays; returns lower-triangular
+    ``L[i][j]``, j <= i, unrolled at trace time — Mosaic-safe).
+
+    Float32-stable: normalized to correlation form (unit diagonal),
+    factored with a *relative* pivot floor, rows rescaled.  Without this,
+    near-unit correlations make the Schur complements cancel
+    catastrophically in f32 (pivot -> ~0, next column -> ~1e20); a
+    floored pivot corresponds to ~1e-6 relative noise in a genuinely
+    degenerate direction.
+    """
+    tiny = jnp.asarray(1e-38, p_cols[0].dtype)
+    d = [jnp.sqrt(jnp.maximum(p_cols[where[(i, i)]], tiny))
+         for i in range(q)]
+    rd = [1.0 / di for di in d]
+    L = [[None] * (i + 1) for i in range(q)]
+    for i in range(q):
+        for j in range(i + 1):
+            s = p_cols[where[(i, j)]] * (rd[i] * rd[j])
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][i] = jnp.sqrt(jnp.maximum(s, floor))
+            else:
+                L[i][j] = s / L[j][j]
+    return [[L[i][j] * d[i] for j in range(i + 1)] for i in range(q)]
+
+
+def _chol_matvec(q, L, eps_cols):
+    """Columns of ``L @ eps`` for a lower-triangular column factor."""
+    return [sum(L[i][j] * eps_cols[j] for j in range(i + 1))
+            for i in range(q)]
+
+
 def jvp_jac_flat(ode_flat, n_block, q):
     r"""
     Build a Mosaic-safe block-diagonal Jacobian callable from ``ode_flat``
@@ -858,13 +893,30 @@ def fused_smoother_composed(n_steps, prior_weight, prior_var,
 # path.
 
 
-def _filter_kernel_batch(ode_flat, jac_flat, chunk, q, n_block, n_tri,
-                         n_lane, q_const,
-                         q_ref, r_ref, w_ref, x0_ref, th_ref, tgrid_ref,
-                         tv_ref,
-                         mf_ref, pf_ref, mp_ref, pp_ref,
-                         m_scr, p_scr):
-    """Lane-batched forward filter: state columns are (n_block, n_lane)."""
+def _filter_kernel_batch(ode_flat, jac_flat, mode, chunk, q, n_block,
+                         n_tri, n_lane, q_const,
+                         *refs):
+    """Lane-batched forward filter: state columns are (n_block, n_lane).
+
+    ``mode`` selects the interrogation scheme traced into the kernel:
+
+    - ``"kramer"``  (EK1): first-order linearization via ``jac_flat``,
+      zero measurement noise;
+    - ``"rodeo"``   (EK0): zero-order, noise :math:`V = W \\Sigma_p W'`;
+    - ``"schober"``: zero-order, zero noise;
+    - ``"chkrebtii"``: like rodeo (same :math:`V`), but the ODE is evaluated at a draw
+      :math:`x^* = \\mu_p + \\mathrm{chol}(\\Sigma_p)\\,\\epsilon_n` with
+      the standard normals :math:`\\epsilon` precomputed OUTSIDE the
+      kernel and streamed in per chunk (the in-kernel work is one packed
+      column Cholesky + triangular matvec per step).
+    """
+    if mode == "chkrebtii":
+        (q_ref, r_ref, w_ref, x0_ref, th_ref, tgrid_ref, tv_ref, eps_ref,
+         mf_ref, pf_ref, mp_ref, pp_ref, m_scr, p_scr) = refs
+    else:
+        (q_ref, r_ref, w_ref, x0_ref, th_ref, tgrid_ref, tv_ref,
+         mf_ref, pf_ref, mp_ref, pp_ref, m_scr, p_scr) = refs
+        eps_ref = None
     pairs, where = _tri_idx(q)
     gi = pl.program_id(0)
     Qm = q_const if q_const is not None else _read_mat_cols(q_ref, q)
@@ -885,10 +937,17 @@ def _filter_kernel_batch(ode_flat, jac_flat, chunk, q, n_block, n_tri,
         mp_cols = _matvec(q, Qm, m_cols)
         pp_cols = _sym_quadform(q, Qm, p_cols, where)
         pp_cols = [pp_cols[k] + R_cols[k] for k in range(n_tri)]
-        x_cols = [mp_cols[j] * tv_cols[j] for j in range(q)]
+        if mode == "chkrebtii":
+            # interrogate at a posterior-predictive draw (scaled coords)
+            Lc = _chol_cols(q, pp_cols, where)
+            eta = _chol_matvec(q, Lc, [eps_ref[r, j] for j in range(q)])
+            xs_cols = [mp_cols[j] + eta[j] for j in range(q)]
+            x_cols = [xs_cols[j] * tv_cols[j] for j in range(q)]
+        else:
+            x_cols = [mp_cols[j] * tv_cols[j] for j in range(q)]
         t_n = tgrid_ref[gi * chunk + r, 0]
         f0 = ode_flat(x_cols, th_ref, t_n)                 # (nb, B)
-        jd_cols = jac_flat(x_cols, th_ref, t_n) if jac_flat is not None \
+        jd_cols = jac_flat(x_cols, th_ref, t_n) if mode == "kramer" \
             else [None] * q
         H_cols = []
         for j in range(q):
@@ -913,15 +972,15 @@ def _filter_kernel_batch(ode_flat, jac_flat, chunk, q, n_block, n_tri,
         S = None
         for i in range(q):
             S = _acc(S, H_cols[i] * PH_cols[i])
-        if jac_flat is None:
-            S = S + S
+        if mode in ("rodeo", "chkrebtii"):
+            S = S + S                    # V = W Sigma_p W' doubles S
         inv_S = 1.0 / S
         gain = [PH_cols[i] * inv_S for i in range(q)]
         mf_cols = [mp_cols[i] + gain[i] * z for i in range(q)]
         IKW = [[(1.0 if i == j else 0.0) - gain[i] * H_cols[j]
                 for j in range(q)] for i in range(q)]
         pf_cols = _sym_quadform(q, IKW, pp_cols, where)
-        if jac_flat is None:
+        if mode in ("rodeo", "chkrebtii"):
             V = S * 0.5
             pf_cols = [pf_cols[k] + gain[i] * gain[j] * V
                        for k, (i, j) in enumerate(pairs)]
@@ -954,13 +1013,19 @@ def _pick_chunk_batch(n_steps, n_lane, budget_bytes=6 * 2 ** 20):
 def fused_filter_batch(ode_flat, jac_flat, n_steps,
                        prior_weight, prior_var, ode_weight, x0_lanes,
                        theta_lanes, tgrid, t_vec, chunk=None,
-                       interpret="auto", raw_q_const=None):
+                       interpret="auto", raw_q_const=None,
+                       mode=None, eps=None):
     """Lane-batched fused forward filter.
 
     Args:
         x0_lanes (ndarray(q, n_block, n_lane)): Per-lane scaled initial
             states.
         theta_lanes (ndarray(n_theta, n_lane)): Per-lane parameters.
+        mode (str | None): Interrogation scheme
+            (``"kramer" | "rodeo" | "schober" | "chkrebtii"``; default
+            ``"kramer"`` when ``jac_flat`` is given, else ``"rodeo"``).
+        eps (ndarray(n_steps, q, n_block, n_lane) | None): Standard
+            normals for the ``"chkrebtii"`` interrogation draws.
         (other args as :func:`fused_filter`; prior/weights shared across
         lanes)
 
@@ -971,6 +1036,10 @@ def fused_filter_batch(ode_flat, jac_flat, n_steps,
     q, n_block, n_lane = x0_lanes.shape
     pairs, _ = _tri_idx(q)
     n_tri = len(pairs)
+    if mode is None:
+        mode = "kramer" if jac_flat is not None else "rodeo"
+    if mode == "chkrebtii" and eps is None:
+        raise ValueError("mode='chkrebtii' requires eps draws")
     if chunk is None:
         chunk = _pick_chunk_batch(n_steps, n_lane)
     n_chunks = n_steps // chunk
@@ -978,7 +1047,8 @@ def fused_filter_batch(ode_flat, jac_flat, n_steps,
     if q_const is None:
         q_const = raw_q_const
     kern = functools.partial(_filter_kernel_batch, ode_flat, jac_flat,
-                             chunk, q, n_block, n_tri, n_lane, q_const)
+                             mode, chunk, q, n_block, n_tri, n_lane,
+                             q_const)
     outs = [
         jax.ShapeDtypeStruct((n_steps, q, n_block, n_lane), jnp.float32),
         jax.ShapeDtypeStruct((n_steps, n_tri, n_block, n_lane), jnp.float32),
@@ -997,11 +1067,24 @@ def fused_filter_batch(ode_flat, jac_flat, n_steps,
                      memory_space=pltpu.VMEM),
         rep((1, q)),
     ]
+    operands = [
+        prior_weight.reshape(n_block, q * q).astype(jnp.float32),
+        _pack_tri(prior_var, pairs).astype(jnp.float32),
+        ode_weight.astype(jnp.float32),
+        x0_lanes.astype(jnp.float32),
+        theta_lanes.astype(jnp.float32),
+        tgrid[:, None].astype(jnp.float32),
+        t_vec[None, :].astype(jnp.float32),
+    ]
+    if mode == "chkrebtii":
+        in_specs.append(pl.BlockSpec((chunk, q, n_block, n_lane),
+                                     lambda i: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(eps.astype(jnp.float32))
     blk = lambda d: pl.BlockSpec((chunk, d, n_block, n_lane),
                                  lambda i: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
     out_specs = [blk(q), blk(n_tri), blk(q), blk(n_tri)]
-    R_packed = _pack_tri(prior_var, pairs)
     return pl.pallas_call(
         kern, out_shape=outs, grid=(n_chunks,),
         in_specs=in_specs, out_specs=out_specs,
@@ -1010,13 +1093,7 @@ def fused_filter_batch(ode_flat, jac_flat, n_steps,
             pltpu.VMEM((n_tri, n_block, n_lane), jnp.float32),
         ],
         interpret=_interpret_mode(interpret),
-    )(prior_weight.reshape(n_block, q * q).astype(jnp.float32),
-      R_packed.astype(jnp.float32),
-      ode_weight.astype(jnp.float32),
-      x0_lanes.astype(jnp.float32),
-      theta_lanes.astype(jnp.float32),
-      tgrid[:, None].astype(jnp.float32),
-      t_vec[None, :].astype(jnp.float32))
+    )(*operands)
 
 
 def _smoother_kernel_batch(chunk, q, n_block, n_tri, n_lane,
@@ -1116,7 +1193,8 @@ def solve_mv_fused_batch(thetas, ode_weight, ode_inits,
                          t_min, t_max, n_steps,
                          prior_pars,
                          ode_flat, jac_flat=None,
-                         chunk=None, interpret="auto"):
+                         chunk=None, interpret="auto",
+                         interrogation=None, key=None):
     r"""
     Lane-batched fused solve: ``n_lane`` independent solves (parameter
     candidates / chains) in one pair of Pallas kernels, batched over the
@@ -1132,6 +1210,11 @@ def solve_mv_fused_batch(thetas, ode_weight, ode_inits,
         thetas (ndarray(n_lane, n_theta)): Per-lane parameters.
         ode_inits (ndarray(n_lane, n_block, q)): Per-lane initial states
             (original coordinates).
+        interrogation (str | None): ``"kramer" | "rodeo" | "schober" |
+            "chkrebtii"`` (default kramer when ``jac_flat`` is given,
+            rodeo otherwise).  ``"chkrebtii"`` interrogates at an
+            in-kernel posterior-predictive draw and requires ``key``.
+        key (PRNGKey | None): PRNG key for stochastic interrogations.
         (other args as :func:`solve_mv_fused`; requires a block-constant
         transition, i.e. the IBM prior)
 
@@ -1163,10 +1246,16 @@ def solve_mv_fused_batch(thetas, ode_weight, ode_inits,
     tgrid = t_min + (t_max - t_min) * (jnp.arange(n_steps) + 1) / n_steps
     theta_lanes = jnp.transpose(thetas).astype(jnp.float32)
 
+    eps = None
+    if interrogation == "chkrebtii":
+        if key is None:
+            raise ValueError("interrogation='chkrebtii' requires a key")
+        eps = jax.random.normal(
+            key, (n_steps, q, n_block, n_lane), jnp.float32)
     mf, pf, mp, pp = fused_filter_batch(
         ode_flat, jac_flat, n_steps, Qs, Rs, W_s, x0_lanes,
         theta_lanes, tgrid, t_vec, chunk=chunk, interpret=interpret,
-        raw_q_const=q_const)
+        raw_q_const=q_const, mode=interrogation, eps=eps)
 
     # smoothing gains in column layout (T-1, nb, B) — batched over time
     # and lanes at once, no dense (q, q) trailing dims

@@ -42,46 +42,10 @@ from jax.experimental.pallas import tpu as pltpu
 from rodeo_tpu.ops.precond import taylor_scale, scale_prior
 from rodeo_tpu.ops.pallas_kalman import (
     fused_filter_batch, _tri_idx, _pack_tri, _pick_chunk_batch,
-    _static_scaled_qconst, _gain_cols_batched, _interpret_mode)
+    _static_scaled_qconst, _gain_cols_batched, _interpret_mode,
+    _chol_cols, _chol_matvec)
 
 __all__ = ["solve_sim_fused_batch"]
-
-
-def _chol_cols(q, p_cols, where, floor=1e-12):
-    """Closed-form Cholesky of a packed-symmetric matrix in column layout.
-
-    ``p_cols`` is a list of ``n_tri`` arrays (any common shape); returns a
-    list-of-lists ``L[i][j]`` (j <= i) of the lower-triangular factor,
-    unrolled at trace time.
-
-    Float32-stable: the matrix is first normalized to correlation form
-    (unit diagonal), factored with a *relative* pivot floor, and the rows
-    rescaled.  Without this, the near-unit correlations of smoothing
-    conditionals make the Schur complements cancel catastrophically in
-    f32 (pivot -> ~0, next column -> ~1e20).  A floored pivot corresponds
-    to ~1e-6 relative noise in a genuinely degenerate direction.
-    """
-    tiny = jnp.asarray(1e-38, p_cols[0].dtype)
-    d = [jnp.sqrt(jnp.maximum(p_cols[where[(i, i)]], tiny))
-         for i in range(q)]
-    rd = [1.0 / di for di in d]
-    L = [[None] * (i + 1) for i in range(q)]
-    for i in range(q):
-        for j in range(i + 1):
-            s = p_cols[where[(i, j)]] * (rd[i] * rd[j])
-            for k in range(j):
-                s = s - L[i][k] * L[j][k]
-            if i == j:
-                L[i][i] = jnp.sqrt(jnp.maximum(s, floor))
-            else:
-                L[i][j] = s / L[j][j]
-    return [[L[i][j] * d[i] for j in range(i + 1)] for i in range(q)]
-
-
-def _chol_matvec(q, L, eps_cols):
-    """Columns of ``L @ eps`` for a lower-triangular column factor."""
-    return [sum(L[i][j] * eps_cols[j] for j in range(i + 1))
-            for i in range(q)]
 
 
 def _sampler_kernel_batch(chunk, q, n_block, n_lane,
@@ -136,7 +100,8 @@ def solve_sim_fused_batch(key, thetas, ode_weight, ode_inits,
                           t_min, t_max, n_steps,
                           prior_pars,
                           ode_flat, jac_flat=None,
-                          chunk=None, interpret="auto"):
+                          chunk=None, interpret="auto",
+                          interrogation=None):
     r"""
     Lane-batched fused posterior path sampling: ``n_lane`` independent
     draws (one per parameter candidate / MCMC chain) in one kernel
@@ -177,10 +142,15 @@ def solve_sim_fused_batch(key, thetas, ode_weight, ode_inits,
     tgrid = t_min + (t_max - t_min) * (jnp.arange(n_steps) + 1) / n_steps
     theta_lanes = jnp.transpose(thetas).astype(jnp.float32)
 
+    eps_int = None
+    if interrogation == "chkrebtii":
+        key, key_int = jax.random.split(key)
+        eps_int = jax.random.normal(
+            key_int, (n_steps, q, n_block, n_lane), jnp.float32)
     mf, pf, mp, pp = fused_filter_batch(
         ode_flat, jac_flat, n_steps, Qs, Rs, W_s, x0_lanes,
         theta_lanes, tgrid, t_vec, chunk=None, interpret=interpret,
-        raw_q_const=q_const)
+        raw_q_const=q_const, mode=interrogation, eps=eps_int)
 
     # conditional-draw parameters for steps 1..N-1 in column layout
     R_packed = _pack_tri(Rs, pairs)

@@ -184,6 +184,62 @@ def test_fused_q4_chkrebtii():
             rtol=2e-3, atol=2e-3)
 
 
+def test_fused_batch_schober_mode():
+    """interrogation='schober' (zero-order, zero noise) matches the XLA
+    preconditioned solver with interrogate_schober."""
+    from rodeo_tpu.interrogate import interrogate_schober
+    cfg = lorenz.setup(n_steps=200, t_max=2.0, dtype=jnp.float32)
+    theta = cfg.pop("theta")
+    B = 4
+    thetas = jnp.broadcast_to(theta, (B, 3))
+    inits = jnp.broadcast_to(cfg["ode_init"], (B,) + cfg["ode_init"].shape)
+    mu_s, _ = pallas_kalman.solve_mv_fused_batch(
+        interrogation="schober", thetas=thetas,
+        ode_weight=cfg["ode_weight"], ode_inits=inits,
+        t_min=cfg["t_min"], t_max=cfg["t_max"], n_steps=cfg["n_steps"],
+        prior_pars=cfg["prior_pars"], ode_flat=lorenz.lorenz_flat)
+    mu_ref, _ = precond.solve_mv(
+        key=None, interrogate=interrogate_schober, theta=theta, **cfg)
+    np.testing.assert_allclose(
+        np.asarray(mu_s[..., 0]), np.asarray(mu_ref), rtol=5e-2, atol=5e-2)
+
+
+def test_fused_batch_chkrebtii_mode():
+    """interrogation='chkrebtii' (stochastic, in-kernel predictive draw)
+    matches the XLA chkrebtii interrogation distributionally: same
+    mean-of-realizations and same realization spread."""
+    from functools import partial
+    import rodeo_tpu
+    from rodeo_tpu.interrogate import interrogate_chkrebtii
+    from rodeo_tpu.models import fitzhugh
+    cfg = fitzhugh.setup(n_steps=100, t_max=5.0, dtype=jnp.float32)
+    theta = cfg.pop("theta")
+    B = 16
+    thetas = jnp.broadcast_to(theta, (B, 3))
+    inits = jnp.broadcast_to(cfg["ode_init"], (B,) + cfg["ode_init"].shape)
+    mu_c, _ = pallas_kalman.solve_mv_fused_batch(
+        interrogation="chkrebtii", key=jax.random.PRNGKey(0),
+        thetas=thetas, ode_weight=cfg["ode_weight"], ode_inits=inits,
+        t_min=cfg["t_min"], t_max=cfg["t_max"], n_steps=cfg["n_steps"],
+        prior_pars=cfg["prior_pars"], ode_flat=fitzhugh.fitzhugh_flat)
+    assert bool(jnp.all(jnp.isfinite(mu_c)))
+    cfg64 = fitzhugh.setup(n_steps=100, t_max=5.0, dtype=jnp.float64)
+    cfg64.pop("theta")
+    xla = jnp.stack([
+        rodeo_tpu.solve_mv(
+            key=jax.random.PRNGKey(100 + s),
+            interrogate=partial(interrogate_chkrebtii,
+                                kalman_type="standard"),
+            theta=theta.astype(jnp.float64), **cfg64)[0][:, :, 0]
+        for s in range(16)])
+    mean_diff = float(jnp.max(jnp.abs(
+        jnp.mean(mu_c[:, :, 0, :], axis=-1) - jnp.mean(xla, axis=0))))
+    sd_fused = float(jnp.mean(jnp.std(mu_c[:, :, 0, :], axis=-1)))
+    sd_xla = float(jnp.mean(jnp.std(xla, axis=0)))
+    assert mean_diff < 1e-2, mean_diff
+    assert 0.5 < sd_fused / sd_xla < 2.0, (sd_fused, sd_xla)
+
+
 def test_fenrir_fused_matches_xla():
     """Fused fenrir likelihood == XLA fenrir (f32, Pallas interpreter)."""
     import importlib
