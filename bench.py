@@ -238,6 +238,25 @@ def main():
             details[f"{name}_loglik_evals_per_sec"] = round(nb / t_ll, 2)
             details[f"{name}_loglik_finite"] = bool(
                 jnp.all(jnp.isfinite(out_ll)))
+        # larger vmapped batches (throughput scaling of the XLA path)
+        for nb_big in (64, 128):
+            ths_big = jnp.broadcast_to(th_f, (nb_big, 3)) + \
+                1e-4 * jnp.arange(nb_big, dtype=jnp.float32)[:, None]
+            ll_fn = jax.jit(jax.vmap(lambda th: precond.fenrir(
+                key=None, interrogate=interrogate_kramer, theta=th,
+                obs_data=yobs, obs_times=obs_times, obs_weight=D,
+                obs_var=Om, **cfg_f)))
+            t_ll, out_ll = _timeit(ll_fn, (ths_big,), n_rep=3)
+            details[f"fenrir_loglik_batch{nb_big}_evals_per_sec"] = round(
+                nb_big / t_ll, 2)
+        # parallel-in-time backward pass under vmap
+        ll_fn = jax.jit(jax.vmap(lambda th: precond.fenrir(
+            key=None, interrogate=interrogate_kramer, theta=th,
+            obs_data=yobs, obs_times=obs_times, obs_weight=D,
+            obs_var=Om, temporal="parallel", **cfg_f)))
+        t_ll, out_ll = _timeit(ll_fn, (ths,), n_rep=3)
+        details["fenrir_ptime_loglik_evals_per_sec"] = round(nb / t_ll, 2)
+        details["fenrir_ptime_finite"] = bool(jnp.all(jnp.isfinite(out_ll)))
         # fused Pallas fenrir (sequential-map latency, not vmap)
         from rodeo_tpu.ops import pallas_fenrir
         Bf = 8
@@ -338,22 +357,22 @@ def main():
             resid = paths[:, :, 0, :] - mu_ref2[:, :, 0, None]
             return -0.5 * jnp.sum(resid * resid, axis=(0, 1)) / 0.01
 
-        n_chains_f, n_samp_f = 128, 20
+        from rodeo_tpu.parallel.chains import make_chain_runner
+        n_chains_f, n_samp_f = 128, 50
         init_f = jnp.broadcast_to(th_m, (n_chains_f, 3)).astype(jnp.float32)
-        kw_f = dict(
-            rw_scale=0.02, ode_weight=cfg_m["ode_weight"],
-            ode_init=cfg_m["ode_init"], t_min=cfg_m["t_min"],
-            t_max=cfg_m["t_max"], n_steps=cfg_m["n_steps"],
-            prior_pars=cfg_m["prior_pars"],
+        # production pattern: build the jitted runner ONCE, reuse it (each
+        # ad-hoc call re-traces the whole scan, costing seconds)
+        runner = make_chain_runner(
+            loglik_f, n_lane=n_chains_f, n_samples=n_samp_f, rw_scale=0.02,
+            ode_weight=cfg_m["ode_weight"], ode_init=cfg_m["ode_init"],
+            t_min=cfg_m["t_min"], t_max=cfg_m["t_max"],
+            n_steps=cfg_m["n_steps"], prior_pars=cfg_m["prior_pars"],
             ode_flat=fitzhugh.fitzhugh_flat,
             jac_flat=fitzhugh.fitzhugh_jac_flat)
-        out = run_chains_fused(loglik_f, init_f, jax.random.PRNGKey(5),
-                               n_samples=n_samp_f, **kw_f)
+        out = runner(init_f, jax.random.PRNGKey(5))
         jax.tree_util.tree_leaves(out)[0].block_until_ready()
         t0 = time.perf_counter()
-        positions_f, ll_f, accept_f = run_chains_fused(
-            loglik_f, init_f, jax.random.PRNGKey(6), n_samples=n_samp_f,
-            **kw_f)
+        positions_f, ll_f, accept_f = runner(init_f, jax.random.PRNGKey(6))
         positions_f.block_until_ready()
         dt_f = time.perf_counter() - t0
         details["mcmc_chain_steps_per_sec"] = round(

@@ -118,11 +118,33 @@ def run_chains_fused(loglik_fn, init_positions, key, n_samples, rw_scale,
         - **logdens** (ndarray(n_lane,)): Final likelihood estimates.
         - **accept_rate** (ndarray(n_lane,)): Per-chain acceptance rate.
     """
+    runner = make_chain_runner(
+        loglik_fn=loglik_fn, n_lane=init_positions.shape[0],
+        n_samples=n_samples, rw_scale=rw_scale, ode_weight=ode_weight,
+        ode_init=ode_init, t_min=t_min, t_max=t_max, n_steps=n_steps,
+        prior_pars=prior_pars, ode_flat=ode_flat, jac_flat=jac_flat,
+        position_to_init=position_to_init, chunk=chunk,
+        interpret=interpret)
+    return runner(init_positions, key)
+
+
+def make_chain_runner(loglik_fn, n_lane, n_samples, rw_scale,
+                      ode_weight, ode_init, t_min, t_max, n_steps,
+                      prior_pars, ode_flat, jac_flat=None,
+                      position_to_init=None, chunk=None,
+                      interpret="auto", interrogation=None):
+    r"""
+    Build the jitted lockstep-MCMC runner used by :func:`run_chains_fused`
+    (``runner(init_positions, key) -> (positions, logdens, accept)``).
+
+    Production loops should create the runner ONCE and call it repeatedly:
+    each :func:`run_chains_fused` call builds (and re-traces) a fresh
+    closure, which costs seconds of trace/lowering for long scans.
+    """
     from rodeo_tpu.ops.pallas_sim import solve_sim_fused_batch
 
-    n_lane, n_theta = init_positions.shape
-    rw_scale = jnp.broadcast_to(jnp.asarray(rw_scale, jnp.float32),
-                                (n_theta,))
+    n_theta = jnp.shape(jnp.asarray(rw_scale))[-1] \
+        if jnp.ndim(jnp.asarray(rw_scale)) else None
 
     def inits_for(positions):
         if position_to_init is not None:
@@ -134,13 +156,16 @@ def run_chains_fused(loglik_fn, init_positions, key, n_samples, rw_scale,
             key=key, thetas=positions, ode_weight=ode_weight,
             ode_inits=inits_for(positions), t_min=t_min, t_max=t_max,
             n_steps=n_steps, prior_pars=prior_pars, ode_flat=ode_flat,
-            jac_flat=jac_flat, chunk=chunk, interpret=interpret)
+            jac_flat=jac_flat, chunk=chunk, interpret=interpret,
+            interrogation=interrogation)
         return loglik_fn(positions, paths)
 
     def one_step(carry, step_key):
         pos, ll = carry
         k_prop, k_path, k_acc = jax.random.split(step_key, 3)
-        prop = pos + rw_scale * jax.random.normal(
+        scale = jnp.broadcast_to(
+            jnp.asarray(rw_scale, jnp.float32), pos.shape[-1:])
+        prop = pos + scale * jax.random.normal(
             k_prop, pos.shape, jnp.float32)
         ll_prop = estimate(prop, k_path)
         log_u = jnp.log(jax.random.uniform(k_acc, (n_lane,), jnp.float32))
@@ -153,13 +178,14 @@ def run_chains_fused(loglik_fn, init_positions, key, n_samples, rw_scale,
     @jax.jit
     def run(init_positions, key):
         key_init, key_scan = jax.random.split(key)
-        ll0 = estimate(init_positions, key_init)
+        ll0 = estimate(init_positions.astype(jnp.float32), key_init)
         keys = jax.random.split(key_scan, n_samples)
         (pos, ll), (positions, accepted) = jax.lax.scan(
             one_step, (init_positions.astype(jnp.float32), ll0), keys)
         return positions, ll, jnp.mean(accepted.astype(jnp.float32), axis=0)
 
-    return run(init_positions, key)
+    del n_theta
+    return run
 
 
 def sharded_loglik(loglik_fn, thetas, keys=None, mesh=None,

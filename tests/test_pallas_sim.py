@@ -99,6 +99,46 @@ def test_sim_batch_consistent_with_xla_posterior(lorenz_cfg):
     assert float(jnp.max(jnp.abs(z[1:]))) < 8.0
 
 
+def test_fused_chains_acceptance_matches_xla():
+    """Pseudo-marginal acceptance statistics are unchanged between the
+    fused lockstep chains and the vmapped XLA pseudo-marginal sampler
+    (same model, proposal scale, matched horizon; deterministic keys)."""
+    from rodeo_tpu.ops import precond
+    from rodeo_tpu.parallel import run_chains, run_chains_fused
+    from rodeo_tpu.inference import pseudo_marginal as pm
+    from rodeo_tpu.interrogate import interrogate_kramer
+    cfg = fitzhugh.setup(n_steps=20, t_max=2.0, dtype=jnp.float32)
+    th = cfg.pop("theta")
+    mu_ref, _ = precond.solve_mv(
+        key=None, interrogate=interrogate_kramer, theta=th, **cfg)
+    n_chains, n_samp = 8, 20
+    init = jnp.broadcast_to(th, (n_chains, 3)).astype(jnp.float32)
+
+    def logpost(theta, key):
+        xs = precond.solve_sim(key=key, interrogate=interrogate_kramer,
+                               theta=theta, method="eigh", **cfg)
+        return -0.5 * jnp.sum((xs[:, :, 0] - mu_ref[:, :, 0])**2) / 0.01, \
+            xs[-1]
+
+    alg = pm.normal_random_walk(logpost, 0.05 * jnp.ones(3, jnp.float32))
+    _, _, acc_x = run_chains(alg, init, jax.random.PRNGKey(3),
+                             n_samples=n_samp)
+
+    def loglik(positions, paths):
+        r = paths[:, :, 0, :] - mu_ref[:, :, 0, None]
+        return -0.5 * jnp.sum(r * r, axis=(0, 1)) / 0.01
+
+    _, _, acc_f = run_chains_fused(
+        loglik, init, jax.random.PRNGKey(3), n_samples=n_samp,
+        rw_scale=0.05, ode_weight=cfg["ode_weight"],
+        ode_init=cfg["ode_init"], t_min=cfg["t_min"], t_max=cfg["t_max"],
+        n_steps=cfg["n_steps"], prior_pars=cfg["prior_pars"],
+        ode_flat=fitzhugh.fitzhugh_flat,
+        jac_flat=fitzhugh.fitzhugh_jac_flat)
+    a_x, a_f = float(jnp.mean(acc_x)), float(jnp.mean(acc_f))
+    assert abs(a_x - a_f) < 0.25, (a_x, a_f)
+
+
 def test_run_chains_fused():
     from rodeo_tpu.parallel import run_chains_fused
     cfg = fitzhugh.setup(n_steps=20, t_max=2.0, dtype=jnp.float32)

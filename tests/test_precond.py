@@ -156,6 +156,20 @@ def _obs_kw(fitz, seed=21, n_obs=5):
                           obs_weight=D, obs_var=Om)
 
 
+def test_fenrir_parallel_backward_matches_sequential(fitz):
+    """fenrir with temporal='parallel' (associative-scan backward filter
+    over the time-varying conditional chain) == sequential, exactly up to
+    fp reordering, in f64."""
+    import importlib
+    fen = importlib.import_module("rodeo_tpu.inference.fenrir")
+    solve_kw, obs_kw = _obs_kw(fitz)
+    ll_seq = fen.fenrir(**solve_kw, **obs_kw)
+    ll_par = fen.fenrir(temporal="parallel", **solve_kw, **obs_kw)
+    np.testing.assert_allclose(float(ll_par), float(ll_seq), rtol=1e-9)
+    ll_pp = precond.fenrir(temporal="parallel", **solve_kw, **obs_kw)
+    np.testing.assert_allclose(float(ll_pp), float(ll_seq), rtol=1e-8)
+
+
 def test_precond_solvers_match_plain(fitz):
     """Preconditioned data-conditioned solvers (fenrir/dalton solve_mv,
     dalton solve_sim) return unscaled posteriors matching the plain
