@@ -15,8 +15,19 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+
+def _backend():
+    # the TPU tunnel is single-client: fall back to CPU when another
+    # process (e.g. bench.py) holds it
+    try:
+        return jax.default_backend()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "cpu")
+        return "cpu"
+
+
 # x64 only off-TPU (the TPU path runs float32 with Taylor preconditioning)
-if jax.default_backend() not in ("tpu", "axon"):
+if _backend() not in ("tpu", "axon"):
     jax.config.update("jax_enable_x64", True)
 
 import rodeo_tpu
@@ -27,7 +38,7 @@ fenrir_mod = importlib.import_module("rodeo_tpu.inference.fenrir")
 
 
 def main():
-    on_tpu = jax.default_backend() in ("tpu", "axon")
+    on_tpu = _backend() in ("tpu", "axon")
     dtype = jnp.float32 if on_tpu else jnp.float64
     n_steps, t_max = 4000, 20.0
     cfg = lorenz.setup(n_steps=n_steps, t_max=t_max, dtype=dtype)

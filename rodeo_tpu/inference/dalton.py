@@ -344,18 +344,25 @@ def _dalton_dense(key, ode_fun, ode_weight, ode_init,
     }
     _, stack = jax.lax.scan(scan, scan_init, xs)
 
-    # log-density of p(Y_0 | X_0) if an observation sits at t = 0
-    logp0 = jnp.sum(multivariate_normal_logpdf(
+    # log-density of p(Y_0 | X_0) if an observation sits at t = 0.
+    # NB: keep the eigen-MASKED logpdf here (not the closed-form fast
+    # one): with zero-noise interrogations the ODE rows of the stacked
+    # forecast covariance are numerically degenerate, and upstream's
+    # semantic is to DROP those directions from both the joint and the
+    # marginal density; a closed-form logdet keeps them and shifts the
+    # assembled value.
+    logpdf = multivariate_normal_logpdf
+    logp0 = jnp.sum(logpdf(
         y_grid[0], mean=mvdot(d_grid[0], ode_init) + obs_mean,
         cov=om_grid[0]))
     # joint: batched masked logpdf over the stacked forecasts; the
     # no-obs rows' exact identity-block contribution is cancelled
-    logp_zy = multivariate_normal_logpdf(
+    logp_zy = logpdf(
         stack["x_stack"], mean=stack["fore_mean_zy"],
         cov=stack["fore_var_zy"])                         # (N, nb)
     corr = (1.0 - mask[1:]) * (0.5 * n_bobs * math.log(2.0 * math.pi))
     logdens_zy = mask[0] * logp0 + jnp.sum(logp_zy + corr[:, None])
-    logp_z = multivariate_normal_logpdf(
+    logp_z = logpdf(
         jnp.zeros_like(stack["fore_mean_z"]), mean=stack["fore_mean_z"],
         cov=stack["fore_var_z"])
     logdens_z = jnp.sum(logp_z)

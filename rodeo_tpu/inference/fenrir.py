@@ -355,7 +355,15 @@ def _backward_dense(mean_state_filt, var_state_filt,
     bpred_var = jnp.concatenate([var_scan_pred, var_state_term[None]])
     fore_mean = mvdot(d_grid, bpred_mean)
     fore_var = d_grid @ bpred_var @ jnp.swapaxes(d_grid, -1, -2) + om_grid
-    logp = multivariate_normal_logpdf(y_grid, mean=fore_mean, cov=fore_var)
+    from rodeo_tpu.ops.linalg import fast_linalg_enabled, mvn_logpdf_small
+    if fast_linalg_enabled() and d_grid.shape[-2] <= 5:
+        # closed-form det+solve (PD forecast covariances on the fast
+        # path); the eigen-masked logpdf stays the default for parity
+        # with upstream's singular-covariance handling
+        logp = mvn_logpdf_small(y_grid, fore_mean, fore_var)
+    else:
+        logp = multivariate_normal_logpdf(
+            y_grid, mean=fore_mean, cov=fore_var)
     logdens = jnp.sum(mask[:, None] * logp)
 
     state_par = {

@@ -22,6 +22,7 @@ def magi_logdens(ode_data_subset,
                  n_active,
                  prior_pars,
                  kalman_type,
+                 temporal="sequential",
                  **params):
     r"""
     Log-density of the MAGI approximation.
@@ -36,12 +37,27 @@ def magi_logdens(ode_data_subset,
         n_active (int): Number of active (non-zero-padded) derivatives.
         prior_pars (tuple): ``(prior_weight, prior_var)``.
         kalman_type (str): ``"standard"`` or ``"square-root"``.
+        temporal (str): ``"sequential"`` (reference-exact scan) or
+            ``"parallel"`` — the MAGI filter is linear-affine (exact
+            pseudo-observations of a fixed path), so it runs exactly as a
+            parallel-in-time associative scan with all forecast
+            log-densities in one batched pass (standard form only).
         params: Parameters forwarded to ``ode_expand``.
 
     Returns:
         (float): ``log p(ode_data_subset, Z = 0 | params, prior_pars)``.
     """
     kalman_funs = get_backend(kalman_type)
+    if temporal == "parallel":
+        if kalman_type != "standard":
+            raise NotImplementedError(
+                "temporal='parallel' magi requires kalman_type='standard'")
+        return _magi_logdens_parallel(
+            ode_data_subset, ode_expand, n_active, prior_pars, **params)
+    elif temporal != "sequential":
+        raise NotImplementedError(
+            f"unknown temporal mode {temporal!r}; "
+            "expected 'sequential' or 'parallel'")
 
     n_vars = ode_data_subset.shape[1]
     ode_state = ode_expand(ode_data_subset, **params)
@@ -101,3 +117,47 @@ def magi_logdens(ode_data_subset,
         xs=ode_state[1:, :, :n_active],
     )
     return res["logdens"]
+
+
+def _magi_logdens_parallel(ode_data_subset, ode_expand, n_active,
+                           prior_pars, **params):
+    r"""
+    Parallel-in-time MAGI: the filter over exact pseudo-observations of a
+    *fixed* path is linear-affine, so it runs as one
+    :func:`rodeo_tpu.ops.ptime.parallel_filter` (O(log N) sequential
+    depth) and the per-step forecast log-densities evaluate in one
+    batched pass over the stacked predictions.  Same value as the
+    sequential scan up to fp reordering.
+    """
+    from rodeo_tpu.ops.ptime import parallel_filter
+
+    n_vars = ode_data_subset.shape[1]
+    ode_state = ode_expand(ode_data_subset, **params)
+    n_tot, _, n_deriv = ode_state.shape
+    n_steps = n_tot - 1
+    dtype = ode_state.dtype
+    wgt_state, var_state = prior_pars
+
+    wgt_meas = jnp.broadcast_to(
+        jnp.eye(n_active, n_deriv, dtype=dtype),
+        (n_steps, n_vars, n_active, n_deriv))
+    mean_meas = jnp.zeros((n_steps, n_vars, n_active), dtype=dtype)
+    var_meas = jnp.zeros((n_steps, n_vars, n_active, n_active), dtype=dtype)
+    x_meas = ode_state[1:, :, :n_active]
+
+    out = parallel_filter(
+        mean_init=ode_state[0],
+        var_init=jnp.zeros((n_vars, n_deriv, n_deriv), dtype=dtype),
+        prior_weight=wgt_state, prior_var=var_state,
+        wgt_meas=wgt_meas, mean_meas=mean_meas, var_meas=var_meas,
+        x_meas=x_meas)
+    mean_pred, var_pred = out["state_pred"]
+    # batched forecast log-densities over rows 1..N (exact Cholesky logpdf
+    # as the sequential path / reference, magi.py:70-74)
+    fore_mean = jnp.einsum(
+        "tbij,tbj->tbi", wgt_meas, mean_pred[1:]) + mean_meas
+    fore_var = wgt_meas @ var_pred[1:] @ jnp.swapaxes(wgt_meas, -1, -2) \
+        + var_meas
+    logdens = jax.scipy.stats.multivariate_normal.logpdf(
+        x_meas, fore_mean, fore_var)
+    return jnp.sum(logdens)

@@ -110,6 +110,55 @@ def _inv_small_normed(a):
     raise ValueError(f"inv_small supports n in (1, ..., 5), got {n}")
 
 
+def _det_small_normed(a):
+    """Closed-form determinant for trailing dims up to 5x5 (batched);
+    n = 4, 5 via the Schur split det(M) = det(A) det(D - C A^{-1} B)."""
+    n = a.shape[-1]
+    if n == 1:
+        return a[..., 0, 0]
+    if n == 2:
+        return _det2(a)
+    if n == 3:
+        m00, m01, m02 = a[..., 0, 0], a[..., 0, 1], a[..., 0, 2]
+        m10, m11, m12 = a[..., 1, 0], a[..., 1, 1], a[..., 1, 2]
+        m20, m21, m22 = a[..., 2, 0], a[..., 2, 1], a[..., 2, 2]
+        return (m00 * (m11 * m22 - m12 * m21)
+                + m01 * (m12 * m20 - m10 * m22)
+                + m02 * (m10 * m21 - m11 * m20))
+    if n in (4, 5):
+        k = 2
+        A, B = a[..., :k, :k], a[..., :k, k:]
+        Cc, D = a[..., k:, :k], a[..., k:, k:]
+        S = D - Cc @ _inv_small_normed(A) @ B
+        return _det2(A) * _det_small_normed(S)
+    raise ValueError(f"det_small supports n in (1, ..., 5), got {n}")
+
+
+def mvn_logpdf_small(x, mean, cov):
+    r"""
+    Multivariate-normal log-density via closed-form determinant + solve
+    for trailing dims up to 5 — no eigendecomposition (``jnp.linalg.eigh``
+    of tiny matrices is an iterative routine whose cost dwarfs the
+    arithmetic on TPU).  Scale-normalized against f32 overflow; requires
+    a positive-definite covariance (use
+    :func:`rodeo_tpu.utils.multivariate_normal_logpdf` for singular
+    covariances).
+
+    Batched over leading dims; returns ``(...)`` log-density values.
+    """
+    n = cov.shape[-1]
+    scale = jnp.max(jnp.abs(cov), axis=(-1, -2), keepdims=True)
+    scale = jnp.where(scale == 0, 1.0, scale)
+    det_n = _det_small_normed(cov / scale)
+    tiny = jnp.asarray(jnp.finfo(cov.dtype).tiny, cov.dtype)
+    logdet = (n * jnp.log(scale[..., 0, 0])
+              + jnp.log(jnp.maximum(det_n, tiny)))
+    z = x - mean
+    quad = jnp.sum(z * solve_small(cov, z), axis=-1)
+    log2pi = jnp.asarray(1.8378770664093453, cov.dtype)
+    return -0.5 * (quad + logdet + n * log2pi)
+
+
 def solve_small(a, b):
     """
     ``a^{-1} b`` with a closed form when the trailing dimension of ``a`` is

@@ -256,6 +256,30 @@ def test_precond_magi_matches_plain():
     np.testing.assert_allclose(float(ll_p), float(ll), rtol=1e-7)
 
 
+def test_magi_parallel_matches_sequential():
+    """magi temporal='parallel' (associative-scan filter + batched
+    forecast log-densities) == the sequential scan in f64."""
+    import importlib
+    magi = importlib.import_module("rodeo_tpu.inference.magi")
+    from rodeo_tpu.prior import ibm_init
+    rng = np.random.default_rng(31)
+    n_steps, n_vars, q, dt = 12, 2, 3, 0.25
+    U = 0.1 * jnp.cumsum(
+        jnp.asarray(rng.standard_normal((n_steps + 1, n_vars, q - 1))),
+        axis=0)
+    prior_pars = ibm_init(dt, q, jnp.ones(n_vars))
+
+    def ode_expand(u, **p):
+        return jnp.concatenate(
+            [u, jnp.zeros(u.shape[:-1] + (1,))], axis=-1)
+
+    kw = dict(ode_data_subset=U, ode_expand=ode_expand, n_active=2,
+              prior_pars=prior_pars, kalman_type="standard")
+    ll_s = magi.magi_logdens(**kw)
+    ll_p = magi.magi_logdens(temporal="parallel", **kw)
+    np.testing.assert_allclose(float(ll_p), float(ll_s), rtol=1e-8)
+
+
 def test_precond_inference_f32_finite():
     """f32 TPU-path coverage: daltonng / magi / basic stay finite on the
     4k-step Lorenz grid where the unconditioned prior NaNs (VERDICT r1 #4)."""
