@@ -162,18 +162,20 @@ def main():
         details["pallas_error"] = repr(e)[:500]
 
     # latency path: k-step composed smoother (sequential chain k x shorter)
-    for k_comp in (8, 16):
+    # x optional fully-unrolled small-chunk filter (cross-step ILP)
+    for k_comp, unroll in ((8, False), (16, False), (16, True)):
         try:
             from rodeo_tpu.ops import pallas_kalman
-            pkc = jax.jit(lambda ths, k=k_comp: jax.lax.map(
+            pkc = jax.jit(lambda ths, k=k_comp, u=unroll: jax.lax.map(
                 lambda th: pallas_kalman.solve_mv_fused(
                     key=None, interrogate=interrogate_kramer, theta=th,
                     ode_flat=lorenz.lorenz_flat,
                     jac_flat=lorenz.lorenz_jac_flat, k_compose=k,
-                    **cfg)[0], ths))
+                    unroll=u, **cfg)[0], ths))
             t_pkc, out_pkc = _timeit(pkc, (thetas,), per=B)
             ok_pkc = not bool(jnp.any(jnp.isnan(out_pkc)))
-            candidates[f"pallas_fused_k{k_comp}"] = (t_pkc, ok_pkc)
+            name = f"pallas_fused_k{k_comp}" + ("_unroll" if unroll else "")
+            candidates[name] = (t_pkc, ok_pkc)
         except Exception as e:  # noqa: BLE001
             details[f"pallas_k{k_comp}_error"] = repr(e)[:500]
 
@@ -300,17 +302,24 @@ def main():
             cfg_f["ode_init"], (Blf,) + cfg_f["ode_init"].shape)
         # lane-batched fused DALTON
         from rodeo_tpu.ops import pallas_dalton
-        lld_fn = jax.jit(lambda ts: pallas_dalton.dalton_fused_batch(
-            thetas=ts, ode_weight=cfg_f["ode_weight"], ode_inits=inits_lf,
-            t_min=cfg_f["t_min"], t_max=cfg_f["t_max"],
-            n_steps=cfg_f["n_steps"], prior_pars=cfg_f["prior_pars"],
-            obs_data=yobs, obs_times=obs_times, obs_weight=D, obs_var=Om,
-            ode_flat=lorenz.lorenz_flat, jac_flat=lorenz.lorenz_jac_flat))
-        t_lld, out_lld = _timeit(lld_fn, (ths_lf,), n_rep=3, per=Blf)
-        details["dalton_fused_batch128_evals_per_sec"] = round(
-            1.0 / t_lld, 2)
-        details["dalton_fused_batch128_finite"] = bool(
-            jnp.all(jnp.isfinite(out_lld)))
+        for Bld in (128, 512):
+            ths_ld = jnp.broadcast_to(th_f, (Bld, 3)) * \
+                (1 + 1e-6 * jnp.arange(Bld, dtype=jnp.float32)[:, None])
+            inits_ld = jnp.broadcast_to(
+                cfg_f["ode_init"], (Bld,) + cfg_f["ode_init"].shape)
+            lld_fn = jax.jit(lambda ts, x0: pallas_dalton.dalton_fused_batch(
+                thetas=ts, ode_weight=cfg_f["ode_weight"], ode_inits=x0,
+                t_min=cfg_f["t_min"], t_max=cfg_f["t_max"],
+                n_steps=cfg_f["n_steps"], prior_pars=cfg_f["prior_pars"],
+                obs_data=yobs, obs_times=obs_times, obs_weight=D,
+                obs_var=Om, ode_flat=lorenz.lorenz_flat,
+                jac_flat=lorenz.lorenz_jac_flat))
+            t_lld, out_lld = _timeit(lld_fn, (ths_ld, inits_ld),
+                                     n_rep=3, per=Bld)
+            details[f"dalton_fused_batch{Bld}_evals_per_sec"] = round(
+                1.0 / t_lld, 2)
+            details[f"dalton_fused_batch{Bld}_finite"] = bool(
+                jnp.all(jnp.isfinite(out_lld)))
     except Exception as e:  # noqa: BLE001
         details["loglik_bench_error"] = repr(e)[:500]
 

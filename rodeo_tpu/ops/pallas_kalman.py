@@ -321,6 +321,7 @@ def _static_scaled_qconst(prior_weight_raw, dt, q):
 
 
 def _filter_kernel(ode_flat, jac_flat, chunk, q, n_block, n_tri, q_const,
+                   unroll,
                    q_ref, r_ref, w_ref, x0_ref, th_ref, tgrid_ref, tv_ref,
                    mf_ref, pf_ref, mp_ref, pp_ref,
                    m_scr, p_scr):
@@ -405,7 +406,12 @@ def _filter_kernel(ode_flat, jac_flat, chunk, q, n_block, n_tri, q_const,
 
     m0 = [m_scr[:, j:j + 1] for j in range(q)]
     p0 = [p_scr[:, k:k + 1] for k in range(n_tri)]
-    out = jax.lax.fori_loop(0, chunk, body, tuple(m0) + tuple(p0))
+    # full unroll exposes cross-step instruction-level parallelism to the
+    # Mosaic scheduler (the covariance chain of step n+1 can issue while
+    # the mean chain of step n drains); Pallas fori_loop supports only
+    # unroll = 1 or = num_steps, so unrolling implies a small chunk
+    out = jax.lax.fori_loop(0, chunk, body, tuple(m0) + tuple(p0),
+                            unroll=True if unroll else 1)
     for j in range(q):
         m_scr[:, j:j + 1] = out[j]
     for k in range(n_tri):
@@ -449,7 +455,7 @@ def _unpack_tri(packed, q, pairs):
 def fused_filter(ode_flat, jac_flat, n_steps,
                  prior_weight, prior_var, ode_weight, ode_init,
                  theta_col, tgrid, t_vec, chunk=None, interpret="auto",
-                 raw_q_const=None):
+                 raw_q_const=None, unroll=False):
     """Invoke the fused forward-filter kernel (preconditioned inputs).
 
     Returns stacked ``(n_steps, n_block, q / n_tri)`` filtered/predicted
@@ -459,13 +465,13 @@ def fused_filter(ode_flat, jac_flat, n_steps,
     pairs, _ = _tri_idx(q)
     n_tri = len(pairs)
     if chunk is None:
-        chunk = _pick_chunk(n_steps)
+        chunk = _pick_chunk(n_steps, target=16 if unroll else 256)
     n_chunks = n_steps // chunk
     q_const = _const_coefs(prior_weight)
     if q_const is None:
         q_const = raw_q_const
     kern = functools.partial(_filter_kernel, ode_flat, jac_flat,
-                             chunk, q, n_block, n_tri, q_const)
+                             chunk, q, n_block, n_tri, q_const, unroll)
     outs = [
         jax.ShapeDtypeStruct((n_steps, n_block, q), jnp.float32),
         jax.ShapeDtypeStruct((n_steps, n_block, n_tri), jnp.float32),
@@ -646,7 +652,7 @@ def solve_mv_fused(key, ode_fun, ode_weight, ode_init,
                    interrogate,
                    prior_pars,
                    ode_flat=None, jac_flat=None, interpret="auto",
-                   chunk=None, k_compose=None, **params):
+                   chunk=None, k_compose=None, unroll=False, **params):
     r"""
     Posterior mean/variance of the ODE solve via fused Pallas kernels.
 
@@ -685,7 +691,7 @@ def solve_mv_fused(key, ode_fun, ode_weight, ode_init,
     mf, pf, mp, pp = fused_filter(
         ode_flat, jac_flat, n_steps, Qs, Rs, W_s, x0_s,
         theta_col, tgrid, t_vec, chunk=chunk, interpret=interpret,
-        raw_q_const=raw_q_const)
+        raw_q_const=raw_q_const, unroll=unroll)
     # smoother over steps 1..n_steps-1 (terminal = filtered at n_steps);
     # k_compose > 1 shortens the sequential recursion k-fold by exact
     # k-step composition (latency path)

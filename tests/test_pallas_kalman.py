@@ -132,6 +132,18 @@ def test_fused_smoother_composed(lorenz_cfg):
                                    np.asarray(var0) / scale, atol=1e-4)
 
 
+def test_fused_filter_unroll_matches(lorenz_cfg):
+    """unroll=True (fully unrolled small-chunk filter loop) == default."""
+    cfg, theta = lorenz_cfg
+    kw = dict(key=None, interrogate=None, theta=theta,
+              ode_flat=lorenz.lorenz_flat, jac_flat=lorenz.lorenz_jac_flat,
+              **cfg)
+    mu0, _ = pallas_kalman.solve_mv_fused(**kw)
+    mu1, _ = pallas_kalman.solve_mv_fused(unroll=True, **kw)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu0),
+                               rtol=5e-2, atol=5e-2)
+
+
 def test_sym_inv_q45():
     """Blocked Schur-complement closed-form inverse for q = 4, 5."""
     rng = np.random.default_rng(12)

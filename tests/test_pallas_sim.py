@@ -99,6 +99,34 @@ def test_sim_batch_consistent_with_xla_posterior(lorenz_cfg):
     assert float(jnp.max(jnp.abs(z[1:]))) < 8.0
 
 
+def test_chain_runner_chkrebtii_interrogation():
+    """The lockstep MCMC runner supports the chkrebtii (stochastic)
+    interrogation — the reference's canonical pseudo-marginal workflow."""
+    from rodeo_tpu.parallel.chains import make_chain_runner
+    cfg = fitzhugh.setup(n_steps=20, t_max=2.0, dtype=jnp.float32)
+    theta = cfg.pop("theta")
+    mu_ref, _ = pallas_kalman.solve_mv_fused(
+        key=None, interrogate=None, theta=theta,
+        ode_flat=fitzhugh.fitzhugh_flat,
+        jac_flat=fitzhugh.fitzhugh_jac_flat, **cfg)
+
+    def loglik(positions, paths):
+        resid = paths[:, :, 0, :] - mu_ref[:, :, 0, None]
+        return -0.5 * jnp.sum(resid * resid, axis=(0, 1)) / 0.01
+
+    B = 8
+    runner = make_chain_runner(
+        loglik, n_lane=B, n_samples=5, rw_scale=0.05,
+        ode_weight=cfg["ode_weight"], ode_init=cfg["ode_init"],
+        t_min=cfg["t_min"], t_max=cfg["t_max"], n_steps=cfg["n_steps"],
+        prior_pars=cfg["prior_pars"], ode_flat=fitzhugh.fitzhugh_flat,
+        jac_flat=None, interrogation="chkrebtii")
+    init = jnp.broadcast_to(theta, (B, 3)).astype(jnp.float32)
+    positions, ll, accept = runner(init, jax.random.PRNGKey(11))
+    assert positions.shape == (5, B, 3)
+    assert bool(jnp.all(jnp.isfinite(ll)))
+
+
 def test_fused_chains_acceptance_matches_xla():
     """Pseudo-marginal acceptance statistics are unchanged between the
     fused lockstep chains and the vmapped XLA pseudo-marginal sampler
