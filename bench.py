@@ -243,17 +243,24 @@ def main():
             details[f"{name}_loglik_evals_per_sec"] = round(nb / t_ll, 2)
             details[f"{name}_loglik_finite"] = bool(
                 jnp.all(jnp.isfinite(out_ll)))
-        # larger vmapped batches (throughput scaling of the XLA path)
-        for nb_big in (64, 128):
+        # larger vmapped batches (throughput scaling of the XLA path);
+        # unroll=8 runs several time steps per compiled loop iteration
+        # (cross-step ILP; bit-equal results, tests/test_scan_unroll.py)
+        from rodeo_tpu.ops.scan import scan_unroll
+        # (batch 256 fenrir crashes the v5e compile helper; 128 is the
+        # largest compiling batch for this program)
+        for nb_big, unroll in ((64, 1), (128, 1), (128, 8)):
             ths_big = jnp.broadcast_to(th_f, (nb_big, 3)) + \
                 1e-4 * jnp.arange(nb_big, dtype=jnp.float32)[:, None]
-            ll_fn = jax.jit(jax.vmap(lambda th: precond.fenrir(
-                key=None, interrogate=interrogate_kramer, theta=th,
-                obs_data=yobs, obs_times=obs_times, obs_weight=D,
-                obs_var=Om, **cfg_f)))
-            t_ll, out_ll = _timeit(ll_fn, (ths_big,), n_rep=3)
-            details[f"fenrir_loglik_batch{nb_big}_evals_per_sec"] = round(
-                nb_big / t_ll, 2)
+            with scan_unroll(unroll):
+                ll_fn = jax.jit(jax.vmap(lambda th: precond.fenrir(
+                    key=None, interrogate=interrogate_kramer, theta=th,
+                    obs_data=yobs, obs_times=obs_times, obs_weight=D,
+                    obs_var=Om, **cfg_f)))
+                t_ll, out_ll = _timeit(ll_fn, (ths_big,), n_rep=3)
+            tag = f"_unroll{unroll}" if unroll != 1 else ""
+            details[f"fenrir_loglik_batch{nb_big}{tag}_evals_per_sec"] = \
+                round(nb_big / t_ll, 2)
         # parallel-in-time backward pass under vmap
         ll_fn = jax.jit(jax.vmap(lambda th: precond.fenrir(
             key=None, interrogate=interrogate_kramer, theta=th,
@@ -343,7 +350,10 @@ def main():
 
         alg = pm.normal_random_walk(
             logpost, 0.02 * jnp.ones(3, jnp.float32))
-        n_chains, n_samp = 32, 10
+        # n_samp matches the fused-MCMC row below so the recorded
+        # acceptance statistics are comparable (acceptance drifts with
+        # horizon when chains start at the mode)
+        n_chains, n_samp = 32, 50
         init = jnp.broadcast_to(th_m, (n_chains, 3))
         t0 = time.perf_counter()
         positions, state, accept = run_chains(

@@ -24,6 +24,7 @@ from rodeo_tpu.kalmantv import get_backend
 from rodeo_tpu.inference.fenrir import _forecast_update, _obs_grid
 from rodeo_tpu.utils import multivariate_normal_logpdf, mvdot, quadform
 from rodeo_tpu.solve import _solve_filter as _solve_filter_ode
+from rodeo_tpu.ops.scan import scan as _uscan
 
 __all__ = ["dalton", "daltonng", "solve_mv", "solve_sim", "solve_mv_nn"]
 
@@ -214,7 +215,7 @@ def dalton(key, ode_fun, ode_weight, ode_init,
     else:
         keys = jnp.zeros((n_steps, 2))
     steps = {"t": jnp.arange(n_steps), "key": keys}
-    out, _ = jax.lax.scan(scan, scan_init, steps)
+    out, _ = _uscan(scan, scan_init, steps)
     return out["logdens_joint"] - out["logdens_marg"]
 
 
@@ -342,7 +343,7 @@ def _dalton_dense(key, ode_fun, ode_weight, ode_init,
         "t": jnp.arange(n_steps), "key": keys,
         "D": d_grid[1:], "y": y_grid[1:], "Om": om_grid[1:],
     }
-    _, stack = jax.lax.scan(scan, scan_init, xs)
+    _, stack = _uscan(scan, scan_init, xs)
 
     # log-density of p(Y_0 | X_0) if an observation sits at t = 0.
     # NB: keep the eigen-MASKED logpdf here (not the closed-form fast
@@ -475,7 +476,7 @@ def _solve_filter(key, ode_fun, ode_weight, ode_init,
     else:
         keys = jnp.zeros(n_steps)
     steps = {"t": jnp.arange(n_steps), "key": keys}
-    _, scan_out = jax.lax.scan(scan_fun, scan_init, steps)
+    _, scan_out = _uscan(scan_fun, scan_init, steps)
     scan_out["state_filt"] = (
         jnp.concatenate([mean_state_init[None], scan_out["state_filt"][0]]),
         jnp.concatenate([var_state_init[None], scan_out["state_filt"][1]]),
@@ -555,7 +556,7 @@ def _solve_filter_dense(key, ode_fun, ode_weight, ode_init,
         "t": jnp.arange(n_steps), "key": keys,
         "D": d_grid[1:], "y": y_grid[1:], "Om": om_grid[1:],
     }
-    _, scan_out = jax.lax.scan(scan_fun, (ode_init, var_state_init), xs)
+    _, scan_out = _uscan(scan_fun, (ode_init, var_state_init), xs)
     scan_out["state_filt"] = (
         jnp.concatenate([ode_init[None], scan_out["state_filt"][0]]),
         jnp.concatenate([var_state_init[None], scan_out["state_filt"][1]]),
@@ -600,7 +601,7 @@ def _smooth_mv_pass(ode_init, filt_out, prior_weight, prior_var, kalman_funs):
         "mean_state_pred": mean_state_pred[2:n_steps + 1],
         "var_state_pred": var_state_pred[2:n_steps + 1],
     }
-    _, scan_out = jax.lax.scan(scan_fun, scan_init, scan_kwargs, reverse=True)
+    _, scan_out = _uscan(scan_fun, scan_init, scan_kwargs, reverse=True)
     mean_state_smooth = jnp.concatenate(
         [ode_init[None], scan_out["mean"], scan_init["mean"][None]])
     var_state_smooth = jnp.concatenate(
@@ -697,7 +698,7 @@ def solve_sim(key, ode_fun, ode_weight, ode_init,
         "var_state_pred": var_state_pred[2:n_steps + 1],
         "key": jnp.array(subkeys[:n_steps - 1]),
     }
-    _, scan_out = jax.lax.scan(scan_fun, scan_init, scan_kwargs, reverse=True)
+    _, scan_out = _uscan(scan_fun, scan_init, scan_kwargs, reverse=True)
     return jnp.concatenate([ode_init[None], scan_out, scan_init[None]])
 
 
@@ -819,7 +820,7 @@ def _solve_filter_nn(key, ode_fun, ode_weight, ode_init,
     else:
         keys = jnp.zeros(n_steps)
     steps = {"t": jnp.arange(n_steps), "key": keys}
-    _, scan_out = jax.lax.scan(scan_fun, scan_init, steps)
+    _, scan_out = _uscan(scan_fun, scan_init, steps)
     scan_out["state_filt"] = (
         jnp.concatenate([mean_state_init[None], scan_out["state_filt"][0]]),
         jnp.concatenate([var_state_init[None], scan_out["state_filt"][1]]),
@@ -887,7 +888,7 @@ def _logx_yhat(mean_state_filt, var_state_filt,
         "mean_state_pred": mean_state_pred[2:n_steps + 1],
         "var_state_pred": var_state_pred[2:n_steps + 1],
     }
-    last_scan, scan_out = jax.lax.scan(
+    last_scan, scan_out = _uscan(
         scan_fun, scan_init, scan_kwargs, reverse=True)
     mean_out = jnp.concatenate(
         [mean_state_filt[0][None], scan_out["mean"], scan_init["mean"][None]])
@@ -932,7 +933,7 @@ def _logx_z(uncond_mean,
         "uncond_next": uncond_mean[2:n_steps + 1],
         "uncond_curr": uncond_mean[1:n_steps],
     }
-    scan_out, _ = jax.lax.scan(scan_fun, logx_zN, scan_kwargs, reverse=True)
+    scan_out, _ = _uscan(scan_fun, logx_zN, scan_kwargs, reverse=True)
     return scan_out
 
 

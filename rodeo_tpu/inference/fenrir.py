@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from rodeo_tpu.kalmantv import get_backend
 from rodeo_tpu.solve import _solve_filter
+from rodeo_tpu.ops.scan import scan as _uscan
 from rodeo_tpu.utils import multivariate_normal_logpdf, mvdot
 from rodeo_tpu.ops import ptime as _ptime
 
@@ -194,7 +195,7 @@ def _backward(mean_state_filt, var_state_filt,
                        var_state_filt[:n_steps]),
         "t": jnp.arange(n_steps),
     }
-    scan_out, scan_out2 = jax.lax.scan(
+    scan_out, scan_out2 = _uscan(
         scan_fun, scan_init, forward_states_init, reverse=True)
 
     # append terminal values to the back
@@ -340,7 +341,7 @@ def _backward_dense(mean_state_filt, var_state_filt,
 
         xs = {"A": A, "b": b, "C": C, "D": d_grid[:n_steps],
               "y": y_grid[:n_steps], "Om": om_grid[:n_steps]}
-        _, stack = jax.lax.scan(scan_fun, (m_seed, P_seed), xs,
+        _, stack = _uscan(scan_fun, (m_seed, P_seed), xs,
                                 reverse=True)
         mean_scan_pred, var_scan_pred = stack["state_pred"]
         mean_scan_filt, var_scan_filt = stack["state_filt"]
@@ -483,7 +484,7 @@ def _smooth_mv(state_par, kalman_funs):
         "wgt_state": wgt_state[1:n_tot],
         "var_state": var_state[1:n_tot],
     }
-    _, scan_out = jax.lax.scan(scan_fun, scan_init, scan_kwargs)
+    _, scan_out = _uscan(scan_fun, scan_init, scan_kwargs)
     mean_state_smooth = jnp.concatenate(
         [mean_state_filt[0:2], scan_out["mean"]])
     var_state_smooth = jnp.concatenate(

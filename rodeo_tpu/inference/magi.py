@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from rodeo_tpu.kalmantv import get_backend
+from rodeo_tpu.ops.scan import scan as _uscan
 
 __all__ = ["magi_logdens"]
 
@@ -111,7 +112,7 @@ def magi_logdens(ode_data_subset,
                   jnp.zeros((n_vars, n_deriv, n_deriv), dtype=dtype)),
         "logdens": 0.0,
     }
-    res, _ = jax.lax.scan(
+    res, _ = _uscan(
         f=filter_scan,
         init=filter_init,
         xs=ode_state[1:, :, :n_active],

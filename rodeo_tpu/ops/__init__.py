@@ -8,7 +8,10 @@ TPU-native compute-path extensions:
 - :mod:`rodeo_tpu.ops.pallas_kalman` — fused single-kernel filter/smoother.
 - :mod:`rodeo_tpu.ops.linalg` — closed-form tiny-matrix solves
   (``fast_linalg`` context).
+- :mod:`rodeo_tpu.ops.scan` — ``scan_unroll`` trace-time context for the
+  solver time loops (cross-step ILP on the vmapped XLA paths).
 """
 from rodeo_tpu.ops import linalg
 from rodeo_tpu.ops import precond
 from rodeo_tpu.ops import ptime
+from rodeo_tpu.ops.scan import scan_unroll

@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from rodeo_tpu.kalmantv import get_backend
+from rodeo_tpu.ops.scan import scan as _uscan
 
 __all__ = ["solve_sim", "solve_mv"]
 
@@ -107,7 +108,7 @@ def _solve_filter(key, ode_fun, ode_weight, ode_init,
     else:
         keys = jnp.zeros(n_steps)
     steps = {"t": jnp.arange(n_steps), "key": keys}
-    _, scan_out = jax.lax.scan(scan_fun, scan_init, steps)
+    _, scan_out = _uscan(scan_fun, scan_init, steps)
     # prepend the (deterministic) initial state
     scan_out["state_filt"] = (
         jnp.concatenate([mean_state_init[None], scan_out["state_filt"][0]]),
@@ -191,7 +192,7 @@ def solve_sim(key, ode_fun, ode_weight, ode_init,
         "key": jnp.array(subkeys[:n_steps - 1]),
     }
     # x0 is known exactly, so it is not sampled.
-    _, scan_out = jax.lax.scan(scan_fun, scan_init, scan_kwargs, reverse=True)
+    _, scan_out = _uscan(scan_fun, scan_init, scan_kwargs, reverse=True)
     x_state_smooth = jnp.concatenate(
         [ode_init[None], scan_out, scan_init[None]])
     return x_state_smooth
@@ -291,7 +292,7 @@ def solve_mv(key, ode_fun, ode_weight, ode_init,
         "var_state_pred": var_state_pred[2:n_steps + 1],
     }
     # x0 is known exactly, so it is not smoothed.
-    _, scan_out = jax.lax.scan(scan_fun, scan_init, scan_kwargs, reverse=True)
+    _, scan_out = _uscan(scan_fun, scan_init, scan_kwargs, reverse=True)
 
     mean_state_smooth = jnp.concatenate(
         [ode_init[None], scan_out["mean"], scan_init["mean"][None]])
