@@ -434,6 +434,16 @@ def main():
         details["daltonng_evals_per_sec"] = round(1.0 / t_ng, 2)
         details["daltonng_finite"] = bool(jnp.isfinite(out_ng))
 
+        nbng = 16
+        ths_ng = jnp.broadcast_to(th_i, (nbng, 3)) + \
+            1e-4 * jnp.arange(nbng, dtype=jnp.float32)[:, None]
+        ngv = jax.jit(jax.vmap(lambda th: precond.daltonng(
+            key=None, interrogate=interrogate_kramer, theta=th,
+            obs_data=yobs_i, obs_times=obs_times_i,
+            obs_loglik_i=nn_loglik, **cfg_i)))
+        t_ngv, out_ngv = _timeit(ngv, (ths_ng,), n_rep=3)
+        details["daltonng_vmapped16_evals_per_sec"] = round(nbng / t_ngv, 2)
+
         def b_loglik(obs_data, ode_data, **p):
             return jnp.sum(-0.5 * (obs_data[..., 0] - ode_data[..., 0])**2)
 

@@ -6,18 +6,26 @@ solve_ivp RK45 otherwise -- diffrax is not in this image), and against the
 non-blocked (dense, `indep_init`) variant, on the preprint's benchmark
 systems (Chkrebtii q=4, FitzHugh-Nagumo, Hes1, SEIRAH) plus Lorenz63.
 
-Run: python examples/timings.py
+Run: python examples/timings.py          (CPU, f64 — the preprint's setup)
+     python examples/timings.py --tpu    (ambient accelerator, f32,
+                                          Taylor-preconditioned solver;
+                                          LSODA/RK45 stay on host CPU)
 """
+import sys
 import timeit
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+_TPU = "--tpu" in sys.argv
+
+if not _TPU:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import rodeo_tpu
+from rodeo_tpu.ops import precond
 from rodeo_tpu.prior import indep_init
 from rodeo_tpu.interrogate import interrogate_kramer
 from rodeo_tpu.models import fitzhugh, hes1, seirah, lorenz
@@ -53,11 +61,19 @@ def _bench(fn, *args):
 
 
 def time_model(name, model, odeint_fun, x0_ode, n_steps, t_max):
-    cfg = model.setup(n_steps=n_steps, t_max=t_max, dtype=jnp.float64)
+    dtype = jnp.float32 if _TPU else jnp.float64
+    cfg = model.setup(n_steps=n_steps, t_max=t_max, dtype=dtype)
     theta = cfg.pop("theta")
 
-    solve = jax.jit(lambda th: rodeo_tpu.solve_mv(
+    # on an f32 accelerator the raw covariance filter NaNs once the IBM
+    # prior's dynamic range exceeds ~1e7; the Taylor-preconditioned solver
+    # is the honest TPU configuration (identical posterior)
+    solve_fn = precond.solve_mv if _TPU else rodeo_tpu.solve_mv
+    solve = jax.jit(lambda th: solve_fn(
         key=None, interrogate=interrogate_kramer, theta=th, **cfg)[0])
+    out = solve(theta)
+    if bool(jnp.any(jnp.isnan(out))):
+        raise RuntimeError(f"{name}: blocked solve produced NaNs")
     t_blocked = _bench(lambda th: solve(th).block_until_ready(), theta)
 
     # non-blocked: collapse the prior into one dense block
@@ -73,12 +89,19 @@ def time_model(name, model, odeint_fun, x0_ode, n_steps, t_max):
     def ode_dense(X, t, **params):
         return ode_fun(X.reshape(n_block, n_deriv), t, **params)[:, 0][None]
 
+    # (the Taylor preconditioner assumes the blocked per-variable state
+    # layout, so the dense variant runs the raw filter; on an f32
+    # accelerator it can NaN — reported as n/a)
+    W_dense = W_dense.astype(dtype)
     solve_nb = jax.jit(lambda th: rodeo_tpu.solve_mv(
         key=None, ode_fun=ode_dense, ode_weight=W_dense,
         ode_init=x0_dense, t_min=cfg["t_min"], t_max=cfg["t_max"],
         n_steps=cfg["n_steps"], interrogate=interrogate_kramer,
         prior_pars=dense_prior, theta=th)[0])
-    t_dense = _bench(lambda th: solve_nb(th).block_until_ready(), theta)
+    if bool(jnp.any(jnp.isnan(solve_nb(theta)))):
+        t_dense = float("nan")
+    else:
+        t_dense = _bench(lambda th: solve_nb(th).block_until_ready(), theta)
 
     tseq = np.linspace(cfg["t_min"], cfg["t_max"], n_steps + 1)
     th_np = np.asarray(theta) if theta is not None else None

@@ -832,6 +832,10 @@ def _solve_filter_nn(key, ode_fun, ode_weight, ode_init,
     return scan_out
 
 
+def _is_standard(kalman_funs):
+    return kalman_funs.__name__.rsplit(".", 1)[-1] == "standard"
+
+
 def _logx_yhat(mean_state_filt, var_state_filt,
                mean_state_pred, var_state_pred,
                prior_weight, prior_var, kalman_funs):
@@ -839,9 +843,44 @@ def _logx_yhat(mean_state_filt, var_state_filt,
     Smoothing pass returning the smoothed mean path and the log-density
     :math:`\log p(X_{0:N} = \mu_{0:N|N} \mid \hat Y_{0:M}, Z_{1:N})`.
     Parity: ``dalton.py:701-784``.
+
+    TPU fast path (standard form): the backward-kernel parameters
+    ``(A, b, C)`` hoist out of the loop as one batched ``smooth_cond``;
+    the scan keeps only the mean recursion
+    :math:`\mu_n = A_n \mu_{n+1} + b_n` (the variance recursion is not
+    needed for the value), and — since the reference evaluates the
+    backward kernel *at* the smoothed mean, where the quadratic form
+    vanishes identically — the per-step log-density reduces to one
+    batched ``logpdf(mu_n; mu_n, C_n)`` over the stacked means.
     """
     n_tot = mean_state_filt.shape[0]
     n_steps = n_tot - 1
+
+    if _is_standard(kalman_funs):
+        A, b, C = kalman_funs.smooth_cond(
+            mean_state_filt=mean_state_filt[1:n_steps],
+            var_state_filt=var_state_filt[1:n_steps],
+            mean_state_pred=mean_state_pred[2:n_steps + 1],
+            var_state_pred=var_state_pred[2:n_steps + 1],
+            wgt_state=prior_weight,
+            var_state=prior_var,
+        )
+
+        def scan_fun(mean_next, xs):
+            mean_curr = mvdot(xs["A"], mean_next) + xs["b"]
+            return mean_curr, mean_curr
+
+        _, means = _uscan(scan_fun, mean_state_filt[n_steps],
+                          {"A": A, "b": b}, reverse=True)
+        mean_out = jnp.concatenate(
+            [mean_state_filt[0][None], means,
+             mean_state_filt[n_steps][None]])
+        logx_yhat = jnp.sum(multivariate_normal_logpdf(
+            mean_state_filt[n_steps], mean=mean_state_filt[n_steps],
+            cov=var_state_filt[n_steps]))
+        logx_yhat += jnp.sum(multivariate_normal_logpdf(
+            means, mean=means, cov=C))
+        return mean_out, logx_yhat
 
     def scan_fun(state_next, smooth_kwargs):
         logx_yhat = state_next["logx_yhat"]
@@ -906,6 +945,27 @@ def _logx_z(uncond_mean,
     n_tot = mean_state_filt.shape[0]
     n_steps = n_tot - 1
 
+    logx_zN = jnp.sum(multivariate_normal_logpdf(
+        uncond_mean[n_steps],
+        mean=mean_state_filt[n_steps],
+        cov=var_state_filt[n_steps]))
+
+    if _is_standard(kalman_funs):
+        # no sequential dependence at all: every term is a function of
+        # the stored moments and the precomputed unconditional path, so
+        # the whole pass is one batched smooth_cond + one batched logpdf
+        A, b, C = kalman_funs.smooth_cond(
+            mean_state_filt=mean_state_filt[1:n_steps],
+            var_state_filt=var_state_filt[1:n_steps],
+            mean_state_pred=mean_state_pred[2:n_steps + 1],
+            var_state_pred=var_state_pred[2:n_steps + 1],
+            wgt_state=prior_weight,
+            var_state=prior_var,
+        )
+        mean_sim = mvdot(A, uncond_mean[2:n_steps + 1]) + b
+        return logx_zN + jnp.sum(multivariate_normal_logpdf(
+            uncond_mean[1:n_steps], mean=mean_sim, cov=C))
+
     def scan_fun(logx_z, smooth_kwargs):
         mean_state_sim, var_state_sim = kalman_funs.smooth_sim(
             x_state_next=smooth_kwargs["uncond_next"],
@@ -921,10 +981,6 @@ def _logx_z(uncond_mean,
             mean=mean_state_sim, cov=var_state_sim))
         return logx_z, logx_z
 
-    logx_zN = jnp.sum(multivariate_normal_logpdf(
-        uncond_mean[n_steps],
-        mean=mean_state_filt[n_steps],
-        cov=var_state_filt[n_steps]))
     scan_kwargs = {
         "mean_state_filt": mean_state_filt[1:n_steps],
         "var_state_filt": var_state_filt[1:n_steps],

@@ -310,5 +310,8 @@ def smooth_cond(mean_state_filt,
     var_state_temp, gain = _smooth_gain(
         var_state_filt, var_state_pred, wgt_state)
     mean_state_cond = mean_state_filt - mvdot(gain, mean_state_pred)
-    var_state_cond = var_state_filt - gain @ mtt(var_state_temp)
+    # same PSD-stable Joseph form as the sampling smoother (f32 safety;
+    # algebraically equal to the subtraction form)
+    var_state_cond = _sim_var(gain, var_state_temp, var_state_filt,
+                              wgt_state, kwargs.get("var_state"))
     return gain, mean_state_cond, var_state_cond

@@ -165,6 +165,48 @@ def solve_sim(key, ode_fun, ode_weight, ode_init,
     mean_state_pred, var_state_pred = filt_out["state_pred"]
     mean_state_filt, var_state_filt = filt_out["state_filt"]
 
+    scan_init = _sample_mvn(
+        subkeys[n_steps - 1],
+        mean_state_filt[n_steps],
+        var_state_filt[n_steps],
+        method)
+
+    if method == "eigh" and kalman_type == "standard":
+        # TPU fast path: hoist everything sample-independent out of the
+        # sequential loop.  The backward conditionals
+        # :math:`X_n | X_{n+1} ~ N(A_n X_{n+1} + b_n, C_n)` have
+        # sample-independent parameters, so the gains (one batched
+        # ``smooth_cond`` over the whole time axis), the eigh factors of
+        # :math:`C_n`, and the correlated noise
+        # :math:`\eta_n = C_n^{1/2} z_n` (same per-step subkeys as the
+        # in-loop draws) all batch over time; the scan keeps only the
+        # affine recursion :math:`x_n = A_n x_{n+1} + b_n + \eta_n` —
+        # the same decomposition as the fused Pallas sampler
+        # (:mod:`rodeo_tpu.ops.pallas_sim`), here at the XLA layer.
+        A, b, C = kalman_funs.smooth_cond(
+            mean_state_filt=mean_state_filt[1:n_steps],
+            var_state_filt=var_state_filt[1:n_steps],
+            mean_state_pred=mean_state_pred[2:n_steps + 1],
+            var_state_pred=var_state_pred[2:n_steps + 1],
+            wgt_state=prior_weight,
+            var_state=prior_var,
+        )
+        w, v = jnp.linalg.eigh(C)
+        factor = v * jnp.sqrt(jnp.maximum(w, 0.0))[..., None, :]
+        z = jax.vmap(lambda k: jax.random.normal(
+            k, ode_init.shape, dtype=ode_init.dtype))(
+                jnp.array(subkeys[:n_steps - 1]))
+        eta = b + jnp.einsum("...ij,...j->...i", factor, z)
+
+        def scan_fun(x_state_next, xs):
+            x_state_curr = jnp.einsum(
+                "...ij,...j->...i", xs["A"], x_state_next) + xs["eta"]
+            return x_state_curr, x_state_curr
+
+        _, scan_out = _uscan(scan_fun, scan_init, {"A": A, "eta": eta},
+                             reverse=True)
+        return jnp.concatenate([ode_init[None], scan_out, scan_init[None]])
+
     def scan_fun(x_state_next, smooth_kwargs):
         mean_state_sim, var_state_sim = kalman_funs.smooth_sim(
             x_state_next=x_state_next,
@@ -179,11 +221,6 @@ def solve_sim(key, ode_fun, ode_weight, ode_init,
             smooth_kwargs["key"], mean_state_sim, var_state_sim, method)
         return x_state_curr, x_state_curr
 
-    scan_init = _sample_mvn(
-        subkeys[n_steps - 1],
-        mean_state_filt[n_steps],
-        var_state_filt[n_steps],
-        method)
     scan_kwargs = {
         "mean_state_filt": mean_state_filt[1:n_steps],
         "var_state_filt": var_state_filt[1:n_steps],
@@ -267,32 +304,62 @@ def solve_mv(key, ode_fun, ode_weight, ode_init,
             f"unknown temporal mode {temporal!r}; "
             "expected 'sequential' or 'parallel'")
 
-    def scan_fun(state_next, smooth_kwargs):
-        mean_state_curr, var_state_curr = kalman_funs.smooth_mv(
-            mean_state_next=state_next["mean"],
-            var_state_next=state_next["var"],
-            wgt_state=prior_weight,
-            mean_state_filt=smooth_kwargs["mean_state_filt"],
-            var_state_filt=smooth_kwargs["var_state_filt"],
-            mean_state_pred=smooth_kwargs["mean_state_pred"],
-            var_state_pred=smooth_kwargs["var_state_pred"],
-            var_state=prior_var,
-        )
-        state_curr = {"mean": mean_state_curr, "var": var_state_curr}
-        return state_curr, state_curr
-
     scan_init = {
         "mean": mean_state_filt[n_steps],
         "var": var_state_filt[n_steps],
     }
-    scan_kwargs = {
-        "mean_state_filt": mean_state_filt[1:n_steps],
-        "var_state_filt": var_state_filt[1:n_steps],
-        "mean_state_pred": mean_state_pred[2:n_steps + 1],
-        "var_state_pred": var_state_pred[2:n_steps + 1],
-    }
-    # x0 is known exactly, so it is not smoothed.
-    _, scan_out = _uscan(scan_fun, scan_init, scan_kwargs, reverse=True)
+
+    if kalman_type == "standard":
+        # TPU fast path: the smoothing gains depend only on the stored
+        # forward moments, so the whole backward Markov kernel
+        # (A_n, b_n, C_n) hoists out of the sequential loop as ONE
+        # batched ``smooth_cond`` over the time axis (per-step matrix
+        # solves leave the loop); the scan keeps only the affine
+        # recursion mu_n = A_n mu_{n+1} + b_n,
+        # V_n = A_n V_{n+1} A_n' + C_n — algebraically identical to the
+        # per-step ``smooth_mv`` (reference ``standard.py:180-217``).
+        A, b, C = kalman_funs.smooth_cond(
+            mean_state_filt=mean_state_filt[1:n_steps],
+            var_state_filt=var_state_filt[1:n_steps],
+            mean_state_pred=mean_state_pred[2:n_steps + 1],
+            var_state_pred=var_state_pred[2:n_steps + 1],
+            wgt_state=prior_weight,
+            var_state=prior_var,
+        )
+
+        def scan_fun(state_next, xs):
+            mean_state_curr = jnp.einsum(
+                "...ij,...j->...i", xs["A"], state_next["mean"]) + xs["b"]
+            var_state_curr = xs["A"] @ state_next["var"] @ jnp.swapaxes(
+                xs["A"], -1, -2) + xs["C"]
+            state_curr = {"mean": mean_state_curr, "var": var_state_curr}
+            return state_curr, state_curr
+
+        _, scan_out = _uscan(scan_fun, scan_init, {"A": A, "b": b, "C": C},
+                             reverse=True)
+    else:
+        def scan_fun(state_next, smooth_kwargs):
+            mean_state_curr, var_state_curr = kalman_funs.smooth_mv(
+                mean_state_next=state_next["mean"],
+                var_state_next=state_next["var"],
+                wgt_state=prior_weight,
+                mean_state_filt=smooth_kwargs["mean_state_filt"],
+                var_state_filt=smooth_kwargs["var_state_filt"],
+                mean_state_pred=smooth_kwargs["mean_state_pred"],
+                var_state_pred=smooth_kwargs["var_state_pred"],
+                var_state=prior_var,
+            )
+            state_curr = {"mean": mean_state_curr, "var": var_state_curr}
+            return state_curr, state_curr
+
+        scan_kwargs = {
+            "mean_state_filt": mean_state_filt[1:n_steps],
+            "var_state_filt": var_state_filt[1:n_steps],
+            "mean_state_pred": mean_state_pred[2:n_steps + 1],
+            "var_state_pred": var_state_pred[2:n_steps + 1],
+        }
+        # x0 is known exactly, so it is not smoothed.
+        _, scan_out = _uscan(scan_fun, scan_init, scan_kwargs, reverse=True)
 
     mean_state_smooth = jnp.concatenate(
         [ode_init[None], scan_out["mean"], scan_init["mean"][None]])
