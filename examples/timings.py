@@ -67,14 +67,22 @@ def time_model(name, model, odeint_fun, x0_ode, n_steps, t_max):
 
     # on an f32 accelerator the raw covariance filter NaNs once the IBM
     # prior's dynamic range exceeds ~1e7; the Taylor-preconditioned solver
-    # is the honest TPU configuration (identical posterior)
+    # is the honest TPU configuration (identical posterior).  Accelerator
+    # wall-clocks amortize the fixed host-dispatch latency (~26 ms through
+    # the experimental TPU tunnel) over B sequential solves inside one
+    # jitted lax.map, exactly as bench.py measures.
     solve_fn = precond.solve_mv if _TPU else rodeo_tpu.solve_mv
-    solve = jax.jit(lambda th: solve_fn(
-        key=None, interrogate=interrogate_kramer, theta=th, **cfg)[0])
-    out = solve(theta)
+    n_amortize = 8 if _TPU else 1
+    thetas = (jnp.broadcast_to(theta, (n_amortize,) + theta.shape)
+              if theta is not None else jnp.zeros((n_amortize, 1), dtype))
+    solve = jax.jit(lambda ths: jax.lax.map(lambda th: solve_fn(
+        key=None, interrogate=interrogate_kramer,
+        theta=th if theta is not None else None, **cfg)[0], ths))
+    out = solve(thetas)
     if bool(jnp.any(jnp.isnan(out))):
         raise RuntimeError(f"{name}: blocked solve produced NaNs")
-    t_blocked = _bench(lambda th: solve(th).block_until_ready(), theta)
+    t_blocked = _bench(
+        lambda ths: solve(ths).block_until_ready(), thetas) / n_amortize
 
     # non-blocked: collapse the prior into one dense block
     dense_prior = indep_init(cfg["prior_pars"])
@@ -89,19 +97,25 @@ def time_model(name, model, odeint_fun, x0_ode, n_steps, t_max):
     def ode_dense(X, t, **params):
         return ode_fun(X.reshape(n_block, n_deriv), t, **params)[:, 0][None]
 
-    # (the Taylor preconditioner assumes the blocked per-variable state
-    # layout, so the dense variant runs the raw filter; on an f32
-    # accelerator it can NaN — reported as n/a)
+    # the dense variant runs Taylor-preconditioned too (tiled per-variable
+    # scaling, `precond.solve_mv(n_deriv=...)`): the raw dense filter is
+    # numerically unstable with interrogate_kramer — the upstream
+    # implementation diverges on this config as well (finite but wrong),
+    # while the preconditioned dense solve converges to the blocked answer
     W_dense = W_dense.astype(dtype)
-    solve_nb = jax.jit(lambda th: rodeo_tpu.solve_mv(
-        key=None, ode_fun=ode_dense, ode_weight=W_dense,
-        ode_init=x0_dense, t_min=cfg["t_min"], t_max=cfg["t_max"],
-        n_steps=cfg["n_steps"], interrogate=interrogate_kramer,
-        prior_pars=dense_prior, theta=th)[0])
-    if bool(jnp.any(jnp.isnan(solve_nb(theta)))):
+    solve_nb = jax.jit(lambda ths: jax.lax.map(
+        lambda th: precond.solve_mv(
+            key=None, ode_fun=ode_dense, ode_weight=W_dense,
+            ode_init=x0_dense, t_min=cfg["t_min"], t_max=cfg["t_max"],
+            n_steps=cfg["n_steps"], interrogate=interrogate_kramer,
+            prior_pars=dense_prior, n_deriv=n_deriv,
+            theta=th if theta is not None else None)[0], ths))
+    if bool(jnp.any(jnp.isnan(solve_nb(thetas)))):
         t_dense = float("nan")
     else:
-        t_dense = _bench(lambda th: solve_nb(th).block_until_ready(), theta)
+        t_dense = _bench(
+            lambda ths: solve_nb(ths).block_until_ready(),
+            thetas) / n_amortize
 
     tseq = np.linspace(cfg["t_min"], cfg["t_max"], n_steps + 1)
     th_np = np.asarray(theta) if theta is not None else None

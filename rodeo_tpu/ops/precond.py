@@ -95,10 +95,20 @@ def _wrap_interrogate(interrogate, ode_weight_orig, t_vec):
     return wrapped
 
 
-def _scaled_inputs(ode_weight, ode_init, prior_pars, t_min, t_max, n_steps):
-    n_deriv = ode_init.shape[-1]
+def _scaled_inputs(ode_weight, ode_init, prior_pars, t_min, t_max, n_steps,
+                   n_deriv=None):
+    """``n_deriv=None``: blocked layout, the whole trailing state dim is
+    one variable's derivatives.  With ``n_deriv`` given, the state is the
+    dense/non-blocked layout (``indep_init``) — ``n_vars`` blocks of
+    ``n_deriv`` derivatives concatenated — and the per-derivative Taylor
+    scaling tiles across variables."""
+    state_dim = ode_init.shape[-1]
+    if n_deriv is None:
+        n_deriv = state_dim
     dt = (t_max - t_min) / n_steps
     t_vec = taylor_scale(dt, n_deriv, dtype=ode_init.dtype)
+    if n_deriv != state_dim:
+        t_vec = jnp.tile(t_vec, state_dim // n_deriv)
     return (
         t_vec,
         ode_weight * t_vec[None, None, :].astype(ode_weight.dtype),
@@ -111,7 +121,8 @@ def solve_mv(key, ode_fun, ode_weight, ode_init,
              t_min, t_max, n_steps,
              interrogate,
              prior_pars,
-             kalman_type="standard", temporal="sequential", **params):
+             kalman_type="standard", temporal="sequential", n_deriv=None,
+             **params):
     r"""
     Preconditioned :func:`rodeo_tpu.solve.solve_mv`: identical posterior (up
     to fp), but the filter/smoother run in Taylor-scaled coordinates — use
@@ -119,9 +130,12 @@ def solve_mv(key, ode_fun, ode_weight, ode_init,
     prior's dynamic range exceeds ~1e7).
 
     Same signature and return contract as :func:`rodeo_tpu.solve.solve_mv`.
+    ``n_deriv``: pass the per-variable derivative count when using the
+    dense/non-blocked (:func:`rodeo_tpu.prior.indep_init`) state layout so
+    the Taylor scaling tiles across variables.
     """
     t_vec, W_s, x0_s, prior_s = _scaled_inputs(
-        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps)
+        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps, n_deriv)
     with fast_linalg():
         mean_s, var_s = _solve.solve_mv(
             key=key, ode_fun=ode_fun, ode_weight=W_s, ode_init=x0_s,

@@ -319,3 +319,38 @@ def test_precond_inference_f32_finite():
         ode_data_subset=mu[:, :, :2], ode_expand=ode_expand, n_active=2,
         prior_pars=cfg["prior_pars"], dt=dt, kalman_type="standard")
     assert np.isfinite(float(ll_m)), "magi f32 not finite"
+
+
+def test_precond_dense_nonblocked_layout():
+    """Tiled Taylor scaling (`n_deriv=` kwarg) stabilizes the dense
+    `indep_init` layout: the raw dense filter diverges on FitzHugh with
+    interrogate_kramer (upstream does too — finite but wrong), while the
+    preconditioned dense solve converges to the blocked answer."""
+    from rodeo_tpu.prior import indep_init
+    s = fitz_setup(n_steps_per_unit=25, t_max=10.0)
+    theta = s["theta"]
+    dense_prior = indep_init(s["prior_pars"])
+    n_block, _, n_deriv = s["W"].shape
+    W_dense = jnp.zeros((1, n_block, n_block * n_deriv))
+    for b in range(n_block):
+        W_dense = W_dense.at[0, b, b * n_deriv:(b + 1) * n_deriv].set(
+            s["W"][b, 0])
+    x0_dense = s["x0_block"].reshape(1, -1)
+
+    def ode_dense(X, t, **params):
+        return fitz_fun(X.reshape(n_block, n_deriv), t, **params)[:, 0][None]
+
+    mu, var = precond.solve_mv(
+        key=None, ode_fun=ode_dense, ode_weight=W_dense, ode_init=x0_dense,
+        t_min=s["t_min"], t_max=s["t_max"], n_steps=s["n_steps"],
+        interrogate=interrogate_kramer, prior_pars=dense_prior,
+        n_deriv=n_deriv, theta=theta)
+    assert not bool(jnp.any(jnp.isnan(mu)))
+    mu_b, _ = precond.solve_mv(
+        key=None, ode_fun=fitz_fun, ode_weight=s["W"],
+        ode_init=s["x0_block"], t_min=s["t_min"], t_max=s["t_max"],
+        n_steps=s["n_steps"], interrogate=interrogate_kramer,
+        prior_pars=s["prior_pars"], theta=theta)
+    np.testing.assert_allclose(
+        np.asarray(mu[:, 0, ::n_deriv]), np.asarray(mu_b[:, :, 0]),
+        atol=5e-3)

@@ -230,3 +230,28 @@ def test_higher_order_q4_and_q5():
         tseq = np.linspace(0.0, 10.0, n_steps + 1)
         err = np.max(np.abs(np.asarray(mu[:, 0, 0]) - exact_sol(tseq)))
         assert err < 0.05, (n_deriv, err)
+
+
+def test_solve_sim_eigh_matches_smoother_marginals(fitz):
+    """The hoisted eigh sampling path (batched gains + precomputed noise,
+    affine-only scan) draws from the exact smoothing posterior: sample
+    mean/variance over many draws match solve_mv within MC error."""
+    kw = dict(ode_fun=fitz_fun, ode_weight=fitz["W"],
+              ode_init=fitz["x0_block"], t_min=fitz["t_min"],
+              t_max=fitz["t_max"], n_steps=fitz["n_steps"],
+              interrogate=interrogate_kramer,
+              prior_pars=fitz["prior_pars"], theta=fitz["theta"])
+    mu, var = rodeo_tpu.solve_mv(key=None, **kw)
+    n_rep = 600
+    keys = jax.random.split(jax.random.PRNGKey(42), n_rep)
+    draws = jax.jit(jax.vmap(lambda k: rodeo_tpu.solve_sim(
+        key=k, method="eigh", **kw)))(keys)
+    est_mean = jnp.mean(draws, axis=0)
+    est_var = jnp.var(draws, axis=0)
+    sd = jnp.sqrt(jnp.maximum(
+        jnp.diagonal(var, axis1=-2, axis2=-1), 1e-30))
+    # mean within 5 MC standard errors; pointwise sd within 20%
+    z = np.asarray(jnp.abs(est_mean - mu) / (sd / np.sqrt(n_rep) + 1e-12))
+    assert z[1:].max() < 5.0, z.max()
+    ratio = np.asarray(jnp.sqrt(est_var[1:]) / (sd[1:] + 1e-12))
+    assert 0.8 < np.median(ratio) < 1.2, np.median(ratio)
