@@ -72,7 +72,7 @@ def time_model(name, model, odeint_fun, x0_ode, n_steps, t_max):
     # the experimental TPU tunnel) over B sequential solves inside one
     # jitted lax.map, exactly as bench.py measures.
     solve_fn = precond.solve_mv if _TPU else rodeo_tpu.solve_mv
-    n_amortize = 8 if _TPU else 1
+    n_amortize = 64 if _TPU else 1
     thetas = (jnp.broadcast_to(theta, (n_amortize,) + theta.shape)
               if theta is not None else jnp.zeros((n_amortize, 1), dtype))
     solve = jax.jit(lambda ths: jax.lax.map(lambda th: solve_fn(
