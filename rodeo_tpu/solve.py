@@ -195,7 +195,7 @@ def solve_sim(key, ode_fun, ode_weight, ode_init,
         factor = v * jnp.sqrt(jnp.maximum(w, 0.0))[..., None, :]
         z = jax.vmap(lambda k: jax.random.normal(
             k, ode_init.shape, dtype=ode_init.dtype))(
-                jnp.array(subkeys[:n_steps - 1]))
+                jnp.stack(subkeys)[:n_steps - 1])
         eta = b + jnp.einsum("...ij,...j->...i", factor, z)
 
         def scan_fun(x_state_next, xs):
@@ -226,7 +226,7 @@ def solve_sim(key, ode_fun, ode_weight, ode_init,
         "var_state_filt": var_state_filt[1:n_steps],
         "mean_state_pred": mean_state_pred[2:n_steps + 1],
         "var_state_pred": var_state_pred[2:n_steps + 1],
-        "key": jnp.array(subkeys[:n_steps - 1]),
+        "key": jnp.stack(subkeys)[:n_steps - 1],
     }
     # x0 is known exactly, so it is not sampled.
     _, scan_out = _uscan(scan_fun, scan_init, scan_kwargs, reverse=True)

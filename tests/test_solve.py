@@ -255,3 +255,23 @@ def test_solve_sim_eigh_matches_smoother_marginals(fitz):
     assert z[1:].max() < 5.0, z.max()
     ratio = np.asarray(jnp.sqrt(est_var[1:]) / (sd[1:] + 1e-12))
     assert 0.8 < np.median(ratio) < 1.2, np.median(ratio)
+
+
+@pytest.mark.parametrize("n_steps", [1, 2, 3])
+def test_tiny_n_steps(n_steps):
+    """Hoisted smoother/sampler paths handle degenerate horizons (empty
+    gain slices at n_steps=1)."""
+    from rodeo_tpu.models import fitzhugh
+    cfg = fitzhugh.setup(n_steps=n_steps, t_max=0.1 * n_steps,
+                         dtype=jnp.float64)
+    th = cfg.pop("theta")
+    mu, var = rodeo_tpu.solve_mv(
+        key=None, interrogate=interrogate_kramer, theta=th, **cfg)
+    assert mu.shape[0] == n_steps + 1
+    assert not bool(jnp.any(jnp.isnan(mu)))
+    for method in ("eigh", "svd"):
+        xs = rodeo_tpu.solve_sim(
+            key=jax.random.PRNGKey(0), method=method,
+            interrogate=interrogate_kramer, theta=th, **cfg)
+        assert xs.shape[0] == n_steps + 1
+        assert not bool(jnp.any(jnp.isnan(xs)))
