@@ -163,7 +163,7 @@ def main():
 
     # latency path: k-step composed smoother (sequential chain k x shorter)
     # x optional fully-unrolled small-chunk filter (cross-step ILP)
-    for k_comp, unroll in ((8, False), (16, False), (16, True)):
+    for k_comp, unroll in ((8, False), (16, True), (64, True)):
         try:
             from rodeo_tpu.ops import pallas_kalman
             pkc = jax.jit(lambda ths, k=k_comp, u=unroll: jax.lax.map(

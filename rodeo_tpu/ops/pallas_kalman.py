@@ -466,6 +466,11 @@ def fused_filter(ode_flat, jac_flat, n_steps,
     n_tri = len(pairs)
     if chunk is None:
         chunk = _pick_chunk(n_steps, target=16 if unroll else 256)
+    if n_steps % chunk:
+        raise ValueError(
+            f"chunk={chunk} must divide n_steps={n_steps} (a non-dividing "
+            "chunk would silently drop the last steps); omit chunk= to "
+            "auto-pick a divisor")
     n_chunks = n_steps // chunk
     q_const = _const_coefs(prior_weight)
     if q_const is None:
@@ -553,6 +558,10 @@ def fused_smoother(n_steps, prior_weight, prior_var,
     n_tri = len(pairs)
     if chunk is None:
         chunk = _pick_chunk(n_len)
+    if n_len % chunk:
+        raise ValueError(
+            f"chunk={chunk} must divide the time axis ({n_len}); omit "
+            "chunk= to auto-pick a divisor")
     n_chunks = n_len // chunk
 
     # batched gain precompute: G = Pf Q' Pp^{-1}, g = mf - G mp, and the

@@ -386,3 +386,19 @@ def test_dalton_fused_batch_matches_xla():
         # so cross-implementation agreement is limited to ~1e-2 relative
         # (f64 parity vs the reference is covered at 1e-7 elsewhere)
         np.testing.assert_allclose(float(lls[i]), float(ll_i), rtol=2e-2)
+
+
+def test_nondividing_chunk_rejected():
+    """A user-supplied chunk that does not divide n_steps must raise, not
+    silently drop trailing steps (which produced NaNs downstream)."""
+    import pytest as _pytest
+    from rodeo_tpu.models import fitzhugh
+    from rodeo_tpu.ops import pallas_kalman
+    from rodeo_tpu.interrogate import interrogate_kramer
+    cfg = fitzhugh.setup(n_steps=100, t_max=5.0, dtype=jnp.float32)
+    th = cfg.pop("theta")
+    with _pytest.raises(ValueError, match="divide"):
+        pallas_kalman.solve_mv_fused(
+            key=None, interrogate=interrogate_kramer, theta=th,
+            ode_flat=fitzhugh.fitzhugh_flat,
+            jac_flat=fitzhugh.fitzhugh_jac_flat, chunk=32, **cfg)
