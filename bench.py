@@ -107,6 +107,23 @@ def _timeit(fn, args, n_rep=5, per=1):
     return best, out
 
 
+class _row:
+    """Failure-isolated measurement: one row failing (compile crash on the
+    driver's libtpu, OOM, ...) records an error entry instead of killing
+    every subsequent row."""
+
+    def __init__(self, details, label):
+        self.details, self.label = details, label
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, etype, e, tb):
+        if e is not None:
+            self.details[f"{self.label}_error"] = repr(e)[:300]
+        return True  # swallow
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
@@ -217,7 +234,9 @@ def main():
         details["vmap_error"] = repr(e)[:500]
 
     # fenrir / dalton log-likelihood evals per second (vmapped batch,
-    # BASELINE config #4) on a 4k-step Lorenz grid with noisy observations
+    # BASELINE config #4) on a 4k-step Lorenz grid with noisy observations.
+    # Every measurement is failure-isolated (`_row`): a compile crash on
+    # one row records an error entry instead of killing the rest.
     try:
         import numpy as np
         cfg_f = lorenz.setup(n_steps=4000, t_max=T_MAX, dtype=jnp.float32)
@@ -233,102 +252,110 @@ def main():
         nb = 16
         ths = jnp.broadcast_to(th_f, (nb, 3)) + \
             1e-4 * jnp.arange(nb, dtype=jnp.float32)[:, None]
+        loglik_setup_ok = True
+    except Exception as e:  # noqa: BLE001
+        details["loglik_bench_error"] = repr(e)[:500]
+        loglik_setup_ok = False
+
+    if loglik_setup_ok:
         for name, fn_ll in (("fenrir", precond.fenrir),
                             ("dalton", precond.dalton)):
-            ll_fn = jax.jit(jax.vmap(lambda th: fn_ll(
-                key=None, interrogate=interrogate_kramer, theta=th,
-                obs_data=yobs, obs_times=obs_times, obs_weight=D,
-                obs_var=Om, **cfg_f)))
-            t_ll, out_ll = _timeit(ll_fn, (ths,), n_rep=3)
-            details[f"{name}_loglik_evals_per_sec"] = round(nb / t_ll, 2)
-            details[f"{name}_loglik_finite"] = bool(
-                jnp.all(jnp.isfinite(out_ll)))
-        # larger vmapped batches (throughput scaling of the XLA path);
-        # unroll=8 runs several time steps per compiled loop iteration
-        # (cross-step ILP; bit-equal results, tests/test_scan_unroll.py)
-        from rodeo_tpu.ops.scan import scan_unroll
-        # (batch 256 fenrir crashes the v5e compile helper; 128 is the
-        # largest compiling batch for this program)
-        for nb_big, unroll in ((64, 1), (128, 1), (128, 8)):
-            ths_big = jnp.broadcast_to(th_f, (nb_big, 3)) + \
-                1e-4 * jnp.arange(nb_big, dtype=jnp.float32)[:, None]
-            with scan_unroll(unroll):
-                ll_fn = jax.jit(jax.vmap(lambda th: precond.fenrir(
+            with _row(details, f"{name}_loglik"):
+                ll_fn = jax.jit(jax.vmap(lambda th: fn_ll(
                     key=None, interrogate=interrogate_kramer, theta=th,
                     obs_data=yobs, obs_times=obs_times, obs_weight=D,
                     obs_var=Om, **cfg_f)))
-                t_ll, out_ll = _timeit(ll_fn, (ths_big,), n_rep=3)
-            tag = f"_unroll{unroll}" if unroll != 1 else ""
-            details[f"fenrir_loglik_batch{nb_big}{tag}_evals_per_sec"] = \
-                round(nb_big / t_ll, 2)
-        # parallel-in-time backward pass under vmap
-        ll_fn = jax.jit(jax.vmap(lambda th: precond.fenrir(
-            key=None, interrogate=interrogate_kramer, theta=th,
-            obs_data=yobs, obs_times=obs_times, obs_weight=D,
-            obs_var=Om, temporal="parallel", **cfg_f)))
-        t_ll, out_ll = _timeit(ll_fn, (ths,), n_rep=3)
-        details["fenrir_ptime_loglik_evals_per_sec"] = round(nb / t_ll, 2)
-        details["fenrir_ptime_finite"] = bool(jnp.all(jnp.isfinite(out_ll)))
-        # fused Pallas fenrir (sequential-map latency, not vmap)
-        from rodeo_tpu.ops import pallas_fenrir
-        Bf = 8
-        thsf = jnp.broadcast_to(th_f, (Bf, 3))
-        ll_fn = jax.jit(lambda ts: jax.lax.map(
-            lambda th: pallas_fenrir.fenrir_fused(
+                t_ll, out_ll = _timeit(ll_fn, (ths,), n_rep=3)
+                details[f"{name}_loglik_evals_per_sec"] = round(nb / t_ll, 2)
+                details[f"{name}_loglik_finite"] = bool(
+                    jnp.all(jnp.isfinite(out_ll)))
+        # larger vmapped batches (throughput scaling of the XLA path);
+        # unroll=8 runs several time steps per compiled loop iteration
+        # (cross-step ILP; bit-equal results, tests/test_scan_unroll.py).
+        # (batch 256 fenrir crashes the v5e compile helper; 128 is the
+        # largest compiling batch for this program)
+        from rodeo_tpu.ops.scan import scan_unroll
+        for nb_big, unroll in ((64, 1), (128, 1), (128, 8)):
+            with _row(details, f"fenrir_batch{nb_big}_unroll{unroll}"):
+                ths_big = jnp.broadcast_to(th_f, (nb_big, 3)) + \
+                    1e-4 * jnp.arange(nb_big, dtype=jnp.float32)[:, None]
+                with scan_unroll(unroll):
+                    ll_fn = jax.jit(jax.vmap(lambda th: precond.fenrir(
+                        key=None, interrogate=interrogate_kramer, theta=th,
+                        obs_data=yobs, obs_times=obs_times, obs_weight=D,
+                        obs_var=Om, **cfg_f)))
+                    t_ll, out_ll = _timeit(ll_fn, (ths_big,), n_rep=3)
+                tag = f"_unroll{unroll}" if unroll != 1 else ""
+                details[f"fenrir_loglik_batch{nb_big}{tag}_evals_per_sec"] \
+                    = round(nb_big / t_ll, 2)
+        with _row(details, "fenrir_ptime"):
+            # parallel-in-time backward pass under vmap
+            ll_fn = jax.jit(jax.vmap(lambda th: precond.fenrir(
                 key=None, interrogate=interrogate_kramer, theta=th,
                 obs_data=yobs, obs_times=obs_times, obs_weight=D,
-                obs_var=Om, ode_flat=lorenz.lorenz_flat,
-                jac_flat=lorenz.lorenz_jac_flat, **cfg_f), ts))
-        t_ll, out_ll = _timeit(ll_fn, (thsf,), n_rep=3, per=Bf)
-        details["fenrir_fused_evals_per_sec"] = round(1.0 / t_ll, 2)
-        details["fenrir_fused_finite"] = bool(
-            jnp.all(jnp.isfinite(out_ll)))
-        # lane-batched fused fenrir: many likelihood evals per kernel pass
-        for Blf in (128, 512):
-            ths_lf = jnp.broadcast_to(th_f, (Blf, 3)) * \
-                (1 + 1e-6 * jnp.arange(Blf, dtype=jnp.float32)[:, None])
-            inits_lf = jnp.broadcast_to(
-                cfg_f["ode_init"], (Blf,) + cfg_f["ode_init"].shape)
-            llb_fn = jax.jit(lambda ts, x0: pallas_fenrir.fenrir_fused_batch(
-                thetas=ts, ode_weight=cfg_f["ode_weight"], ode_inits=x0,
-                t_min=cfg_f["t_min"], t_max=cfg_f["t_max"],
-                n_steps=cfg_f["n_steps"], prior_pars=cfg_f["prior_pars"],
-                obs_data=yobs, obs_times=obs_times, obs_weight=D,
-                obs_var=Om, ode_flat=lorenz.lorenz_flat,
-                jac_flat=lorenz.lorenz_jac_flat))
-            t_llb, out_llb = _timeit(llb_fn, (ths_lf, inits_lf),
-                                     n_rep=3, per=Blf)
-            details[f"fenrir_fused_batch{Blf}_evals_per_sec"] = round(
-                1.0 / t_llb, 2)
-            details[f"fenrir_fused_batch{Blf}_finite"] = bool(
-                jnp.all(jnp.isfinite(out_llb)))
-        Blf = 128
-        ths_lf = jnp.broadcast_to(th_f, (Blf, 3)) * \
-            (1 + 1e-6 * jnp.arange(Blf, dtype=jnp.float32)[:, None])
-        inits_lf = jnp.broadcast_to(
-            cfg_f["ode_init"], (Blf,) + cfg_f["ode_init"].shape)
-        # lane-batched fused DALTON
-        from rodeo_tpu.ops import pallas_dalton
-        for Bld in (128, 512):
-            ths_ld = jnp.broadcast_to(th_f, (Bld, 3)) * \
-                (1 + 1e-6 * jnp.arange(Bld, dtype=jnp.float32)[:, None])
-            inits_ld = jnp.broadcast_to(
-                cfg_f["ode_init"], (Bld,) + cfg_f["ode_init"].shape)
-            lld_fn = jax.jit(lambda ts, x0: pallas_dalton.dalton_fused_batch(
-                thetas=ts, ode_weight=cfg_f["ode_weight"], ode_inits=x0,
-                t_min=cfg_f["t_min"], t_max=cfg_f["t_max"],
-                n_steps=cfg_f["n_steps"], prior_pars=cfg_f["prior_pars"],
-                obs_data=yobs, obs_times=obs_times, obs_weight=D,
-                obs_var=Om, ode_flat=lorenz.lorenz_flat,
-                jac_flat=lorenz.lorenz_jac_flat))
-            t_lld, out_lld = _timeit(lld_fn, (ths_ld, inits_ld),
-                                     n_rep=3, per=Bld)
-            details[f"dalton_fused_batch{Bld}_evals_per_sec"] = round(
-                1.0 / t_lld, 2)
-            details[f"dalton_fused_batch{Bld}_finite"] = bool(
-                jnp.all(jnp.isfinite(out_lld)))
-    except Exception as e:  # noqa: BLE001
-        details["loglik_bench_error"] = repr(e)[:500]
+                obs_var=Om, temporal="parallel", **cfg_f)))
+            t_ll, out_ll = _timeit(ll_fn, (ths,), n_rep=3)
+            details["fenrir_ptime_loglik_evals_per_sec"] = round(
+                nb / t_ll, 2)
+            details["fenrir_ptime_finite"] = bool(
+                jnp.all(jnp.isfinite(out_ll)))
+        with _row(details, "fenrir_grad"):
+            # gradient throughput (the MAP / HMC workload of the reference
+            # parameter-inference tutorial): value+grad of fenrir, vmapped
+            nbg = 16
+            ths_g = jnp.broadcast_to(th_f, (nbg, 3)) + \
+                1e-4 * jnp.arange(nbg, dtype=jnp.float32)[:, None]
+            vg = jax.jit(jax.vmap(jax.value_and_grad(
+                lambda th: precond.fenrir(
+                    key=None, interrogate=interrogate_kramer, theta=th,
+                    obs_data=yobs, obs_times=obs_times, obs_weight=D,
+                    obs_var=Om, **cfg_f))))
+            t_g, out_g = _timeit(vg, (ths_g,), n_rep=3)
+            details["fenrir_value_and_grad_evals_per_sec"] = round(
+                nbg / t_g, 2)
+            details["fenrir_grad_finite"] = bool(
+                jnp.all(jnp.isfinite(out_g[1])))
+        with _row(details, "fenrir_fused"):
+            # fused Pallas fenrir (sequential-map latency, not vmap)
+            from rodeo_tpu.ops import pallas_fenrir
+            Bf = 8
+            thsf = jnp.broadcast_to(th_f, (Bf, 3))
+            ll_fn = jax.jit(lambda ts: jax.lax.map(
+                lambda th: pallas_fenrir.fenrir_fused(
+                    key=None, interrogate=interrogate_kramer, theta=th,
+                    obs_data=yobs, obs_times=obs_times, obs_weight=D,
+                    obs_var=Om, ode_flat=lorenz.lorenz_flat,
+                    jac_flat=lorenz.lorenz_jac_flat, **cfg_f), ts))
+            t_ll, out_ll = _timeit(ll_fn, (thsf,), n_rep=3, per=Bf)
+            details["fenrir_fused_evals_per_sec"] = round(1.0 / t_ll, 2)
+            details["fenrir_fused_finite"] = bool(
+                jnp.all(jnp.isfinite(out_ll)))
+        # lane-batched fused fenrir / dalton: many evals per kernel pass
+        from rodeo_tpu.ops import pallas_fenrir, pallas_dalton
+        for mod_name, fused_batch in (
+                ("fenrir", pallas_fenrir.fenrir_fused_batch),
+                ("dalton", pallas_dalton.dalton_fused_batch)):
+            for Blf in (128, 512):
+                with _row(details, f"{mod_name}_fused_batch{Blf}"):
+                    ths_lf = jnp.broadcast_to(th_f, (Blf, 3)) * \
+                        (1 + 1e-6 * jnp.arange(
+                            Blf, dtype=jnp.float32)[:, None])
+                    inits_lf = jnp.broadcast_to(
+                        cfg_f["ode_init"], (Blf,) + cfg_f["ode_init"].shape)
+                    llb_fn = jax.jit(lambda ts, x0, fb=fused_batch: fb(
+                        thetas=ts, ode_weight=cfg_f["ode_weight"],
+                        ode_inits=x0, t_min=cfg_f["t_min"],
+                        t_max=cfg_f["t_max"], n_steps=cfg_f["n_steps"],
+                        prior_pars=cfg_f["prior_pars"],
+                        obs_data=yobs, obs_times=obs_times, obs_weight=D,
+                        obs_var=Om, ode_flat=lorenz.lorenz_flat,
+                        jac_flat=lorenz.lorenz_jac_flat))
+                    t_llb, out_llb = _timeit(llb_fn, (ths_lf, inits_lf),
+                                             n_rep=3, per=Blf)
+                    details[f"{mod_name}_fused_batch{Blf}_evals_per_sec"] \
+                        = round(1.0 / t_llb, 2)
+                    details[f"{mod_name}_fused_batch{Blf}_finite"] = bool(
+                        jnp.all(jnp.isfinite(out_llb)))
 
     # pseudo-marginal MCMC chain throughput (BASELINE config #5)
     try:
@@ -426,34 +453,38 @@ def main():
             mean = s[:, 0]
             return jnp.sum(-0.5 * (o[:, 0] - mean) ** 2 / 0.005)
 
-        ng = jax.jit(lambda th: precond.daltonng(
-            key=None, interrogate=interrogate_kramer, theta=th,
-            obs_data=yobs_i, obs_times=obs_times_i,
-            obs_loglik_i=nn_loglik, **cfg_i))
-        t_ng, out_ng = _timeit(ng, (th_i,), n_rep=3)
-        details["daltonng_evals_per_sec"] = round(1.0 / t_ng, 2)
-        details["daltonng_finite"] = bool(jnp.isfinite(out_ng))
+        with _row(details, "daltonng"):
+            ng = jax.jit(lambda th: precond.daltonng(
+                key=None, interrogate=interrogate_kramer, theta=th,
+                obs_data=yobs_i, obs_times=obs_times_i,
+                obs_loglik_i=nn_loglik, **cfg_i))
+            t_ng, out_ng = _timeit(ng, (th_i,), n_rep=3)
+            details["daltonng_evals_per_sec"] = round(1.0 / t_ng, 2)
+            details["daltonng_finite"] = bool(jnp.isfinite(out_ng))
 
-        nbng = 16
-        ths_ng = jnp.broadcast_to(th_i, (nbng, 3)) + \
-            1e-4 * jnp.arange(nbng, dtype=jnp.float32)[:, None]
-        ngv = jax.jit(jax.vmap(lambda th: precond.daltonng(
-            key=None, interrogate=interrogate_kramer, theta=th,
-            obs_data=yobs_i, obs_times=obs_times_i,
-            obs_loglik_i=nn_loglik, **cfg_i)))
-        t_ngv, out_ngv = _timeit(ngv, (ths_ng,), n_rep=3)
-        details["daltonng_vmapped16_evals_per_sec"] = round(nbng / t_ngv, 2)
+        with _row(details, "daltonng_vmapped"):
+            nbng = 16
+            ths_ng = jnp.broadcast_to(th_i, (nbng, 3)) + \
+                1e-4 * jnp.arange(nbng, dtype=jnp.float32)[:, None]
+            ngv = jax.jit(jax.vmap(lambda th: precond.daltonng(
+                key=None, interrogate=interrogate_kramer, theta=th,
+                obs_data=yobs_i, obs_times=obs_times_i,
+                obs_loglik_i=nn_loglik, **cfg_i)))
+            t_ngv, out_ngv = _timeit(ngv, (ths_ng,), n_rep=3)
+            details["daltonng_vmapped16_evals_per_sec"] = round(
+                nbng / t_ngv, 2)
 
         def b_loglik(obs_data, ode_data, **p):
             return jnp.sum(-0.5 * (obs_data[..., 0] - ode_data[..., 0])**2)
 
-        bas = jax.jit(lambda th: precond.basic(
-            key=None, interrogate=interrogate_kramer, theta=th,
-            obs_data=yobs_i, obs_times=obs_times_i,
-            obs_loglik=b_loglik, **cfg_i)[0])
-        t_b, out_b = _timeit(bas, (th_i,), n_rep=3)
-        details["basic_evals_per_sec"] = round(1.0 / t_b, 2)
-        details["basic_finite"] = bool(jnp.isfinite(out_b))
+        with _row(details, "basic"):
+            bas = jax.jit(lambda th: precond.basic(
+                key=None, interrogate=interrogate_kramer, theta=th,
+                obs_data=yobs_i, obs_times=obs_times_i,
+                obs_loglik=b_loglik, **cfg_i)[0])
+            t_b, out_b = _timeit(bas, (th_i,), n_rep=3)
+            details["basic_evals_per_sec"] = round(1.0 / t_b, 2)
+            details["basic_finite"] = bool(jnp.isfinite(out_b))
 
         mu_i, _ = precond.solve_mv(
             key=None, interrogate=interrogate_kramer, theta=th_i, **cfg_i)
@@ -462,12 +493,27 @@ def main():
             pad = jnp.zeros(u.shape[:-1] + (1,), jnp.float32)
             return jnp.concatenate([u, pad], axis=-1)
 
-        mg = jax.jit(lambda u: precond.magi_logdens(
-            ode_data_subset=u, ode_expand=ode_expand, n_active=2,
-            prior_pars=cfg_i["prior_pars"], dt=T_MAX / 4000))
-        t_m, out_m = _timeit(mg, (mu_i[:, :, :2],), n_rep=3)
-        details["magi_evals_per_sec"] = round(1.0 / t_m, 2)
-        details["magi_finite"] = bool(jnp.isfinite(out_m))
+        with _row(details, "magi"):
+            mg = jax.jit(lambda u: precond.magi_logdens(
+                ode_data_subset=u, ode_expand=ode_expand, n_active=2,
+                prior_pars=cfg_i["prior_pars"], dt=T_MAX / 4000))
+            t_m, out_m = _timeit(mg, (mu_i[:, :, :2],), n_rep=3)
+            details["magi_evals_per_sec"] = round(1.0 / t_m, 2)
+            details["magi_finite"] = bool(jnp.isfinite(out_m))
+
+        with _row(details, "magi_vmapped"):
+            # MCMC-style workload: a batch of candidate paths (the subset
+            # state is the MCMC position for MAGI inference)
+            nbm = 16
+            us = jnp.broadcast_to(mu_i[:, :, :2],
+                                  (nbm,) + mu_i[:, :, :2].shape)
+            us = us + 1e-4 * jnp.arange(
+                nbm, dtype=jnp.float32)[:, None, None, None]
+            mgv = jax.jit(jax.vmap(lambda u: precond.magi_logdens(
+                ode_data_subset=u, ode_expand=ode_expand, n_active=2,
+                prior_pars=cfg_i["prior_pars"], dt=T_MAX / 4000)))
+            t_mv, out_mv = _timeit(mgv, (us,), n_rep=3)
+            details["magi_vmapped16_evals_per_sec"] = round(nbm / t_mv, 2)
     except Exception as e:  # noqa: BLE001
         details["f32_inference_bench_error"] = repr(e)[:500]
 

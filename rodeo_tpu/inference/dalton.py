@@ -763,7 +763,26 @@ def _solve_filter_nn(key, ode_fun, ode_weight, ode_init,
             # block diagonal of the Hessian, per-block pseudo-inverse
             hes_diag = jnp.moveaxis(
                 jnp.diagonal(obs_hes, axis1=0, axis2=2), -1, 0)
-            obs_var_hat = -jnp.linalg.pinv(hes_diag)
+            from rodeo_tpu.ops.linalg import fast_linalg_enabled, inv_small
+            if fast_linalg_enabled() and hes_diag.shape[-1] <= 5:
+                # closed-form masked inverse instead of pinv: pinv lowers
+                # to an SVD per step, and under vmap the cond below runs
+                # BOTH branches — 4k SVDs per likelihood eval.  State
+                # components the log-likelihood never touches give exact
+                # zero Hessian rows; regularize them to -1 on the
+                # diagonal, invert in closed form, and zero them back —
+                # equal to pinv whenever the live submatrix is invertible
+                # (always, for a nondegenerate Laplace linearization).
+                live = jnp.any(hes_diag != 0, axis=-1)  # (n_block, q)
+                eye_q = jnp.eye(hes_diag.shape[-1], dtype=hes_diag.dtype)
+                dead_diag = eye_q * (~live).astype(
+                    hes_diag.dtype)[..., None, :]
+                inv_reg = inv_small(-(hes_diag) + dead_diag)
+                mask = (live[..., :, None] & live[..., None, :]).astype(
+                    hes_diag.dtype)
+                obs_var_hat = inv_reg * mask
+            else:
+                obs_var_hat = -jnp.linalg.pinv(hes_diag)
             obs_wgt_hat = jnp.where(obs_var_hat != 0, 1.0, 0.0).astype(dtype)
             # vacuous rows (state components the log-likelihood does not
             # touch: zero weight AND zero variance) make the stacked
