@@ -176,3 +176,43 @@ def solve_small(a, b):
     if n == 1:
         return b / a
     return inv_small(a) @ b
+
+
+@jax.custom_jvp
+def psd_factor_eigh(cov):
+    r"""
+    PSD factor :math:`L = V \operatorname{diag}(\sqrt{\max(w, 0)})` with
+    :math:`L L' = \mathrm{cov}` from a symmetric eigendecomposition —
+    numerically identical to the inline ``eigh`` factor the samplers use,
+    but with a **gradient-safe** custom JVP: the stock eigh derivative has
+    :math:`1/(\lambda_j - \lambda_i)` eigenvector terms that NaN whenever
+    eigenvalues coincide or vanish (guaranteed at the exact-init end of a
+    smoothing pass), which silently poisoned ``jax.grad`` through
+    ``solve_sim(method="eigh")``.  The JVP below clamps those denominators
+    (exact wherever the eigensystem is simple; a bounded surrogate on the
+    degenerate set, where the eigenvector derivative itself is
+    non-unique).
+    """
+    w, v = jnp.linalg.eigh(cov)
+    return v * jnp.sqrt(jnp.maximum(w, 0.0))[..., None, :]
+
+
+@psd_factor_eigh.defjvp
+def _psd_factor_eigh_jvp(primals, tangents):
+    (cov,), (dcov,) = primals, tangents
+    w, v = jnp.linalg.eigh(cov)
+    wc = jnp.maximum(w, 0.0)
+    sqw = jnp.sqrt(wc)
+    primal_out = v * sqw[..., None, :]
+    vt_dc_v = jnp.swapaxes(v, -1, -2) @ dcov @ v
+    dw = jnp.diagonal(vt_dc_v, axis1=-2, axis2=-1)
+    diff = w[..., None, :] - w[..., :, None]          # lambda_j - lambda_i
+    eps = jnp.asarray(jnp.finfo(w.dtype).eps, w.dtype)
+    scale = jnp.maximum(jnp.abs(w[..., -1:]), 1.0)[..., None]
+    f = diff / (diff * diff + (eps * scale) ** 2)     # safe 1/(lj - li)
+    eye = jnp.eye(w.shape[-1], dtype=w.dtype)
+    f = f * (1.0 - eye)
+    dv = v @ (f * vt_dc_v)
+    dsqw = dw / (2.0 * sqw + eps * scale[..., 0])
+    d_out = dv * sqw[..., None, :] + v * dsqw[..., None, :]
+    return primal_out, d_out

@@ -127,8 +127,8 @@ def _sample_mvn(key, mean, cov, method):
     symmetric eigendecomposition factor instead of the two-pass SVD, with
     eigenvalues clamped at zero for PSD safety."""
     if method == "eigh":
-        w, v = jnp.linalg.eigh(cov)
-        factor = v * jnp.sqrt(jnp.maximum(w, 0.0))[..., None, :]
+        from rodeo_tpu.ops.linalg import psd_factor_eigh
+        factor = psd_factor_eigh(cov)
         z = jax.random.normal(key, mean.shape, dtype=mean.dtype)
         return mean + jnp.einsum("...ij,...j->...i", factor, z)
     return jax.random.multivariate_normal(key, mean, cov, method=method)
@@ -191,8 +191,8 @@ def solve_sim(key, ode_fun, ode_weight, ode_init,
             wgt_state=prior_weight,
             var_state=prior_var,
         )
-        w, v = jnp.linalg.eigh(C)
-        factor = v * jnp.sqrt(jnp.maximum(w, 0.0))[..., None, :]
+        from rodeo_tpu.ops.linalg import psd_factor_eigh
+        factor = psd_factor_eigh(C)
         z = jax.vmap(lambda k: jax.random.normal(
             k, ode_init.shape, dtype=ode_init.dtype))(
                 jnp.stack(subkeys)[:n_steps - 1])

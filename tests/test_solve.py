@@ -275,3 +275,32 @@ def test_tiny_n_steps(n_steps):
             interrogate=interrogate_kramer, theta=th, **cfg)
         assert xs.shape[0] == n_steps + 1
         assert not bool(jnp.any(jnp.isnan(xs)))
+
+
+def test_solve_sim_eigh_grad_finite():
+    """jax.grad through the eigh sampling path must be finite (the stock
+    eigh derivative NaNs on the coinciding/zero eigenvalues guaranteed at
+    the exact-init end; `ops.linalg.psd_factor_eigh` fixes the JVP)."""
+    from rodeo_tpu.models import fitzhugh
+    cfg = fitzhugh.setup(n_steps=50, t_max=3.0, dtype=jnp.float64)
+    th = cfg.pop("theta")
+
+    def obj(theta):
+        xs = rodeo_tpu.solve_sim(
+            key=jax.random.PRNGKey(0), method="eigh",
+            interrogate=interrogate_kramer, theta=theta, **cfg)
+        return jnp.sum(xs[:, :, 0] ** 2)
+
+    v, g = jax.value_and_grad(obj)(th)
+    assert bool(jnp.all(jnp.isfinite(g))), g
+    # direction agrees with the (finite) svd-path gradient
+    def obj_svd(theta):
+        xs = rodeo_tpu.solve_sim(
+            key=jax.random.PRNGKey(0), method="svd",
+            interrogate=interrogate_kramer, theta=theta, **cfg)
+        return jnp.sum(xs[:, :, 0] ** 2)
+
+    g_svd = jax.grad(obj_svd)(th)
+    cos = jnp.sum(g * g_svd) / (
+        jnp.linalg.norm(g) * jnp.linalg.norm(g_svd))
+    assert float(cos) > 0.9, (g, g_svd)
