@@ -449,6 +449,14 @@ def solve_mv_iterated(key, ode_fun, ode_weight, ode_init,
                 mean_state_pred=m, var_state_pred=v, **params)
         return jax.vmap(one)(keys, tgrid, mean_pred, var_pred)
 
+    if window_size is not None and window_size < n_steps:
+        # windowed mode needs no global warm start: each window is
+        # warm-started from its own carried boundary state (below), which
+        # stays accurate even when a coarse global solve would have
+        # diverged (chaotic systems) — and skipping the sequential coarse
+        # prefix makes the whole pipeline depth O((N/L) K log L)
+        warm_start = False
+
     var_pred = jnp.broadcast_to(
         prior_var, (n_steps,) + prior_var.shape).astype(dtype)
     if warm_start:
@@ -491,9 +499,18 @@ def solve_mv_iterated(key, ode_fun, ode_weight, ode_init,
 
     def window_body(carry, win_xs):
         """Iterated parallel filter over one time window, chained causally
-        from the previous window's filtered terminal state."""
+        from the previous window's filtered terminal state.  The window's
+        linearization trajectory is warm-started CONSTANT at the carried
+        boundary state — accurate by construction at the left edge, and
+        within the relinearization iteration's contraction basin whenever
+        the window is short relative to the system's Lyapunov time (the
+        global coarse-solve interpolation used previously diverges from
+        the true trajectory on chaotic systems, poisoning every window
+        after the first)."""
         m_b, P_b = carry
         w_keys, w_tgrid, w_mean_pred, w_var_pred = win_xs
+        if n_win > 1:
+            w_mean_pred = jnp.broadcast_to(m_b, (win,) + m_b.shape)
 
         def lin_all(mean_pred, var_pred):
             def one(key_n, t, m, v):
@@ -513,7 +530,15 @@ def solve_mv_iterated(key, ode_fun, ode_weight, ode_init,
 
         def sweep(carry, _):
             out = run_filter(*carry)
-            return (out["state_pred"][0][1:], out["state_pred"][1][1:]), None
+            # the relinearization iterate can transiently leave the
+            # contraction basin before re-converging; on polynomial
+            # vector fields that transient overflows (-> NaN, which then
+            # locks in).  Clamping the next linearization trajectory to a
+            # finite box keeps the iteration recoverable without moving
+            # the fixed point (never binds once converged).
+            m_new = jnp.clip(jnp.nan_to_num(out["state_pred"][0][1:]),
+                             -1e8, 1e8)
+            return (m_new, out["state_pred"][1][1:]), None
 
         (mean_pred, var_pred), _ = jax.lax.scan(
             sweep, (w_mean_pred, w_var_pred), None, length=n_iter)

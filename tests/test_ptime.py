@@ -142,3 +142,23 @@ def test_solve_mv_iterated_converges(fitz):
         lambda th: solve_mv_iterated(
             n_iter=40, **{**kwargs, "theta": th}))(fitz["theta"])
     np.testing.assert_allclose(mu_j, mu_p, rtol=1e-10)
+
+
+def test_windowed_iterated_chaotic_lorenz():
+    """Windowed parallel-in-time on a CHAOTIC horizon: each window is
+    warm-started from its carried boundary state (a global coarse warm
+    start diverges from the true trajectory and used to poison every
+    window), transient relinearization excursions are clamped instead of
+    NaN-locking, and with enough sweeps per window the result matches the
+    sequential solution exactly."""
+    from rodeo_tpu.models import lorenz
+    cfg = lorenz.setup(n_steps=1000, t_max=5.0, dtype=jnp.float64)
+    th = cfg.pop("theta")
+    mu_s, _ = rodeo_tpu.solve_mv(
+        key=None, interrogate=interrogate_kramer, theta=th, **cfg)
+    mu_p, _ = solve_mv_iterated(
+        key=None, interrogate=interrogate_kramer, theta=th,
+        n_iter=40, window_size=100, **cfg)
+    np.testing.assert_allclose(np.asarray(mu_p[:, :, 0]),
+                               np.asarray(mu_s[:, :, 0]),
+                               rtol=1e-6, atol=1e-6)
