@@ -375,7 +375,7 @@ def solve_mv_iterated(key, ode_fun, ode_weight, ode_init,
                       interrogate,
                       prior_pars,
                       n_iter=20, warm_start=True, n_coarse=64,
-                      window_size=None, **params):
+                      window_size=None, window_warm="global", **params):
     r"""
     Fully parallel-in-time probabilistic ODE solve by iterated global
     linearization (parallel-EKS style; cf. Bosch et al 2023,
@@ -422,6 +422,16 @@ def solve_mv_iterated(key, ode_fun, ode_weight, ode_init,
             iteration robust on long/chaotic horizons where the global
             (``None``) mode needs many sweeps or fails to contract.
             Sequential depth is :math:`O((N/L)\,K \log L)`.
+        window_warm (str): How each window's linearization trajectory is
+            initialized.  ``"global"`` (default): from the coarse
+            warm-start interpolation — best when ``n_coarse`` resolves the
+            dynamics (few sweeps needed), but a diverged coarse solve
+            (chaotic horizon, coarse ``n_coarse``) poisons every window.
+            ``"boundary"``: constant at the window's carried boundary
+            state — no sequential coarse prefix at all, converges exactly
+            on chaotic horizons given short windows (~100 steps) and
+            enough sweeps (``n_iter``~40); unconverged window error is
+            amplified by the Lyapunov factor of each later window.
         (other arguments as in :func:`rodeo_tpu.solve.solve_mv`; only the
         ``"standard"`` Kalman form is used internally, and the
         interrogation must be deterministic.)
@@ -449,8 +459,9 @@ def solve_mv_iterated(key, ode_fun, ode_weight, ode_init,
                 mean_state_pred=m, var_state_pred=v, **params)
         return jax.vmap(one)(keys, tgrid, mean_pred, var_pred)
 
-    if window_size is not None and window_size < n_steps:
-        # windowed mode needs no global warm start: each window is
+    if (window_warm == "boundary" and window_size is not None
+            and window_size < n_steps):
+        # boundary-mode windows need no global warm start: each window is
         # warm-started from its own carried boundary state (below), which
         # stays accurate even when a coarse global solve would have
         # diverged (chaotic systems) — and skipping the sequential coarse
@@ -509,7 +520,7 @@ def solve_mv_iterated(key, ode_fun, ode_weight, ode_init,
         after the first)."""
         m_b, P_b = carry
         w_keys, w_tgrid, w_mean_pred, w_var_pred = win_xs
-        if n_win > 1:
+        if n_win > 1 and window_warm == "boundary":
             w_mean_pred = jnp.broadcast_to(m_b, (win,) + m_b.shape)
 
         def lin_all(mean_pred, var_pred):
@@ -535,9 +546,14 @@ def solve_mv_iterated(key, ode_fun, ode_weight, ode_init,
             # vector fields that transient overflows (-> NaN, which then
             # locks in).  Clamping the next linearization trajectory to a
             # finite box keeps the iteration recoverable without moving
-            # the fixed point (never binds once converged).
-            m_new = jnp.clip(jnp.nan_to_num(out["state_pred"][0][1:]),
-                             -1e8, 1e8)
+            # the fixed point.  The bound must never bind on legitimate
+            # states: Taylor-preconditioned coordinates scale means by
+            # dt^{-(q-i)}/sqrt(dt) (~1e9 for fine grids), so clamp at
+            # 1e12 — still cube-safe in float32 (1e36 < 3.4e38).
+            m_new = jnp.clip(jnp.nan_to_num(out["state_pred"][0][1:],
+                                            nan=0.0, posinf=1e12,
+                                            neginf=-1e12),
+                             -1e12, 1e12)
             return (m_new, out["state_pred"][1][1:]), None
 
         (mean_pred, var_pred), _ = jax.lax.scan(

@@ -24,7 +24,8 @@ import threading
 
 import jax
 
-__all__ = ["scan", "scan_unroll", "get_scan_unroll"]
+__all__ = ["scan", "scan_unroll", "get_scan_unroll",
+           "scan_remat", "get_scan_remat"]
 
 _state = threading.local()
 
@@ -46,7 +47,30 @@ def scan_unroll(n):
         _state.unroll = prev
 
 
+def get_scan_remat():
+    """Whether solver time-loop bodies are rematerialized (default False)."""
+    return getattr(_state, "remat", False)
+
+
+@contextlib.contextmanager
+def scan_remat(enable=True):
+    """Trace-time context: wrap every solver time-loop body in
+    ``jax.checkpoint`` — reverse-mode differentiation then recomputes the
+    per-step intermediates instead of storing them all, trading FLOPs for
+    the HBM traffic that dominates gradient evaluations of long scans.
+    Identical values and gradients."""
+    prev = get_scan_remat()
+    _state.remat = bool(enable)
+    try:
+        yield
+    finally:
+        _state.remat = prev
+
+
 def scan(f, init, xs=None, length=None, reverse=False):
-    """``jax.lax.scan`` with the ambient :func:`scan_unroll` factor."""
+    """``jax.lax.scan`` with the ambient :func:`scan_unroll` /
+    :func:`scan_remat` settings."""
+    if get_scan_remat():
+        f = jax.checkpoint(f)
     return jax.lax.scan(f, init, xs, length=length, reverse=reverse,
                         unroll=get_scan_unroll())

@@ -158,7 +158,7 @@ def test_windowed_iterated_chaotic_lorenz():
         key=None, interrogate=interrogate_kramer, theta=th, **cfg)
     mu_p, _ = solve_mv_iterated(
         key=None, interrogate=interrogate_kramer, theta=th,
-        n_iter=40, window_size=100, **cfg)
+        n_iter=40, window_size=100, window_warm="boundary", **cfg)
     np.testing.assert_allclose(np.asarray(mu_p[:, :, 0]),
                                np.asarray(mu_s[:, :, 0]),
                                rtol=1e-6, atol=1e-6)

@@ -96,3 +96,21 @@ def test_magi_unroll_identical():
     with scan_unroll(8):
         ll8 = jax.jit(lambda: magi_logdens(**kw))()
     np.testing.assert_array_equal(np.asarray(ll0), np.asarray(ll8))
+
+
+def test_scan_remat_identical_value_and_grad():
+    """`scan_remat` changes the reverse-pass schedule only: value and
+    gradient match the default to fp-roundoff."""
+    from rodeo_tpu.ops.scan import scan_remat
+    s = fitz_setup(n_steps_per_unit=10, t_max=3.0)
+    obs = _obs_model(s)
+    kw = dict(key=None, ode_fun=fitz_fun, ode_weight=s["W"],
+              ode_init=s["x0_block"], t_min=s["t_min"], t_max=s["t_max"],
+              n_steps=s["n_steps"], interrogate=interrogate_kramer,
+              prior_pars=s["prior_pars"], **obs)
+    f = lambda th: fenrir(theta=th, **kw)
+    v0, g0 = jax.value_and_grad(f)(s["theta"])
+    with scan_remat(), scan_unroll(4):
+        v1, g1 = jax.jit(jax.value_and_grad(f))(s["theta"])
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-8)
