@@ -119,9 +119,12 @@ class _row:
         return self
 
     def __exit__(self, etype, e, tb):
-        if e is not None:
-            self.details[f"{self.label}_error"] = repr(e)[:300]
-        return True  # swallow
+        if e is None:
+            return False
+        if not isinstance(e, Exception):
+            return False  # let KeyboardInterrupt/SystemExit propagate
+        self.details[f"{self.label}_error"] = repr(e)[:300]
+        return True  # swallow ordinary failures
 
 
 def main():
