@@ -155,12 +155,13 @@ def solve_sim(key, ode_fun, ode_weight, ode_init,
               t_min, t_max, n_steps,
               interrogate,
               prior_pars,
-              kalman_type="standard", **params):
+              kalman_type="standard", n_deriv=None, **params):
     r"""
-    Preconditioned :func:`rodeo_tpu.solve.solve_sim` (see :func:`solve_mv`).
+    Preconditioned :func:`rodeo_tpu.solve.solve_sim` (see :func:`solve_mv`;
+    ``n_deriv`` selects the dense/non-blocked scaling as there).
     """
     t_vec, W_s, x0_s, prior_s = _scaled_inputs(
-        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps)
+        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps, n_deriv)
     with fast_linalg():
         xs = _solve.solve_sim(
             key=key, ode_fun=ode_fun, ode_weight=W_s, ode_init=x0_s,

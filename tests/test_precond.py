@@ -354,3 +354,14 @@ def test_precond_dense_nonblocked_layout():
     np.testing.assert_allclose(
         np.asarray(mu[:, 0, ::n_deriv]), np.asarray(mu_b[:, :, 0]),
         atol=5e-3)
+    # the dense sampler rides the same tiled scaling
+    xs = precond.solve_sim(
+        key=jax.random.PRNGKey(0), ode_fun=ode_dense, ode_weight=W_dense,
+        ode_init=x0_dense, t_min=s["t_min"], t_max=s["t_max"],
+        n_steps=s["n_steps"], interrogate=interrogate_kramer,
+        prior_pars=dense_prior, n_deriv=n_deriv, method="eigh",
+        theta=theta)
+    assert not bool(jnp.any(jnp.isnan(xs)))
+    np.testing.assert_allclose(
+        np.asarray(xs[:, 0, ::n_deriv]), np.asarray(mu[:, 0, ::n_deriv]),
+        atol=0.3)
