@@ -777,7 +777,23 @@ def _solve_filter_nn(key, ode_fun, ode_weight, ode_init,
                 eye_q = jnp.eye(hes_diag.shape[-1], dtype=hes_diag.dtype)
                 dead_diag = eye_q * (~live).astype(
                     hes_diag.dtype)[..., None, :]
-                inv_reg = inv_small(-(hes_diag) + dead_diag)
+                neg_hes = -(hes_diag) + dead_diag
+                # a live-but-numerically-singular block would blow up the
+                # adjugate inverse (pinv returned a bounded pseudo-inverse
+                # here); detect it via the scale-normalized determinant and
+                # Tikhonov-regularize the block before inverting — a small
+                # positive ridge on -Hess (PSD for concave log-likelihoods)
+                # that leaves well-conditioned blocks bit-identical.
+                from rodeo_tpu.ops.linalg import _det_small_normed
+                nh_scale = jnp.max(jnp.abs(neg_hes), axis=(-1, -2),
+                                   keepdims=True)
+                nh_scale = jnp.where(nh_scale == 0, 1.0, nh_scale)
+                detn = _det_small_normed(neg_hes / nh_scale)[..., None, None]
+                det_tol = jnp.asarray(
+                    jnp.finfo(hes_diag.dtype).eps, hes_diag.dtype) * 100
+                ridge = jnp.where(jnp.abs(detn) < det_tol,
+                                  jnp.sqrt(det_tol) * nh_scale, 0.0)
+                inv_reg = inv_small(neg_hes + ridge * eye_q)
                 mask = (live[..., :, None] & live[..., None, :]).astype(
                     hes_diag.dtype)
                 obs_var_hat = inv_reg * mask

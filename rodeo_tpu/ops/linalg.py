@@ -213,6 +213,12 @@ def _psd_factor_eigh_jvp(primals, tangents):
     eye = jnp.eye(w.shape[-1], dtype=w.dtype)
     f = f * (1.0 - eye)
     dv = v @ (f * vt_dc_v)
-    dsqw = dw / (2.0 * sqw + eps * scale[..., 0])
+    # Clamped directions (w <= tol*scale, incl. the exact-zero covariances
+    # this factor exists to handle): d/dt sqrt(max(w,0)) = 0 there, and the
+    # bounded surrogate dw/(2*sqw + eps*scale) ~ dw/eps would be a finite
+    # but astronomically wrong contribution — mask it to the true zero.
+    tol = jnp.sqrt(eps)
+    live = w > tol * scale[..., 0]
+    dsqw = jnp.where(live, dw / (2.0 * sqw + eps * scale[..., 0]), 0.0)
     d_out = dv * sqw[..., None, :] + v * dsqw[..., None, :]
     return primal_out, d_out

@@ -320,17 +320,27 @@ def _static_scaled_qconst(prior_weight_raw, dt, q):
 # --- forward filter kernel -------------------------------------------------------
 
 
-def _filter_kernel(ode_flat, jac_flat, chunk, q, n_block, n_tri, q_const,
-                   unroll,
-                   q_ref, r_ref, w_ref, x0_ref, th_ref, tgrid_ref, tv_ref,
-                   mf_ref, pf_ref, mp_ref, pp_ref,
-                   m_scr, p_scr):
+def _filter_kernel(ode_flat, jac_flat, mode, chunk, q, n_block, n_tri,
+                   q_const, unroll, *refs):
     """One grid step = `chunk` filter steps; state carried in VMEM scratch.
 
     When the (preconditioned) transition matrix is constant across blocks —
     the IBM prior's Pascal matrix — its entries arrive as trace-time floats
     in ``q_const``, turning the predict matmuls into sparse constant FMAs.
+    ``mode`` selects the interrogation scheme traced into the kernel (same
+    contract as :func:`_filter_kernel_batch`): ``"kramer"`` (EK1),
+    ``"rodeo"`` (EK0, noise :math:`V = W \\Sigma_p W'`), ``"schober"``
+    (EK0, zero noise), ``"chkrebtii"`` (rodeo noise, ODE evaluated at a
+    posterior-predictive draw using precomputed normals streamed per
+    chunk).
     """
+    if mode == "chkrebtii":
+        (q_ref, r_ref, w_ref, x0_ref, th_ref, tgrid_ref, tv_ref, eps_ref,
+         mf_ref, pf_ref, mp_ref, pp_ref, m_scr, p_scr) = refs
+    else:
+        (q_ref, r_ref, w_ref, x0_ref, th_ref, tgrid_ref, tv_ref,
+         mf_ref, pf_ref, mp_ref, pp_ref, m_scr, p_scr) = refs
+        eps_ref = None
     pairs, where = _tri_idx(q)
     gi = pl.program_id(0)
     Qm = q_const if q_const is not None else _read_mat_cols(q_ref, q)
@@ -356,11 +366,19 @@ def _filter_kernel(ode_flat, jac_flat, chunk, q, n_block, n_tri, q_const,
         mp_cols = _matvec(q, Qm, m_cols)
         pp_cols = _sym_quadform(q, Qm, p_cols, where)
         pp_cols = [pp_cols[k] + R_cols[k] for k in range(n_tri)]
-        # interrogation at the predicted mean (original coordinates)
-        x_cols = [mp_cols[j] * tv_cols[j] for j in range(q)]
+        if mode == "chkrebtii":
+            # interrogate at a posterior-predictive draw (scaled coords)
+            Lc = _chol_cols(q, pp_cols, where)
+            eta = _chol_matvec(
+                q, Lc, [eps_ref[r, :, j:j + 1] for j in range(q)])
+            xs_cols = [mp_cols[j] + eta[j] for j in range(q)]
+            x_cols = [xs_cols[j] * tv_cols[j] for j in range(q)]
+        else:
+            # interrogation at the predicted mean (original coordinates)
+            x_cols = [mp_cols[j] * tv_cols[j] for j in range(q)]
         t_n = tgrid_ref[gi * chunk + r, 0]
         f0 = ode_flat(x_cols, th_ref, t_n)                 # (nb, 1)
-        jd_cols = jac_flat(x_cols, th_ref, t_n) if jac_flat is not None \
+        jd_cols = jac_flat(x_cols, th_ref, t_n) if mode == "kramer" \
             else [None] * q
         H_cols = []
         for j in range(q):
@@ -386,7 +404,7 @@ def _filter_kernel(ode_flat, jac_flat, chunk, q, n_block, n_tri, q_const,
         S = None
         for i in range(q):
             S = _acc(S, H_cols[i] * PH_cols[i])
-        if jac_flat is None:
+        if mode in ("rodeo", "chkrebtii"):
             # rodeo interrogation: V = W Pp W' == S, so S_total = 2 S
             S = S + S
         inv_S = 1.0 / S
@@ -396,7 +414,7 @@ def _filter_kernel(ode_flat, jac_flat, chunk, q, n_block, n_tri, q_const,
         IKW = [[(1.0 if i == j else 0.0) - gain[i] * H_cols[j]
                 for j in range(q)] for i in range(q)]
         pf_cols = _sym_quadform(q, IKW, pp_cols, where)
-        if jac_flat is None:
+        if mode in ("rodeo", "chkrebtii"):
             V = S * 0.5
             pf_cols = [pf_cols[k] + gain[i] * gain[j] * V
                        for k, (i, j) in enumerate(pairs)]
@@ -455,8 +473,13 @@ def _unpack_tri(packed, q, pairs):
 def fused_filter(ode_flat, jac_flat, n_steps,
                  prior_weight, prior_var, ode_weight, ode_init,
                  theta_col, tgrid, t_vec, chunk=None, interpret="auto",
-                 raw_q_const=None, unroll=False):
+                 raw_q_const=None, unroll=False, mode=None, eps=None):
     """Invoke the fused forward-filter kernel (preconditioned inputs).
+
+    ``mode`` selects the interrogation (default ``"kramer"`` when
+    ``jac_flat`` is given, else ``"rodeo"``); ``mode="chkrebtii"``
+    additionally requires ``eps`` of shape ``(n_steps, n_block, q)``
+    (standard normals for the in-kernel posterior-predictive draws).
 
     Returns stacked ``(n_steps, n_block, q / n_tri)`` filtered/predicted
     moments for steps ``1..n_steps`` (covariances packed upper-triangular).
@@ -464,6 +487,10 @@ def fused_filter(ode_flat, jac_flat, n_steps,
     n_block, q = ode_init.shape
     pairs, _ = _tri_idx(q)
     n_tri = len(pairs)
+    if mode is None:
+        mode = "kramer" if jac_flat is not None else "rodeo"
+    if mode == "chkrebtii" and eps is None:
+        raise ValueError("mode='chkrebtii' requires eps draws")
     if chunk is None:
         chunk = _pick_chunk(n_steps, target=16 if unroll else 256)
     if n_steps % chunk:
@@ -475,7 +502,7 @@ def fused_filter(ode_flat, jac_flat, n_steps,
     q_const = _const_coefs(prior_weight)
     if q_const is None:
         q_const = raw_q_const
-    kern = functools.partial(_filter_kernel, ode_flat, jac_flat,
+    kern = functools.partial(_filter_kernel, ode_flat, jac_flat, mode,
                              chunk, q, n_block, n_tri, q_const, unroll)
     outs = [
         jax.ShapeDtypeStruct((n_steps, n_block, q), jnp.float32),
@@ -511,6 +538,20 @@ def fused_filter(ode_flat, jac_flat, n_steps,
                      memory_space=pltpu.VMEM),
     ]
     R_packed = _pack_tri(prior_var, pairs)
+    inputs = [
+        prior_weight.reshape(n_block, q * q).astype(jnp.float32),
+        R_packed.astype(jnp.float32),
+        ode_weight.astype(jnp.float32),
+        ode_init.astype(jnp.float32),
+        theta_col.astype(jnp.float32),
+        tgrid[:, None].astype(jnp.float32),
+        t_vec[None, :].astype(jnp.float32),
+    ]
+    if mode == "chkrebtii":
+        in_specs.append(pl.BlockSpec((chunk, n_block, q),
+                                     lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))  # eps
+        inputs.append(eps.astype(jnp.float32))
     return pl.pallas_call(
         kern, out_shape=outs, grid=(n_chunks,),
         in_specs=in_specs, out_specs=out_specs,
@@ -519,13 +560,7 @@ def fused_filter(ode_flat, jac_flat, n_steps,
             pltpu.VMEM((n_block, n_tri), jnp.float32),
         ],
         interpret=_interpret_mode(interpret),
-    )(prior_weight.reshape(n_block, q * q).astype(jnp.float32),
-      R_packed.astype(jnp.float32),
-      ode_weight.astype(jnp.float32),
-      ode_init.astype(jnp.float32),
-      theta_col.astype(jnp.float32),
-      tgrid[:, None].astype(jnp.float32),
-      t_vec[None, :].astype(jnp.float32))
+    )(*inputs)
 
 
 def fused_smoother(n_steps, prior_weight, prior_var,
@@ -656,12 +691,50 @@ def _smoother_recursion_kernel(chunk, q, n_block, n_tri,
         p_scr[:, k:k + 1] = out[q + k]
 
 
+def resolve_interrogation(interrogate, interrogation, jac_flat):
+    """Resolve the fused kernels' interrogation ``mode`` from either the
+    explicit ``interrogation=`` enum or the ``interrogate=`` callable of
+    the :func:`rodeo_tpu.solve.solve_mv` API — validated, never silently
+    ignored (a caller passing ``interrogate_chkrebtii`` must get chkrebtii
+    semantics or an error, not a different algorithm)."""
+    valid = ("kramer", "rodeo", "schober", "chkrebtii")
+    if interrogation is not None:
+        if interrogation not in valid:
+            raise ValueError(
+                f"interrogation must be one of {valid}, got "
+                f"{interrogation!r}")
+        mode = interrogation
+    elif interrogate is None:
+        mode = "kramer" if jac_flat is not None else "rodeo"
+    else:
+        from rodeo_tpu import interrogate as _imod
+        by_callable = {
+            _imod.interrogate_kramer: "kramer",
+            _imod.interrogate_rodeo: "rodeo",
+            _imod.interrogate_schober: "schober",
+            _imod.interrogate_chkrebtii: "chkrebtii",
+        }
+        mode = by_callable.get(interrogate)
+        if mode is None:
+            raise ValueError(
+                "the fused kernels support only the built-in "
+                "interrogations (rodeo_tpu.interrogate.interrogate_"
+                "{kramer,rodeo,schober,chkrebtii}); got an unrecognized "
+                f"callable {interrogate!r} — use rodeo_tpu.solve / "
+                "rodeo_tpu.ops.precond for custom interrogations")
+    if mode == "kramer" and jac_flat is None:
+        raise ValueError(
+            "interrogation='kramer' (EK1) requires a `jac_flat` callable")
+    return mode
+
+
 def solve_mv_fused(key, ode_fun, ode_weight, ode_init,
                    t_min, t_max, n_steps,
-                   interrogate,
-                   prior_pars,
+                   interrogate=None,
+                   prior_pars=None,
                    ode_flat=None, jac_flat=None, interpret="auto",
-                   chunk=None, k_compose=None, unroll=False, **params):
+                   chunk=None, k_compose=None, unroll=False,
+                   interrogation=None, **params):
     r"""
     Posterior mean/variance of the ODE solve via fused Pallas kernels.
 
@@ -670,18 +743,23 @@ def solve_mv_fused(key, ode_fun, ode_weight, ode_init,
     measurement row per block and ``q <= 5``.  The ODE enters through
     Mosaic-safe ``ode_flat(x_cols, th, t) -> (n_block, 1)`` and (for EK1)
     ``jac_flat(x_cols, th, t) -> [q columns or None]`` callables; models in
-    :mod:`rodeo_tpu.models` provide them.  ``jac_flat=None`` selects the
-    zero-order (rodeo) interrogation.
+    :mod:`rodeo_tpu.models` provide them.
+
+    The interrogation scheme is taken from ``interrogation=`` (``"kramer"
+    | "rodeo" | "schober" | "chkrebtii"``) or inferred from a built-in
+    ``interrogate=`` callable; default kramer when ``jac_flat`` is given,
+    rodeo otherwise.  ``"chkrebtii"`` requires ``key``.  Unrecognized
+    custom interrogations raise (use the XLA paths for those).
 
     Returns:
         (tuple): ``mean_state_smooth``, ``var_state_smooth`` with shapes
         ``(n_steps+1, n_block, q[, q])``.
     """
-    del key, interrogate
     if ode_flat is None:
         raise ValueError(
             "solve_mv_fused requires a Mosaic-safe `ode_flat` callable "
             "(see rodeo_tpu.models.*_flat)")
+    mode = resolve_interrogation(interrogate, interrogation, jac_flat)
     n_block, n_bmeas, q = ode_weight.shape
     if n_bmeas != 1:
         raise NotImplementedError("fused kernels require n_bmeas == 1")
@@ -697,10 +775,15 @@ def solve_mv_fused(key, ode_fun, ode_weight, ode_init,
     theta_col = jnp.zeros((1, 1), jnp.float32) if theta is None \
         else jnp.asarray(theta)[:, None]
 
+    eps = None
+    if mode == "chkrebtii":
+        if key is None:
+            raise ValueError("interrogation='chkrebtii' requires a key")
+        eps = jax.random.normal(key, (n_steps, n_block, q), jnp.float32)
     mf, pf, mp, pp = fused_filter(
         ode_flat, jac_flat, n_steps, Qs, Rs, W_s, x0_s,
         theta_col, tgrid, t_vec, chunk=chunk, interpret=interpret,
-        raw_q_const=raw_q_const, unroll=unroll)
+        raw_q_const=raw_q_const, unroll=unroll, mode=mode, eps=eps)
     # smoother over steps 1..n_steps-1 (terminal = filtered at n_steps);
     # k_compose > 1 shortens the sequential recursion k-fold by exact
     # k-step composition (latency path)

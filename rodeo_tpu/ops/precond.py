@@ -108,6 +108,11 @@ def _scaled_inputs(ode_weight, ode_init, prior_pars, t_min, t_max, n_steps,
     dt = (t_max - t_min) / n_steps
     t_vec = taylor_scale(dt, n_deriv, dtype=ode_init.dtype)
     if n_deriv != state_dim:
+        if state_dim % n_deriv:
+            raise ValueError(
+                f"n_deriv={n_deriv} must divide the state dimension "
+                f"{state_dim} (dense layout = n_vars blocks of n_deriv "
+                f"derivatives)")
         t_vec = jnp.tile(t_vec, state_dim // n_deriv)
     return (
         t_vec,

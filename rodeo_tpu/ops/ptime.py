@@ -459,6 +459,10 @@ def solve_mv_iterated(key, ode_fun, ode_weight, ode_init,
                 mean_state_pred=m, var_state_pred=v, **params)
         return jax.vmap(one)(keys, tgrid, mean_pred, var_pred)
 
+    if window_warm not in ("global", "boundary"):
+        raise ValueError(
+            f"window_warm must be 'global' or 'boundary', got "
+            f"{window_warm!r}")
     if (window_warm == "boundary" and window_size is not None
             and window_size < n_steps):
         # boundary-mode windows need no global warm start: each window is
@@ -554,7 +558,15 @@ def solve_mv_iterated(key, ode_fun, ode_weight, ode_init,
                                             nan=0.0, posinf=1e12,
                                             neginf=-1e12),
                              -1e12, 1e12)
-            return (m_new, out["state_pred"][1][1:]), None
+            # the variance iterate must be sanitized too: a NaN/Inf in the
+            # carried variance would otherwise lock in across sweeps and
+            # defeat the recoverability the mean clamp provides.  Fall back
+            # to the (PSD by construction) prior variance where non-finite.
+            v_raw = out["state_pred"][1][1:]
+            v_new = jnp.where(
+                jnp.all(jnp.isfinite(v_raw), axis=(-1, -2), keepdims=True),
+                v_raw, jnp.broadcast_to(prior_var, v_raw.shape))
+            return (m_new, v_new), None
 
         (mean_pred, var_pred), _ = jax.lax.scan(
             sweep, (w_mean_pred, w_var_pred), None, length=n_iter)

@@ -402,3 +402,76 @@ def test_nondividing_chunk_rejected():
             key=None, interrogate=interrogate_kramer, theta=th,
             ode_flat=fitzhugh.fitzhugh_flat,
             jac_flat=fitzhugh.fitzhugh_jac_flat, chunk=32, **cfg)
+
+
+def test_fused_interrogation_contract(lorenz_cfg):
+    """The interrogation argument must be honored, never silently swallowed
+    (a chkrebtii caller previously got EK0/EK1 selected by jac_flat)."""
+    from rodeo_tpu.interrogate import interrogate_chkrebtii
+    from rodeo_tpu.models import fitzhugh
+
+    cfg, theta = lorenz_cfg
+    # chkrebtii: runs (eps plumbed through the kernel), finite, and close
+    # to the deterministic rodeo solve (the draws perturb the converged
+    # posterior only slightly; FitzHugh — on chaotic Lorenz the draws
+    # genuinely diverge, as they do in the XLA path too)
+    fcfg = fitzhugh.setup(n_steps=100, t_max=5.0, dtype=jnp.float32)
+    ftheta = fcfg.pop("theta")
+    mu_c, var_c = pallas_kalman.solve_mv_fused(
+        key=jax.random.PRNGKey(0), interrogate=interrogate_chkrebtii,
+        theta=ftheta, ode_flat=fitzhugh.fitzhugh_flat, jac_flat=None,
+        **fcfg)
+    assert np.all(np.isfinite(np.asarray(mu_c)))
+    mu_r, _ = pallas_kalman.solve_mv_fused(
+        key=None, interrogate=interrogate_rodeo, theta=ftheta,
+        ode_flat=fitzhugh.fitzhugh_flat, jac_flat=None, **fcfg)
+    np.testing.assert_allclose(np.asarray(mu_c[:, :, 0]),
+                               np.asarray(mu_r[:, :, 0]),
+                               rtol=0.2, atol=0.5)
+    # stochastic: a different key must give a different trajectory
+    mu_c2, _ = pallas_kalman.solve_mv_fused(
+        key=jax.random.PRNGKey(1), interrogate=interrogate_chkrebtii,
+        theta=ftheta, ode_flat=fitzhugh.fitzhugh_flat, jac_flat=None,
+        **fcfg)
+    assert float(np.max(np.abs(np.asarray(mu_c) - np.asarray(mu_c2)))) > 0
+
+    # chkrebtii without a key: clear error
+    with pytest.raises(ValueError, match="requires a key"):
+        pallas_kalman.solve_mv_fused(
+            key=None, interrogate=interrogate_chkrebtii, theta=theta,
+            ode_flat=lorenz.lorenz_flat, jac_flat=None, **cfg)
+
+    # an unrecognized custom interrogation: clear error, not a silent
+    # algorithm switch
+    def custom_interrogate(**kwargs):  # pragma: no cover - never called
+        raise AssertionError
+
+    with pytest.raises(ValueError, match="unrecognized"):
+        pallas_kalman.solve_mv_fused(
+            key=None, interrogate=custom_interrogate, theta=theta,
+            ode_flat=lorenz.lorenz_flat, jac_flat=None, **cfg)
+
+    # explicit enum validation
+    with pytest.raises(ValueError, match="interrogation must be one of"):
+        pallas_kalman.solve_mv_fused(
+            key=None, interrogation="bogus", theta=theta,
+            ode_flat=lorenz.lorenz_flat, jac_flat=None, **cfg)
+    with pytest.raises(ValueError, match="jac_flat"):
+        pallas_kalman.solve_mv_fused(
+            key=None, interrogation="kramer", theta=theta,
+            ode_flat=lorenz.lorenz_flat, jac_flat=None, **cfg)
+
+
+def test_fused_schober_matches_precond(lorenz_cfg):
+    """interrogation='schober' (EK0, zero noise) == the XLA schober path."""
+    from rodeo_tpu.interrogate import interrogate_schober
+
+    cfg, theta = lorenz_cfg
+    mu_ref, _ = precond.solve_mv(
+        key=None, interrogate=interrogate_schober, theta=theta, **cfg)
+    mu_f, _ = pallas_kalman.solve_mv_fused(
+        key=None, interrogate=interrogate_schober, theta=theta,
+        ode_flat=lorenz.lorenz_flat, jac_flat=None, **cfg)
+    np.testing.assert_allclose(np.asarray(mu_f[:, :, 0]),
+                               np.asarray(mu_ref[:, :, 0]),
+                               rtol=2e-3, atol=2e-3)
