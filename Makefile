@@ -1,5 +1,5 @@
 .PHONY: test test-fast test-upstream bench timings timings-tpu examples \
-	tutorials
+	tutorials docs
 
 test:
 	python -m pytest tests/ -q
@@ -30,3 +30,10 @@ examples:
 	python examples/higher_order.py
 	python examples/lorenz.py
 	python examples/parameter.py
+
+# Sphinx site (readthedocs builds this via .readthedocs.yml; tutorials
+# execute standalone via `make tutorials` when sphinx is absent)
+docs:
+	@python -c "import sphinx" 2>/dev/null \
+	  && sphinx-build -b html docs docs/_build/html \
+	  || echo "sphinx not installed; run 'pip install -r docs/requirements.txt' (tutorials still execute via 'make tutorials')"

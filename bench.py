@@ -94,6 +94,154 @@ def cpu_reference_seconds():
     return seq, vm if vm is not None else seq
 
 
+# CPU float64 ground truth for the accuracy audit (VERDICT r2 #2): the
+# same configurations every TPU bench row runs, computed with the XLA
+# covariance path on CPU in f64 — which the parity suite pins to the
+# upstream reference at 1e-8 (tests/test_parity_reference.py), so these
+# ARE the reference values.  Deterministic, so cached in .bench_ref.npz.
+_CPU_TRUTH_SRC = r"""
+import sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+sys.path.insert(0, %(repo)r)
+import rodeo_tpu
+from rodeo_tpu.models import lorenz
+from rodeo_tpu.interrogate import interrogate_kramer
+# the preconditioned wrappers compute the SAME values as the plain
+# reference path (exact Taylor reparametrization; parity pinned by
+# tests/test_precond.py) but stay finite on this prior's 5e7 dynamic
+# range, which overflows the plain covariance recursion even in f64
+from rodeo_tpu.ops import precond
+
+out = {}
+
+# flagship solve config (10k grid)
+cfg = lorenz.setup(n_steps=%(n_steps)d, t_max=%(t_max)f, dtype=jnp.float64)
+theta = cfg.pop("theta")
+mu, _ = rodeo_tpu.solve_mv(
+    key=None, interrogate=interrogate_kramer, theta=theta, **cfg)
+out["solve_mu_10k"] = np.asarray(mu)
+
+# loglik config (4k grid, 21 noisy obs, rng(0) - matches the bench rows)
+cfg_f = lorenz.setup(n_steps=4000, t_max=%(t_max)f, dtype=jnp.float64)
+th_f = cfg_f.pop("theta")
+n_obs = 21
+obs_times = jnp.linspace(0.0, %(t_max)f, n_obs)
+D = jnp.zeros((n_obs, 3, 1, 3)).at[:, :, :, 0].set(1.0)
+Om = 0.005 * jnp.broadcast_to(jnp.eye(1), (n_obs, 3, 1, 1))
+yobs = jnp.asarray(np.random.default_rng(0).normal(size=(n_obs, 3, 1)) * 5)
+kw = dict(key=None, interrogate=interrogate_kramer, theta=th_f,
+          obs_data=yobs, obs_times=obs_times, obs_weight=D, obs_var=Om,
+          **cfg_f)
+out["fenrir_ll"] = float(precond.fenrir(**kw))
+out["dalton_ll"] = float(precond.dalton(**kw))
+
+# non-Gaussian / basic / magi config (rng(1) obs - matches bench rows)
+cfg_i = lorenz.setup(n_steps=4000, t_max=%(t_max)f, dtype=jnp.float64)
+th_i = cfg_i.pop("theta")
+yobs_i = jnp.asarray(np.random.default_rng(1).normal(size=(n_obs, 3, 1)) * 5)
+
+def nn_loglik(o, s, i, **p):
+    mean = s[:, 0]
+    return jnp.sum(-0.5 * (o[:, 0] - mean) ** 2 / 0.005)
+
+out["daltonng_ll"] = float(precond.daltonng(
+    key=None, interrogate=interrogate_kramer, theta=th_i,
+    obs_data=yobs_i, obs_times=obs_times, obs_loglik_i=nn_loglik, **cfg_i))
+
+def b_loglik(obs_data, ode_data, **p):
+    return jnp.sum(-0.5 * (obs_data[..., 0] - ode_data[..., 0])**2)
+
+out["basic_ll"] = float(precond.basic(
+    key=None, interrogate=interrogate_kramer, theta=th_i,
+    obs_data=yobs_i, obs_times=obs_times, obs_loglik=b_loglik, **cfg_i)[0])
+
+mu_i, _ = rodeo_tpu.solve_mv(
+    key=None, interrogate=interrogate_kramer, theta=th_i, **cfg_i)
+out["solve_mu_4k"] = np.asarray(mu_i)
+
+def ode_expand(u, **p):
+    pad = jnp.zeros(u.shape[:-1] + (1,), jnp.float64)
+    return jnp.concatenate([u, pad], axis=-1)
+
+out["magi_ll"] = float(precond.magi_logdens(
+    ode_data_subset=mu_i[:, :, :2], ode_expand=ode_expand, n_active=2,
+    prior_pars=cfg_i["prior_pars"], dt=%(t_max)f / 4000))
+
+# non-chaotic control (FitzHugh-Nagumo): full-horizon pointwise f32/f64
+# comparison is meaningful here, unlike on Lorenz
+from rodeo_tpu.models import fitzhugh
+cfg_fh = fitzhugh.setup(n_steps=800, t_max=10.0, dtype=jnp.float64)
+th_fh = cfg_fh.pop("theta")
+mu_fh, _ = rodeo_tpu.solve_mv(
+    key=None, interrogate=interrogate_kramer, theta=th_fh, **cfg_fh)
+out["solve_mu_fitz"] = np.asarray(mu_fh)
+
+np.savez(%(path)r, **out)
+print("TRUTH_OK")
+"""
+
+
+def cpu_truth(path):
+    """Load (computing and caching on first use) the CPU f64 ground-truth
+    values for the accuracy audit.  Returns a dict or None on failure."""
+    import numpy as np
+    if not os.path.exists(path):
+        src = _CPU_TRUTH_SRC % {
+            "n_steps": N_STEPS, "t_max": T_MAX, "path": path,
+            "repo": os.path.dirname(os.path.abspath(__file__))}
+        out = subprocess.run(
+            [sys.executable, "-c", src], capture_output=True, text=True,
+            timeout=2400)
+        if "TRUTH_OK" not in out.stdout:
+            sys.stderr.write(
+                f"truth computation failed: {out.stdout[-1000:]} "
+                f"{out.stderr[-1000:]}\n")
+            return None
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+def _max_err_prefix(mu, mu_ref, n_prefix):
+    """Max abs error of the solution path (0th derivative) over the first
+    ``n_prefix`` steps — the horizon where pointwise f32-vs-f64 comparison
+    is meaningful on a chaotic system (beyond it, the positive Lyapunov
+    exponent amplifies even ULP-level rounding to O(attractor) divergence
+    for ANY f32 method; docs/benchmarks.md states the tolerance model)."""
+    import numpy as np
+    a = np.asarray(mu)[:n_prefix, :, 0]
+    b = np.asarray(mu_ref)[:n_prefix, :, 0]
+    return float(np.max(np.abs(a - b)))
+
+
+def _ess_total(x):
+    """Total effective sample size across chains for one scalar parameter.
+
+    ``x``: (n_samples, n_chains).  Per chain: Geyer initial-positive-
+    sequence estimator on the empirical autocorrelation."""
+    import numpy as np
+    x = np.asarray(x, float).T            # (n_chains, n_samples)
+    n = x.shape[1]
+    total = 0.0
+    for c in range(x.shape[0]):
+        xc = x[c] - x[c].mean()
+        v = float(np.mean(xc * xc))
+        if v <= 0:
+            continue                       # stuck chain: ESS ~ 0
+        acf = np.correlate(xc, xc, "full")[n - 1:] / (v * n)
+        s = 1.0
+        for k in range(1, n // 2):
+            rho = acf[2 * k - 1] + acf[2 * k]
+            if rho <= 0:
+                break
+            s += 2.0 * rho
+        total += n / s
+    return total
+
+
 def _timeit(fn, args, n_rep=5, per=1):
     import jax
     out = fn(*args)
@@ -150,6 +298,28 @@ def main():
     cfg = lorenz.setup(n_steps=N_STEPS, t_max=T_MAX, dtype=jnp.float32)
     theta = cfg.pop("theta")
 
+    # CPU f64 ground truth for the accuracy audit (cached; parity with the
+    # upstream reference is pinned at 1e-8 by tests/test_parity_reference)
+    truth = cpu_truth(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_ref.npz"))
+    if truth is None:
+        details["accuracy_audit_error"] = "cpu truth computation failed"
+    # pointwise f32-vs-f64 horizon on the chaotic system: t <= 4 (the
+    # Lyapunov exponent ~0.9/t amplifies ULP rounding to O(attractor)
+    # beyond it for any f32 method; see docs/benchmarks.md)
+    N_PREFIX = N_STEPS // 5
+    TOL_SOLVE_PREFIX = 2e-2
+
+    def audit_solve(label, mu, n_steps_run=N_STEPS):
+        """Record max-abs-err fields for a solve row (vs f64 truth)."""
+        if truth is None:
+            return
+        key = "solve_mu_10k" if n_steps_run == N_STEPS else "solve_mu_4k"
+        npfx = n_steps_run // 5
+        err = _max_err_prefix(mu, truth[key], npfx)
+        details[f"{label}_max_abs_err_t4"] = round(err, 6)
+        details[f"{label}_accuracy_pass"] = bool(err <= TOL_SOLVE_PREFIX)
+
     candidates = {}
 
     # Per-solve wall-clock is measured as B *sequential* solves inside one
@@ -166,6 +336,7 @@ def main():
     t_seq, out = _timeit(seq, (thetas,), per=B)
     ok = not bool(jnp.any(jnp.isnan(out)))
     candidates["precond_sequential"] = (t_seq, ok)
+    audit_solve("precond_sequential", out[0])
 
     # fused Pallas filter+smoother, if available on this backend
     try:
@@ -178,6 +349,7 @@ def main():
         t_pk, out_pk = _timeit(pk, (thetas,), per=B)
         ok_pk = not bool(jnp.any(jnp.isnan(out_pk)))
         candidates["pallas_fused"] = (t_pk, ok_pk)
+        audit_solve("pallas_fused", out_pk[0])
     except Exception as e:  # noqa: BLE001 - bench must always report
         details["pallas_error"] = repr(e)[:500]
 
@@ -196,6 +368,7 @@ def main():
             ok_pkc = not bool(jnp.any(jnp.isnan(out_pkc)))
             name = f"pallas_fused_k{k_comp}" + ("_unroll" if unroll else "")
             candidates[name] = (t_pkc, ok_pkc)
+            audit_solve(name, out_pkc[0])
         except Exception as e:  # noqa: BLE001
             details[f"pallas_k{k_comp}_error"] = repr(e)[:500]
 
@@ -219,6 +392,7 @@ def main():
             t_fb, out_fb = _timeit(fb, (ths_l, inits_l), n_rep=4, per=Bl)
             ok_fb = not bool(jnp.any(jnp.isnan(out_fb)))
             candidates[f"pallas_fused_lane_batch{Bl}"] = (t_fb, ok_fb)
+            audit_solve(f"pallas_fused_lane_batch{Bl}", out_fb[..., 0])
         except Exception as e:  # noqa: BLE001
             details[f"lane_batch{Bl}_error"] = repr(e)[:500]
 
@@ -272,6 +446,11 @@ def main():
                 details[f"{name}_loglik_evals_per_sec"] = round(nb / t_ll, 2)
                 details[f"{name}_loglik_finite"] = bool(
                     jnp.all(jnp.isfinite(out_ll)))
+                if truth is not None:
+                    ref_ll = float(truth[f"{name}_ll"])
+                    details[f"{name}_loglik_abs_err"] = round(
+                        abs(float(out_ll[0]) - ref_ll), 6)
+                    details[f"{name}_loglik_ref"] = round(ref_ll, 6)
         # larger vmapped batches (throughput scaling of the XLA path);
         # unroll=8 runs several time steps per compiled loop iteration
         # (cross-step ILP; bit-equal results, tests/test_scan_unroll.py).
@@ -363,37 +542,61 @@ def main():
                         = round(1.0 / t_llb, 2)
                     details[f"{mod_name}_fused_batch{Blf}_finite"] = bool(
                         jnp.all(jnp.isfinite(out_llb)))
+                    if truth is not None:
+                        details[f"{mod_name}_fused_batch{Blf}_abs_err"] = \
+                            round(abs(float(jnp.ravel(out_llb)[0])
+                                      - float(truth[f"{mod_name}_ll"])), 6)
 
-    # pseudo-marginal MCMC chain throughput (BASELINE config #5)
+    # pseudo-marginal MCMC chain throughput (BASELINE config #5) on a
+    # REAL posterior: the reference parameter-inference workload
+    # (docs/examples/parameter.md) — noisy observations of the FitzHugh
+    # true path, Gaussian obs model, Chkrebtii-style marginal MCMC over
+    # solve_sim path draws.  The proposal scale is tuned to a 20-50%
+    # acceptance window so throughput AND ESS/s are statistically
+    # meaningful (VERDICT r2 #6).
+    mcmc_obs = None
     try:
+        import numpy as np
         from rodeo_tpu.models import fitzhugh
         from rodeo_tpu.inference import pseudo_marginal as pm
         from rodeo_tpu.parallel import run_chains
         cfg_m = fitzhugh.setup(n_steps=200, t_max=10.0, dtype=jnp.float32)
         th_m = cfg_m.pop("theta")
-        mu_ref2, _ = precond.solve_mv(
-            key=jax.random.PRNGKey(0), interrogate=interrogate_kramer,
+        mu_true, _ = precond.solve_mv(
+            key=None, interrogate=interrogate_kramer,
             theta=th_m, **cfg_m)
+        sigma_obs = 0.2
+        n_obs_m = 21
+        obs_idx = jnp.arange(0, 201, 10)          # every 0.5 time units
+        y_m = mu_true[obs_idx, :, 0] + sigma_obs * jnp.asarray(
+            np.random.default_rng(7).normal(size=(n_obs_m, 2)), jnp.float32)
+        mcmc_obs = (obs_idx, y_m, sigma_obs, cfg_m, th_m)
 
         def logpost(theta, key):
             xs = precond.solve_sim(
                 key=key, interrogate=interrogate_kramer, theta=theta,
                 method="eigh", **cfg_m)
-            ll = -0.5 * jnp.sum((xs[:, :, 0] - mu_ref2[:, :, 0]) ** 2) / .01
+            resid = xs[obs_idx, :, 0] - y_m
+            ll = -0.5 * jnp.sum(resid * resid) / sigma_obs ** 2
             return ll, xs[-1]
 
-        alg = pm.normal_random_walk(
-            logpost, 0.02 * jnp.ones(3, jnp.float32))
-        # n_samp matches the fused-MCMC row below so the recorded
-        # acceptance statistics are comparable (acceptance drifts with
-        # horizon when chains start at the mode)
-        n_chains, n_samp = 32, 50
+        n_chains, n_samp = 32, 100
         init = jnp.broadcast_to(th_m, (n_chains, 3))
-        t0 = time.perf_counter()
+        # scale tuning: short pilot runs, pick acceptance closest to 0.3
+        tuned_scale, tuned_acc = None, None
+        for s_cand in (0.0025, 0.005, 0.01, 0.02):
+            alg = pm.normal_random_walk(
+                logpost, s_cand * jnp.ones(3, jnp.float32))
+            _, _, acc_p = run_chains(
+                alg, init, jax.random.PRNGKey(30), n_samples=25)
+            a = float(jnp.mean(acc_p))
+            if tuned_acc is None or abs(a - 0.3) < abs(tuned_acc - 0.3):
+                tuned_scale, tuned_acc = s_cand, a
+        details["mcmc_xla_tuned_scale"] = tuned_scale
+        alg = pm.normal_random_walk(
+            logpost, tuned_scale * jnp.ones(3, jnp.float32))
         positions, state, accept = run_chains(
-            alg, init, jax.random.PRNGKey(3), n_samples=n_samp)
-        jax.tree_util.tree_leaves(positions)[0].block_until_ready()
-        warm = time.perf_counter() - t0
+            alg, init, jax.random.PRNGKey(3), n_samples=n_samp)  # warm-up
         t0 = time.perf_counter()
         positions, state, accept = run_chains(
             alg, init, jax.random.PRNGKey(4), n_samples=n_samp)
@@ -402,46 +605,59 @@ def main():
         details["mcmc_xla_chain_steps_per_sec"] = round(
             n_chains * n_samp / dt_run, 2)
         details["mcmc_xla_mean_accept"] = round(float(jnp.mean(accept)), 3)
+        ess = _ess_total(np.asarray(positions[:, :, 0]))
+        details["mcmc_xla_ess_per_sec"] = round(ess / dt_run, 2)
     except Exception as e:  # noqa: BLE001
         details["mcmc_bench_error"] = repr(e)[:500]
 
-    # fused lockstep MCMC: 128 chains, each step = ONE lane-batched fused
-    # solve_sim kernel pipeline (the production path)
+    # fused lockstep MCMC: 512 chains, each step = ONE lane-batched fused
+    # solve_sim kernel pipeline (the production path) — SAME posterior as
+    # the XLA row above, proposal scale tuned at runtime (no re-trace)
     try:
         from rodeo_tpu.models import fitzhugh
-        from rodeo_tpu.parallel import run_chains_fused
-        cfg_m = fitzhugh.setup(n_steps=200, t_max=10.0, dtype=jnp.float32)
-        th_m = cfg_m.pop("theta")
-        mu_ref2, _ = precond.solve_mv(
-            key=jax.random.PRNGKey(0), interrogate=interrogate_kramer,
-            theta=th_m, **cfg_m)
+        from rodeo_tpu.parallel.chains import make_chain_runner
+        if mcmc_obs is None:
+            raise RuntimeError("posterior setup above failed")
+        obs_idx, y_m, sigma_obs, cfg_m, th_m = mcmc_obs
 
         def loglik_f(positions, paths):
-            resid = paths[:, :, 0, :] - mu_ref2[:, :, 0, None]
-            return -0.5 * jnp.sum(resid * resid, axis=(0, 1)) / 0.01
+            resid = paths[obs_idx, :, 0, :] - y_m[:, :, None]
+            return -0.5 * jnp.sum(resid * resid,
+                                  axis=(0, 1)) / sigma_obs ** 2
 
-        from rodeo_tpu.parallel.chains import make_chain_runner
-        n_chains_f, n_samp_f = 512, 50
+        n_chains_f, n_samp_f = 512, 100
         init_f = jnp.broadcast_to(th_m, (n_chains_f, 3)).astype(jnp.float32)
         # production pattern: build the jitted runner ONCE, reuse it (each
         # ad-hoc call re-traces the whole scan, costing seconds)
         runner = make_chain_runner(
-            loglik_f, n_lane=n_chains_f, n_samples=n_samp_f, rw_scale=0.02,
+            loglik_f, n_lane=n_chains_f, n_samples=n_samp_f, rw_scale=0.01,
             ode_weight=cfg_m["ode_weight"], ode_init=cfg_m["ode_init"],
             t_min=cfg_m["t_min"], t_max=cfg_m["t_max"],
             n_steps=cfg_m["n_steps"], prior_pars=cfg_m["prior_pars"],
             ode_flat=fitzhugh.fitzhugh_flat,
             jac_flat=fitzhugh.fitzhugh_jac_flat)
-        out = runner(init_f, jax.random.PRNGKey(5))
-        jax.tree_util.tree_leaves(out)[0].block_until_ready()
+        # runtime scale tuning toward 20-50% acceptance (scale is a traced
+        # argument: no re-compile per candidate)
+        tuned_f, acc_f = None, None
+        for s_cand in (0.0025, 0.005, 0.01, 0.02):
+            _, _, acc_p = runner(init_f, jax.random.PRNGKey(30),
+                                 scale=s_cand)
+            a = float(jnp.mean(acc_p))
+            if acc_f is None or abs(a - 0.3) < abs(acc_f - 0.3):
+                tuned_f, acc_f = s_cand, a
+        details["mcmc_fused_tuned_scale"] = tuned_f
         t0 = time.perf_counter()
-        positions_f, ll_f, accept_f = runner(init_f, jax.random.PRNGKey(6))
+        positions_f, ll_f, accept_f = runner(init_f, jax.random.PRNGKey(6),
+                                             scale=tuned_f)
         positions_f.block_until_ready()
         dt_f = time.perf_counter() - t0
         details["mcmc_chain_steps_per_sec"] = round(
             n_chains_f * n_samp_f / dt_f, 2)
         details["mcmc_mean_accept"] = round(float(jnp.mean(accept_f)), 3)
         details["mcmc_fused_finite"] = bool(jnp.all(jnp.isfinite(ll_f)))
+        import numpy as np
+        ess_f = _ess_total(np.asarray(positions_f[:, :, 0]))
+        details["mcmc_fused_ess_per_sec"] = round(ess_f / dt_f, 2)
     except Exception as e:  # noqa: BLE001
         details["mcmc_fused_bench_error"] = repr(e)[:500]
 
@@ -468,6 +684,9 @@ def main():
             t_ng, out_ng = _timeit(ng, (th_i,), n_rep=3)
             details["daltonng_evals_per_sec"] = round(1.0 / t_ng, 2)
             details["daltonng_finite"] = bool(jnp.isfinite(out_ng))
+            if truth is not None:
+                details["daltonng_abs_err"] = round(
+                    abs(float(out_ng) - float(truth["daltonng_ll"])), 6)
 
         with _row(details, "daltonng_vmapped"):
             nbng = 16
@@ -492,9 +711,14 @@ def main():
             t_b, out_b = _timeit(bas, (th_i,), n_rep=3)
             details["basic_evals_per_sec"] = round(1.0 / t_b, 2)
             details["basic_finite"] = bool(jnp.isfinite(out_b))
+            if truth is not None:
+                details["basic_abs_err"] = round(
+                    abs(float(out_b) - float(truth["basic_ll"])), 6)
 
         mu_i, _ = precond.solve_mv(
             key=None, interrogate=interrogate_kramer, theta=th_i, **cfg_i)
+        if truth is not None:
+            mu_i = jnp.asarray(truth["solve_mu_4k"], jnp.float32)
 
         def ode_expand(u, **p):
             pad = jnp.zeros(u.shape[:-1] + (1,), jnp.float32)
@@ -507,6 +731,12 @@ def main():
             t_m, out_m = _timeit(mg, (mu_i[:, :, :2],), n_rep=3)
             details["magi_evals_per_sec"] = round(1.0 / t_m, 2)
             details["magi_finite"] = bool(jnp.isfinite(out_m))
+            if truth is not None:
+                details["magi_abs_err"] = round(
+                    abs(float(out_m) - float(truth["magi_ll"])), 6)
+                details["magi_rel_err"] = round(
+                    abs(float(out_m) - float(truth["magi_ll"]))
+                    / max(abs(float(truth["magi_ll"])), 1e-30), 9)
 
         with _row(details, "magi_vmapped"):
             # MCMC-style workload: a batch of candidate paths (the subset
@@ -547,6 +777,29 @@ def main():
         details["chkrebtii_q4_finite"] = not bool(jnp.any(jnp.isnan(out_c)))
     except Exception as e:  # noqa: BLE001
         details["chkrebtii_bench_error"] = repr(e)[:500]
+
+    # non-chaotic accuracy control: FitzHugh-Nagumo full-horizon f32
+    # fused solve vs the f64 truth (pointwise comparison IS meaningful
+    # here; the Lorenz rows are prefix-audited instead)
+    try:
+        if truth is not None:
+            from rodeo_tpu.models import fitzhugh
+            from rodeo_tpu.ops import pallas_kalman as pk_mod
+            import numpy as np
+            cfg_fh = fitzhugh.setup(n_steps=800, t_max=10.0,
+                                    dtype=jnp.float32)
+            th_fh = cfg_fh.pop("theta")
+            mu_fh, _ = jax.jit(lambda th: pk_mod.solve_mv_fused(
+                key=None, interrogate=interrogate_kramer, theta=th,
+                ode_flat=fitzhugh.fitzhugh_flat,
+                jac_flat=fitzhugh.fitzhugh_jac_flat, **cfg_fh))(th_fh)
+            err_fh = float(np.max(np.abs(
+                np.asarray(mu_fh[:, :, 0])
+                - np.asarray(truth["solve_mu_fitz"][:, :, 0]))))
+            details["fitz_fused_max_abs_err"] = round(err_fh, 9)
+            details["fitz_fused_accuracy_pass"] = bool(err_fh <= 1e-3)
+    except Exception as e:  # noqa: BLE001
+        details["fitz_accuracy_error"] = repr(e)[:500]
 
     # roofline accounting for the lane-batched fused solve: static FLOP
     # count of the filter+smoother column program (q=3, EK1) vs the v5e

@@ -273,6 +273,12 @@ def _backward_dense(mean_state_filt, var_state_filt,
     """
     dtype = mean_state_filt.dtype
     n_obs, n_block, n_bobs, n_bstate = obs_weight.shape
+    # square-root backend: variances are factors; masked (D = 0) updates
+    # are made EXACT identities by where-gating on the obs mask (the QR
+    # re-factorization of a no-op update is covariance-exact but not
+    # factor-bitwise), and the batched forecast variance is assembled
+    # from factors
+    is_sqrt = kalman_funs.__name__.rsplit(".", 1)[-1] == "square_root"
 
     # backward-chain parameters for n = 0..N-1, one batched call
     A, b, C = kalman_funs.smooth_cond(
@@ -288,10 +294,11 @@ def _backward_dense(mean_state_filt, var_state_filt,
         dtype)
     obs_mean = jnp.zeros((n_block, n_bobs), dtype)
 
-    # terminal masked update at row N (D=0 rows are exact identities)
+    # terminal masked update at row N (where-gated so D=0 rows are exact
+    # identities in BOTH forms — bitwise, not just algebraically)
     mean_state_term = mean_state_filt[n_steps]
     var_state_term = var_state_filt[n_steps]
-    m_seed, P_seed = kalman_funs.update(
+    m_upd, P_upd = kalman_funs.update(
         mean_state_pred=mean_state_term,
         var_state_pred=var_state_term,
         x_meas=y_grid[n_steps],
@@ -299,7 +306,14 @@ def _backward_dense(mean_state_filt, var_state_filt,
         wgt_meas=d_grid[n_steps],
         var_meas=om_grid[n_steps],
     )
+    m_seed = jnp.where(mask[n_steps] > 0, m_upd, mean_state_term)
+    P_seed = jnp.where(mask[n_steps] > 0, P_upd, var_state_term)
 
+    if temporal == "parallel" and is_sqrt:
+        raise NotImplementedError(
+            "temporal='parallel' is covariance-form only; use "
+            "kalman_type='standard' (the Taylor-preconditioned standard "
+            "form covers the f32-stability role of the sqrt filter)")
     if temporal == "parallel":
         # linear chain in reversed time: transition k maps grid row
         # N-k+1 -> N-k via (A, b, C)[N-k]; measurements are the masked
@@ -326,7 +340,7 @@ def _backward_dense(mean_state_filt, var_state_filt,
                 wgt_state=xs["A"],
                 var_state=xs["C"],
             )
-            bmean_next, bvar_next = kalman_funs.update(
+            bmean_upd, bvar_upd = kalman_funs.update(
                 mean_state_pred=bmean_pred,
                 var_state_pred=bvar_pred,
                 x_meas=xs["y"],
@@ -334,13 +348,16 @@ def _backward_dense(mean_state_filt, var_state_filt,
                 wgt_meas=xs["D"],
                 var_meas=xs["Om"],
             )
+            bmean_next = jnp.where(xs["m"] > 0, bmean_upd, bmean_pred)
+            bvar_next = jnp.where(xs["m"] > 0, bvar_upd, bvar_pred)
             return (bmean_next, bvar_next), {
                 "state_pred": (bmean_pred, bvar_pred),
                 "state_filt": (bmean_next, bvar_next),
             }
 
         xs = {"A": A, "b": b, "C": C, "D": d_grid[:n_steps],
-              "y": y_grid[:n_steps], "Om": om_grid[:n_steps]}
+              "y": y_grid[:n_steps], "Om": om_grid[:n_steps],
+              "m": mask[:n_steps]}
         _, stack = _uscan(scan_fun, (m_seed, P_seed), xs,
                                 reverse=True)
         mean_scan_pred, var_scan_pred = stack["state_pred"]
@@ -355,7 +372,13 @@ def _backward_dense(mean_state_filt, var_state_filt,
     bpred_mean = jnp.concatenate([mean_scan_pred, mean_state_term[None]])
     bpred_var = jnp.concatenate([var_scan_pred, var_state_term[None]])
     fore_mean = mvdot(d_grid, bpred_mean)
-    fore_var = d_grid @ bpred_var @ jnp.swapaxes(d_grid, -1, -2) + om_grid
+    if is_sqrt:
+        DL = d_grid @ bpred_var                # (N+1, nb, n_bobs, q)
+        fore_var = DL @ jnp.swapaxes(DL, -1, -2) + \
+            om_grid @ jnp.swapaxes(om_grid, -1, -2)
+    else:
+        fore_var = d_grid @ bpred_var @ jnp.swapaxes(d_grid, -1, -2) \
+            + om_grid
     from rodeo_tpu.ops.linalg import fast_linalg_enabled, mvn_logpdf_small
     if fast_linalg_enabled() and d_grid.shape[-2] <= 5:
         # closed-form det+solve (PD forecast covariances on the fast
@@ -434,12 +457,10 @@ def fenrir(key, ode_fun, ode_weight, ode_init,
         obs_weight=obs_weight, obs_var=obs_var,
         kalman_funs=kalman_funs,
     )
-    if kalman_type == "standard":
-        logdens, _ = _backward_dense(temporal=temporal, **kwargs)
-    else:
-        # square-root form: masked updates are not exact identities under
-        # QR re-factorization, so keep the branched backward pass
-        logdens, _ = _backward(**kwargs)
+    # masked-dense backward for BOTH forms (sqrt masked rows are exact
+    # identities via where-gating on the obs mask); the branched
+    # `_backward` remains as the reference-shaped oracle for tests
+    logdens, _ = _backward_dense(temporal=temporal, **kwargs)
     return logdens
 
 
@@ -529,8 +550,5 @@ def solve_mv(key, ode_fun, ode_weight, ode_init,
         obs_weight=obs_weight, obs_var=obs_var,
         kalman_funs=kalman_funs,
     )
-    if kalman_type == "standard":
-        _, state_par = _backward_dense(temporal=temporal, **kwargs)
-    else:
-        _, state_par = _backward(**kwargs)
+    _, state_par = _backward_dense(temporal=temporal, **kwargs)
     return _smooth_mv(state_par, kalman_funs)

@@ -32,7 +32,15 @@ __all__ = [
 
 
 def _tri_solve(chol, b, lower=True):
-    """Batched triangular solve ``chol^{-1} b`` on trailing matrix dims."""
+    """Batched triangular solve ``chol^{-1} b`` on trailing matrix dims.
+
+    Leading (batch) dims are broadcast explicitly —
+    ``solve_triangular`` itself rejects mismatched batch ranks, which
+    matters when a whole-time-axis batched kernel call mixes stacked
+    ``(T, nb, q, q)`` factors with a shared ``(nb, q, q)`` transition."""
+    bshape = jnp.broadcast_shapes(chol.shape[:-2], b.shape[:-2])
+    chol = jnp.broadcast_to(chol, bshape + chol.shape[-2:])
+    b = jnp.broadcast_to(b, bshape + b.shape[-2:])
     return jax.scipy.linalg.solve_triangular(chol, b, lower=lower)
 
 

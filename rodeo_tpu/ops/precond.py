@@ -53,11 +53,15 @@ def taylor_scale(dt, n_deriv, dtype=None):
     return jnp.sqrt(dt) * dt ** (q - i) / _factorial(q - i)
 
 
-def scale_prior(prior_pars, t_vec):
+def scale_prior(prior_pars, t_vec, sqrt=False):
     r"""
     Transform prior parameters into scaled coordinates:
     :math:`\tilde Q_{ij} = Q_{ij} t_j / t_i`,
     :math:`\tilde R_{ij} = R_{ij} / (t_i t_j)`.
+
+    With ``sqrt=True`` the ``prior_var`` entry is a square-root *factor*
+    :math:`R_f` (the square-root Kalman convention): the factor of
+    :math:`T^{-1} R_f R_f' T^{-1}` is the row-scaled :math:`T^{-1} R_f`.
 
     Entrywise diagonal scaling — exact (no cancellation), so it restores
     conditioning even if the input was computed in low precision.
@@ -65,16 +69,22 @@ def scale_prior(prior_pars, t_vec):
     prior_weight, prior_var = prior_pars
     t = t_vec.astype(prior_weight.dtype)
     Qs = prior_weight * (t[None, :] / t[:, None])
-    Rs = prior_var / (t[:, None] * t[None, :])
+    if sqrt:
+        Rs = prior_var / t[:, None]
+    else:
+        Rs = prior_var / (t[:, None] * t[None, :])
     return Qs, Rs
 
 
-def _wrap_interrogate(interrogate, ode_weight_orig, t_vec):
+def _wrap_interrogate(interrogate, ode_weight_orig, t_vec, sqrt=False):
     """Adapter: scaled-coordinate solver state <-> user-space interrogation.
 
     The solver hands over scaled predicted moments and the scaled weight
     matrix; the user's interrogation runs on original coordinates and its
-    returned ``wgt_meas`` is scaled back.
+    returned ``wgt_meas`` is scaled back.  ``sqrt=True`` when the solver
+    runs the square-root backend (``var_state_pred`` is then a factor,
+    unscaled by row only — matching what the unpreconditioned sqrt solver
+    would hand the interrogation).
     """
 
     def wrapped(key, ode_fun, ode_weight, t, mean_state_pred,
@@ -86,7 +96,10 @@ def _wrap_interrogate(interrogate, ode_weight_orig, t_vec):
         # parallel solver — never binds for a sane converged trajectory
         if mean_orig.dtype == jnp.float32:
             mean_orig = jnp.clip(jnp.nan_to_num(mean_orig), -1e10, 1e10)
-        var_orig = var_state_pred * (t_v[:, None] * t_v[None, :])
+        if sqrt:
+            var_orig = var_state_pred * t_v[:, None]
+        else:
+            var_orig = var_state_pred * (t_v[:, None] * t_v[None, :])
         wgt_meas, mean_meas, var_meas = interrogate(
             key=key, ode_fun=ode_fun, ode_weight=ode_weight_orig, t=t,
             mean_state_pred=mean_orig, var_state_pred=var_orig, **params)
@@ -96,7 +109,7 @@ def _wrap_interrogate(interrogate, ode_weight_orig, t_vec):
 
 
 def _scaled_inputs(ode_weight, ode_init, prior_pars, t_min, t_max, n_steps,
-                   n_deriv=None):
+                   n_deriv=None, sqrt=False):
     """``n_deriv=None``: blocked layout, the whole trailing state dim is
     one variable's derivatives.  With ``n_deriv`` given, the state is the
     dense/non-blocked layout (``indep_init``) — ``n_vars`` blocks of
@@ -118,7 +131,7 @@ def _scaled_inputs(ode_weight, ode_init, prior_pars, t_min, t_max, n_steps,
         t_vec,
         ode_weight * t_vec[None, None, :].astype(ode_weight.dtype),
         ode_init / t_vec.astype(ode_init.dtype),
-        scale_prior(prior_pars, t_vec),
+        scale_prior(prior_pars, t_vec, sqrt=sqrt),
     )
 
 
@@ -140,12 +153,15 @@ def solve_mv(key, ode_fun, ode_weight, ode_init,
     the Taylor scaling tiles across variables.
     """
     t_vec, W_s, x0_s, prior_s = _scaled_inputs(
-        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps, n_deriv)
+        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps, n_deriv,
+        sqrt=(kalman_type == "square-root"))
     with fast_linalg():
         mean_s, var_s = _solve.solve_mv(
             key=key, ode_fun=ode_fun, ode_weight=W_s, ode_init=x0_s,
             t_min=t_min, t_max=t_max, n_steps=n_steps,
-            interrogate=_wrap_interrogate(interrogate, ode_weight, t_vec),
+            interrogate=_wrap_interrogate(
+                interrogate, ode_weight, t_vec,
+                sqrt=(kalman_type == "square-root")),
             prior_pars=prior_s, kalman_type=kalman_type, temporal=temporal,
             **params)
     t_v = t_vec.astype(mean_s.dtype)
@@ -166,12 +182,15 @@ def solve_sim(key, ode_fun, ode_weight, ode_init,
     ``n_deriv`` selects the dense/non-blocked scaling as there).
     """
     t_vec, W_s, x0_s, prior_s = _scaled_inputs(
-        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps, n_deriv)
+        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps, n_deriv,
+        sqrt=(kalman_type == "square-root"))
     with fast_linalg():
         xs = _solve.solve_sim(
             key=key, ode_fun=ode_fun, ode_weight=W_s, ode_init=x0_s,
             t_min=t_min, t_max=t_max, n_steps=n_steps,
-            interrogate=_wrap_interrogate(interrogate, ode_weight, t_vec),
+            interrogate=_wrap_interrogate(
+                interrogate, ode_weight, t_vec,
+                sqrt=(kalman_type == "square-root")),
             prior_pars=prior_s, kalman_type=kalman_type, **params)
     return xs * t_vec.astype(xs.dtype)
 
@@ -181,7 +200,7 @@ def fenrir(key, ode_fun, ode_weight, ode_init,
            interrogate,
            prior_pars,
            obs_data, obs_times, obs_weight, obs_var,
-           temporal="sequential", **params):
+           kalman_type="standard", temporal="sequential", **params):
     r"""
     Preconditioned :func:`rodeo_tpu.inference.fenrir.fenrir`.
 
@@ -193,17 +212,20 @@ def fenrir(key, ode_fun, ode_weight, ode_init,
     """
     from rodeo_tpu.inference import fenrir as _fenrir_fn
     t_vec, W_s, x0_s, prior_s = _scaled_inputs(
-        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps)
+        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps,
+        sqrt=(kalman_type == "square-root"))
     obs_weight_s = obs_weight * t_vec.astype(obs_weight.dtype)
     with fast_linalg():
         return _fenrir_fn(
             key=key, ode_fun=ode_fun, ode_weight=W_s, ode_init=x0_s,
             t_min=t_min, t_max=t_max, n_steps=n_steps,
-            interrogate=_wrap_interrogate(interrogate, ode_weight, t_vec),
+            interrogate=_wrap_interrogate(
+                interrogate, ode_weight, t_vec,
+                sqrt=(kalman_type == "square-root")),
             prior_pars=prior_s,
             obs_data=obs_data, obs_times=obs_times,
             obs_weight=obs_weight_s, obs_var=obs_var,
-            temporal=temporal, **params)
+            kalman_type=kalman_type, temporal=temporal, **params)
 
 
 def dalton(key, ode_fun, ode_weight, ode_init,

@@ -6,8 +6,13 @@ The solver/inference layers run their per-step recursions with
 fused kernels; unrolling several steps per loop iteration exposes
 instruction-level parallelism across consecutive steps and amortizes loop
 bookkeeping, which speeds up the vmapped XLA paths ~20-40% (measured on
-v5e, Lorenz63 4k grid).  The default stays ``unroll=1`` — bit-identical
-results, and no compile-time cost for the latency-insensitive uses.
+v5e, Lorenz63 4k grid).  The default is **auto**: long loops (>= 256
+steps) on the TPU backend unroll 8-way; everything else (CPU, short
+loops) stays ``unroll=1`` (no compile-time cost where it cannot pay).
+Unrolling replays the identical per-step graph, so results are
+unchanged up to XLA fusion rounding.  Set an explicit factor with
+:func:`scan_unroll` (``scan_unroll(1)`` restores the strict
+one-step-per-iteration loop).
 
 Usage (trace-time, like :func:`rodeo_tpu.ops.linalg.fast_linalg`)::
 
@@ -31,8 +36,9 @@ _state = threading.local()
 
 
 def get_scan_unroll():
-    """Current ambient unroll factor for solver time loops (default 1)."""
-    return getattr(_state, "unroll", 1)
+    """Current ambient unroll factor for solver time loops (``None`` =
+    auto: 8 on TPU for loops of >= 256 steps, else 1)."""
+    return getattr(_state, "unroll", None)
 
 
 @contextlib.contextmanager
@@ -67,10 +73,24 @@ def scan_remat(enable=True):
         _state.remat = prev
 
 
+def _loop_length(xs, length):
+    if length is not None:
+        return int(length)
+    leaves = jax.tree_util.tree_leaves(xs)
+    if leaves:
+        return int(leaves[0].shape[0])
+    return 0
+
+
 def scan(f, init, xs=None, length=None, reverse=False):
     """``jax.lax.scan`` with the ambient :func:`scan_unroll` /
-    :func:`scan_remat` settings."""
+    :func:`scan_remat` settings (auto-unroll on TPU when unset)."""
     if get_scan_remat():
         f = jax.checkpoint(f)
+    unroll = get_scan_unroll()
+    if unroll is None:
+        n = _loop_length(xs, length)
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        unroll = 8 if (on_tpu and n >= 256 and n % 8 == 0) else 1
     return jax.lax.scan(f, init, xs, length=length, reverse=reverse,
-                        unroll=get_scan_unroll())
+                        unroll=unroll)

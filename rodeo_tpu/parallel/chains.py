@@ -160,11 +160,9 @@ def make_chain_runner(loglik_fn, n_lane, n_samples, rw_scale,
             interrogation=interrogation)
         return loglik_fn(positions, paths)
 
-    def one_step(carry, step_key):
+    def one_step(scale, carry, step_key):
         pos, ll = carry
         k_prop, k_path, k_acc = jax.random.split(step_key, 3)
-        scale = jnp.broadcast_to(
-            jnp.asarray(rw_scale, jnp.float32), pos.shape[-1:])
         prop = pos + scale * jax.random.normal(
             k_prop, pos.shape, jnp.float32)
         ll_prop = estimate(prop, k_path)
@@ -176,13 +174,22 @@ def make_chain_runner(loglik_fn, n_lane, n_samples, rw_scale,
         return (pos, ll), (pos, accept)
 
     @jax.jit
-    def run(init_positions, key):
+    def _run(init_positions, key, scale):
         key_init, key_scan = jax.random.split(key)
         ll0 = estimate(init_positions.astype(jnp.float32), key_init)
         keys = jax.random.split(key_scan, n_samples)
         (pos, ll), (positions, accepted) = jax.lax.scan(
-            one_step, (init_positions.astype(jnp.float32), ll0), keys)
+            lambda c, k: one_step(scale, c, k),
+            (init_positions.astype(jnp.float32), ll0), keys)
         return positions, ll, jnp.mean(accepted.astype(jnp.float32), axis=0)
+
+    def run(init_positions, key, scale=None):
+        """``scale`` (runtime, traced) overrides the build-time
+        ``rw_scale`` — re-tuning the proposal does not re-trace the
+        scan."""
+        s = jnp.asarray(rw_scale if scale is None else scale, jnp.float32)
+        s = jnp.broadcast_to(s, init_positions.shape[-1:])
+        return _run(init_positions, key, s)
 
     del n_theta
     return run

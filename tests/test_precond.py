@@ -365,3 +365,102 @@ def test_precond_dense_nonblocked_layout():
     np.testing.assert_allclose(
         np.asarray(xs[:, 0, ::n_deriv]), np.asarray(mu[:, 0, ::n_deriv]),
         atol=0.3)
+
+
+# --- square-root fast path (VERDICT r2 #5) ----------------------------------
+
+
+def _fitz_obs(fitz, n_obs=11, noise_sd=0.1):
+    mu_true, _ = rodeo_tpu.solve_mv(
+        key=None, ode_fun=fitz_fun, ode_weight=fitz["W"],
+        ode_init=fitz["x0_block"], t_min=fitz["t_min"],
+        t_max=fitz["t_max"], n_steps=fitz["n_steps"],
+        interrogate=interrogate_kramer, prior_pars=fitz["prior_pars"],
+        theta=fitz["theta"])
+    obs_times = jnp.linspace(fitz["t_min"], fitz["t_max"], n_obs)
+    grid = jnp.linspace(fitz["t_min"], fitz["t_max"], fitz["n_steps"] + 1)
+    obs_ind = jnp.searchsorted(grid, obs_times)
+    rng = np.random.default_rng(5)
+    y = mu_true[obs_ind, :, 0:1] + \
+        jnp.asarray(rng.normal(size=(n_obs, 2, 1))) * noise_sd
+    D = jnp.zeros((n_obs, 2, 1, 3)).at[:, :, :, 0].set(1.0)
+    Om = noise_sd ** 2 * jnp.broadcast_to(jnp.eye(1), (n_obs, 2, 1, 1))
+    return dict(obs_data=y, obs_times=obs_times, obs_weight=D, obs_var=Om)
+
+
+def test_sqrt_fenrir_dense_matches_branched(fitz):
+    """The masked-dense sqrt backward (now the default) must equal the
+    reference-shaped branched backward bit-for-bit in f64."""
+    import importlib
+    fenrir_mod = importlib.import_module("rodeo_tpu.inference.fenrir")
+    from rodeo_tpu.kalmantv import square_root as sqrt_funs
+    obs = _fitz_obs(fitz)
+    pw, pv = fitz["prior_pars"]
+    prior_sqrt = (pw, jnp.linalg.cholesky(pv))
+    obs_sqrt = {**obs, "obs_var": jnp.sqrt(obs["obs_var"])}
+    kw = dict(
+        key=None, ode_fun=fitz_fun, ode_weight=fitz["W"],
+        ode_init=fitz["x0_block"], t_min=fitz["t_min"],
+        t_max=fitz["t_max"], n_steps=fitz["n_steps"],
+        interrogate=interrogate_kramer, theta=fitz["theta"])
+    ll_dense = fenrir_mod.fenrir(
+        prior_pars=prior_sqrt, kalman_type="square-root", **obs_sqrt, **kw)
+    # branched oracle (reference-shaped path)
+    filt_out = fenrir_mod._solve_filter(
+        prior_weight=pw, prior_var=prior_sqrt[1],
+        kalman_funs=sqrt_funs, **kw)
+    ll_branch, _ = fenrir_mod._backward(
+        mean_state_filt=filt_out["state_filt"][0],
+        var_state_filt=filt_out["state_filt"][1],
+        mean_state_pred=filt_out["state_pred"][0],
+        var_state_pred=filt_out["state_pred"][1],
+        prior_weight=pw, prior_var=prior_sqrt[1],
+        t_min=fitz["t_min"], t_max=fitz["t_max"],
+        n_steps=fitz["n_steps"], kalman_funs=sqrt_funs, **obs_sqrt)
+    np.testing.assert_allclose(float(ll_dense), float(ll_branch),
+                               rtol=1e-10)
+    # and both must equal the standard-form value
+    ll_std = fenrir_mod.fenrir(
+        prior_pars=fitz["prior_pars"], kalman_type="standard", **obs, **kw)
+    np.testing.assert_allclose(float(ll_dense), float(ll_std), rtol=1e-8)
+
+
+def test_precond_sqrt_solve_mv_matches_plain(fitz):
+    """Preconditioned square-root solve == plain square-root solve (f64);
+    the factor-aware prior scaling (scale_prior(sqrt=True)) is load-
+    bearing here."""
+    pw, pv = fitz["prior_pars"]
+    prior_sqrt = (pw, jnp.linalg.cholesky(pv))
+    kw = dict(
+        key=None, ode_fun=fitz_fun, ode_weight=fitz["W"],
+        ode_init=fitz["x0_block"], t_min=fitz["t_min"],
+        t_max=fitz["t_max"], n_steps=fitz["n_steps"],
+        interrogate=interrogate_kramer, prior_pars=prior_sqrt,
+        kalman_type="square-root", theta=fitz["theta"])
+    mu, var_f = rodeo_tpu.solve_mv(**kw)
+    mu_p, var_f_p = precond.solve_mv(**kw)
+    np.testing.assert_allclose(mu_p, mu, rtol=1e-8, atol=1e-10)
+    # compare covariances (factors differ by orthogonal rotation)
+    cov = var_f @ jnp.swapaxes(var_f, -1, -2)
+    cov_p = var_f_p @ jnp.swapaxes(var_f_p, -1, -2)
+    np.testing.assert_allclose(cov_p, cov, rtol=1e-6, atol=1e-11)
+
+
+def test_precond_sqrt_fenrir_matches_plain(fitz):
+    """Preconditioned sqrt fenrir == plain sqrt fenrir == standard (f64)."""
+    import importlib
+    fenrir_mod = importlib.import_module("rodeo_tpu.inference.fenrir")
+    obs = _fitz_obs(fitz)
+    pw, pv = fitz["prior_pars"]
+    prior_sqrt = (pw, jnp.linalg.cholesky(pv))
+    obs_sqrt = {**obs, "obs_var": jnp.sqrt(obs["obs_var"])}
+    kw = dict(
+        key=None, ode_fun=fitz_fun, ode_weight=fitz["W"],
+        ode_init=fitz["x0_block"], t_min=fitz["t_min"],
+        t_max=fitz["t_max"], n_steps=fitz["n_steps"],
+        interrogate=interrogate_kramer, theta=fitz["theta"])
+    ll_plain = fenrir_mod.fenrir(
+        prior_pars=prior_sqrt, kalman_type="square-root", **obs_sqrt, **kw)
+    ll_pre = precond.fenrir(
+        prior_pars=prior_sqrt, kalman_type="square-root", **obs_sqrt, **kw)
+    np.testing.assert_allclose(float(ll_pre), float(ll_plain), rtol=1e-8)

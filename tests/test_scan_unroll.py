@@ -26,13 +26,13 @@ def _obs_model(setup, n_obs=6):
 
 
 def test_unroll_context_restores():
-    assert get_scan_unroll() == 1
+    assert get_scan_unroll() is None      # auto by default
     with scan_unroll(8):
         assert get_scan_unroll() == 8
         with scan_unroll(4):
             assert get_scan_unroll() == 4
         assert get_scan_unroll() == 8
-    assert get_scan_unroll() == 1
+    assert get_scan_unroll() is None
 
 
 def test_solve_mv_unroll_identical():

@@ -24,6 +24,8 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -40,15 +42,22 @@ N_STEPS = 10000
 T_MAX = 20.0
 
 
-def timeit(fn, *args, n_rep=7):
-    out = fn(*args)
+B_AMORT = 8
+
+
+def timeit(fn_one, xs, n_rep=5):
+    """Amortized: lax.map of fn_one over a leading-B batch of inputs,
+    per-call time = total / B (host dispatch ~26 ms through the tunnel
+    would otherwise swamp every kernel measurement)."""
+    fn = jax.jit(lambda xs_: jax.lax.map(fn_one, xs_))
+    out = fn(xs)
     jax.tree_util.tree_leaves(out)[0].block_until_ready()
     best = 1e9
     for _ in range(n_rep):
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = fn(xs)
         jax.tree_util.tree_leaves(out)[0].block_until_ready()
-        best = min(best, time.perf_counter() - t0)
+        best = min(best, (time.perf_counter() - t0) / B_AMORT)
     return best * 1e3  # ms
 
 
@@ -231,18 +240,20 @@ def main():
     pairs, _ = _tri_idx(q)
     n_tri = len(pairs)
     res = {}
+    thetas = jnp.broadcast_to(theta, (B_AMORT, 3)) * \
+        (1 + 1e-6 * jnp.arange(B_AMORT, dtype=jnp.float32)[:, None])
 
     # end-to-end current best
-    fn_full = jax.jit(lambda th: pk.solve_mv_fused(
-        key=None, interrogate=interrogate_kramer, theta=th,
-        ode_flat=lorenz.lorenz_flat, jac_flat=lorenz.lorenz_jac_flat,
-        k_compose=64, unroll=True, **cfg)[0])
-    res["full_k64_unroll"] = timeit(fn_full, theta)
+    res["full_k64_unroll"] = timeit(
+        lambda th: pk.solve_mv_fused(
+            key=None, interrogate=interrogate_kramer, theta=th,
+            ode_flat=lorenz.lorenz_flat, jac_flat=lorenz.lorenz_jac_flat,
+            k_compose=64, unroll=True, **cfg)[0], thetas)
     print("full_k64_unroll", res["full_k64_unroll"], flush=True)
 
-    # filter alone (the unroll=True chunk-16 config the full path uses)
+    # filter alone
     def filt(th, unroll, chunk):
-        theta_col = jnp.asarray(th)[:, None]
+        theta_col = th[:, None]
         return pk.fused_filter(
             lorenz.lorenz_flat, lorenz.lorenz_jac_flat, N_STEPS,
             s["Qs"], s["Rs"], s["W_s"], s["x0_s"], theta_col,
@@ -250,50 +261,61 @@ def main():
             unroll=unroll, chunk=chunk)[0]
 
     for label, un, ch in (("filter_unroll16", True, 16),
-                          ("filter_chunk256", False, 256),
+                          ("filter_chunk250", False, 250),
                           ("filter_unroll8", True, 8),
-                          ("filter_unroll32", True, 32)):
-        fn = jax.jit(functools.partial(filt, unroll=un, chunk=ch))
-        res[label] = timeit(fn, theta)
+                          ("filter_unroll40", True, 40)):
+        res[label] = timeit(
+            functools.partial(filt, unroll=un, chunk=ch), thetas)
         print(label, res[label], flush=True)
 
-    # smoother alone (composed k=64): reuse full pipeline pieces
+    # smoother alone (composed k=64)
     theta_col = jnp.asarray(theta)[:, None]
     mf, pf, mp, pp = jax.jit(lambda th: pk.fused_filter(
         lorenz.lorenz_flat, lorenz.lorenz_jac_flat, N_STEPS,
         s["Qs"], s["Rs"], s["W_s"], s["x0_s"],
-        jnp.asarray(th)[:, None], s["tgrid"], s["t_vec"],
+        th[:, None], s["tgrid"], s["t_vec"],
         raw_q_const=s["raw_q_const"], unroll=True, chunk=16))(theta)
-    smo = jax.jit(lambda mf, pf, mp, pp: pk.fused_smoother_composed(
-        N_STEPS, s["Qs"], s["Rs"], mf[:-1], pf[:-1], mp[1:], pp[1:],
-        mf[-1], pf[-1], raw_q_const=s["raw_q_const"], k_compose=64))
-    res["smoother_k64"] = timeit(smo, mf, pf, mp, pp)
+    batch4 = lambda a: jnp.broadcast_to(a, (B_AMORT,) + a.shape) * \
+        (1 + 1e-7 * jnp.arange(B_AMORT,
+                               dtype=jnp.float32)[:, None, None, None])
+    res["smoother_k64"] = timeit(
+        lambda x: pk.fused_smoother_composed(
+            N_STEPS, s["Qs"], s["Rs"], x[0][:-1], x[1][:-1], x[2][1:],
+            x[3][1:], x[0][-1], x[1][-1], raw_q_const=s["raw_q_const"],
+            k_compose=64)[0],
+        (batch4(mf), batch4(pf), batch4(mp), batch4(pp)))
     print("smoother_k64", res["smoother_k64"], flush=True)
 
-    # affine filter with streamed interrogations (H from the real run)
+    # affine filter with streamed interrogations
     key = jax.random.PRNGKey(0)
     H_all = jax.random.normal(key, (N_STEPS, n_block, q)) * 0.1
-    H_all = H_all.at[:, :, 1].add(1.0)      # dominated by derivative row
+    H_all = H_all.at[:, :, 1].add(1.0)
     z_all = jax.random.normal(key, (N_STEPS, n_block, 1)) * 0.1
     K_all = jax.random.normal(key, (N_STEPS, n_block, q)) * 0.1
     H_all, z_all, K_all = (H_all.astype(jnp.float32),
                            z_all.astype(jnp.float32),
                            K_all.astype(jnp.float32))
+    bat = lambda a: jnp.broadcast_to(a, (B_AMORT,) + a.shape) * \
+        (1 + 1e-7 * jnp.arange(B_AMORT,
+                               dtype=jnp.float32)[:, None, None, None])
 
     for label, mode in (("affine_filter", "full"),
                         ("cov_gain_only", "cov")):
-        fn = jax.jit(functools.partial(
-            affine_filter, mode, N_STEPS, s["Rs"],
-            x0_s=s["x0_s"], q=q, n_block=n_block,
-            raw_q_const=s["raw_q_const"]))
-        res[label] = timeit(fn, H_all, z_all)
+        res[label] = timeit(
+            lambda hz, mode=mode: affine_filter(
+                mode, N_STEPS, s["Rs"], hz[0], hz[1],
+                x0_s=s["x0_s"], q=q, n_block=n_block,
+                raw_q_const=s["raw_q_const"])[0],
+            (bat(H_all), bat(z_all)))
         print(label, res[label], flush=True)
 
-    fn = jax.jit(functools.partial(
-        mean_only, N_STEPS, theta_col=theta_col.astype(jnp.float32),
-        t_vec=s["t_vec"], x0_s=s["x0_s"], q=q, n_block=n_block,
-        raw_q_const=s["raw_q_const"]))
-    res["mean_only"] = timeit(fn, K_all, H_all)
+    res["mean_only"] = timeit(
+        lambda kh: mean_only(
+            N_STEPS, kh[0], kh[1],
+            theta_col=theta_col.astype(jnp.float32),
+            t_vec=s["t_vec"], x0_s=s["x0_s"], q=q, n_block=n_block,
+            raw_q_const=s["raw_q_const"]),
+        (bat(K_all), bat(H_all)))
     print("mean_only", res["mean_only"], flush=True)
 
     print(json.dumps(res))
