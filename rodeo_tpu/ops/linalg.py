@@ -168,6 +168,11 @@ def solve_small(a, b):
     """
     n = a.shape[-1]
     if not _FAST.get() or n > 5:
+        if b.ndim == a.ndim - 1:
+            # explicit vector solve: numpy-2 semantics treat any
+            # b.ndim >= 2 as a matrix stack, which mis-broadcasts
+            # batched vector right-hand sides
+            return jnp.linalg.solve(a, b[..., None])[..., 0]
         return jnp.linalg.solve(a, b)
     if b.ndim == a.ndim - 1:
         if n == 1:

@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 from rodeo_tpu.ops.precond import taylor_scale, scale_prior
 
 __all__ = ["fused_filter", "fused_smoother", "solve_mv_fused",
-           "jvp_jac_flat"]
+           "basic_fused_batch", "jvp_jac_flat"]
 
 
 def _tri_idx(q):
@@ -1417,6 +1417,44 @@ def solve_mv_fused_batch(thetas, ode_weight, ode_inits,
         rows(pf[-1][None]),
     ], axis=0) * tri_scale[:, None]
     return mean_rows, var_rows
+
+
+def basic_fused_batch(thetas, ode_weight, ode_inits,
+                      t_min, t_max, n_steps,
+                      prior_pars,
+                      obs_data, obs_times, obs_loglik,
+                      ode_flat, jac_flat=None,
+                      chunk=None, interpret="auto", interrogation=None,
+                      key=None, **params):
+    r"""
+    Lane-batched fused Basic likelihood: ``n_lane`` plug-in likelihood
+    evaluations per kernel pipeline — the fused ``solve_mv`` forward pass
+    (:func:`solve_mv_fused_batch`) followed by one batched user
+    ``obs_loglik`` evaluation at the smoothed means.  Parity: upstream
+    ``basic.py:47-62`` semantics, lane-batched.
+
+    Args:
+        obs_loglik (Callable): ``obs_loglik(obs_data, ode_data, **params)``
+            as in :func:`rodeo_tpu.inference.basic`.
+        (other args as :func:`solve_mv_fused_batch`)
+
+    Returns:
+        (tuple):
+        - **loglik** (ndarray(n_lane,)).
+        - **mean** (ndarray(n_steps+1, n_block, q, n_lane)): solution
+          posterior mean (all grid rows, lanes last).
+    """
+    mean_rows, _ = solve_mv_fused_batch(
+        thetas=thetas, ode_weight=ode_weight, ode_inits=ode_inits,
+        t_min=t_min, t_max=t_max, n_steps=n_steps, prior_pars=prior_pars,
+        ode_flat=ode_flat, jac_flat=jac_flat, chunk=chunk,
+        interpret=interpret, interrogation=interrogation, key=key)
+    sim_times = jnp.linspace(t_min, t_max, n_steps + 1)
+    obs_ind = jnp.searchsorted(sim_times, obs_times)
+    ode_obs = mean_rows[obs_ind]                  # (n_obs, nb, q, n_lane)
+    lls = jax.vmap(lambda od: obs_loglik(obs_data, od, **params),
+                   in_axes=-1)(ode_obs)
+    return lls, mean_rows
 
 
 def unpack_cov(packed):

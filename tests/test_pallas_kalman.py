@@ -475,3 +475,34 @@ def test_fused_schober_matches_precond(lorenz_cfg):
     np.testing.assert_allclose(np.asarray(mu_f[:, :, 0]),
                                np.asarray(mu_ref[:, :, 0]),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_basic_fused_batch_matches_xla():
+    """Lane-batched fused Basic likelihood == XLA basic (f32, interp)."""
+    cfg = lorenz.setup(n_steps=200, t_max=2.0, dtype=jnp.float32)
+    theta = cfg.pop("theta")
+    rng = np.random.default_rng(3)
+    n_obs = 5
+    obs_times = jnp.linspace(0.0, 2.0, n_obs).astype(jnp.float32)
+    yobs = jnp.asarray(rng.normal(size=(n_obs, 3, 1)) * 3, jnp.float32)
+
+    def b_loglik(obs_data, ode_data, **p):
+        return jnp.sum(-0.5 * (obs_data[..., 0] - ode_data[..., 0]) ** 2)
+
+    B = 3
+    thetas = jnp.stack([theta * (1.0 + 0.01 * i) for i in range(B)])
+    inits = jnp.broadcast_to(cfg["ode_init"], (B,) + cfg["ode_init"].shape)
+    lls, mean_rows = pallas_kalman.basic_fused_batch(
+        thetas=thetas, ode_weight=cfg["ode_weight"], ode_inits=inits,
+        t_min=cfg["t_min"], t_max=cfg["t_max"], n_steps=cfg["n_steps"],
+        prior_pars=cfg["prior_pars"], obs_data=yobs, obs_times=obs_times,
+        obs_loglik=b_loglik, ode_flat=lorenz.lorenz_flat,
+        jac_flat=lorenz.lorenz_jac_flat)
+    assert lls.shape == (B,)
+    for i in range(B):
+        ll_i, _ = precond.basic(
+            key=None, interrogate=interrogate_kramer, theta=thetas[i],
+            obs_data=yobs, obs_times=obs_times, obs_loglik=b_loglik,
+            **{**cfg, "ode_init": inits[i]})
+        np.testing.assert_allclose(float(lls[i]), float(ll_i), rtol=2e-3,
+                                   atol=2e-2)
