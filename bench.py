@@ -390,6 +390,26 @@ def main():
         except Exception as e:  # noqa: BLE001
             details[f"pallas_k{k_comp}_error"] = repr(e)[:500]
 
+    # stationary-gain latency path: the Riccati gain is constant to f32
+    # after ~10 steps on this model, so only the (irreducible) nonlinear
+    # mean chain stays sequential; the smoother is a batched doubling scan
+    for u_st in (True, False):
+        try:
+            from rodeo_tpu.ops import pallas_kalman
+            pks = jax.jit(lambda ths, u=u_st: jax.lax.map(
+                lambda th: pallas_kalman.solve_mv_fused_stationary(
+                    key=None, interrogate=interrogate_kramer, theta=th,
+                    ode_flat=lorenz.lorenz_flat,
+                    jac_flat=lorenz.lorenz_jac_flat, unroll=u, **cfg)[0],
+                ths))
+            t_pks, out_pks = _timeit(pks, (thetas,), per=B)
+            ok_pks = not bool(jnp.any(jnp.isnan(out_pks)))
+            name = "pallas_stationary" + ("_unroll" if u_st else "")
+            candidates[name] = (t_pks, ok_pks)
+            audit_solve(name, out_pks[0])
+        except Exception as e:  # noqa: BLE001
+            details[f"stationary_u{u_st}_error"] = repr(e)[:500]
+
     # lane-batched fused throughput: many solves per kernel pair.  Extra
     # lanes are nearly free (the kernel is latency-bound on its serial
     # per-step chain), so per-solve cost keeps dropping to ~2048 lanes
@@ -743,6 +763,65 @@ def main():
             t_ngv, out_ngv = _timeit(ngv, (ths_ng,), n_rep=3)
             details["daltonng_vmapped16_evals_per_sec"] = round(
                 nbng / t_ngv, 2)
+
+        # fused daltonng (VERDICT r2 #3): lane-batched Laplace filter +
+        # batched smoothing passes; target >= 100 evals/s single-style,
+        # >= 1000 lane-batched
+        def nn_comp_flat(y_cols, x_col, j, th, iobs):
+            return -0.5 * (y_cols[0] - x_col) ** 2 / 0.005
+
+        from rodeo_tpu.ops.pallas_daltonng import daltonng_fused_batch
+        for Bng in (16, 128, 512):
+            with _row(details, f"daltonng_fused_batch{Bng}"):
+                ths_ng2 = jnp.broadcast_to(th_i, (Bng, 3)) *                     (1 + 1e-6 * jnp.arange(Bng, dtype=jnp.float32)[:, None])
+                inits_ng = jnp.broadcast_to(
+                    cfg_i["ode_init"], (Bng,) + cfg_i["ode_init"].shape)
+                ngf = jax.jit(lambda ts, x0: daltonng_fused_batch(
+                    thetas=ts, ode_weight=cfg_i["ode_weight"], ode_inits=x0,
+                    t_min=cfg_i["t_min"], t_max=cfg_i["t_max"],
+                    n_steps=cfg_i["n_steps"],
+                    prior_pars=cfg_i["prior_pars"],
+                    obs_data=yobs_i, obs_times=obs_times_i,
+                    obs_comp_flat=nn_comp_flat, obs_dims=(0,),
+                    ode_flat=lorenz.lorenz_flat,
+                    jac_flat=lorenz.lorenz_jac_flat))
+                t_ngf, out_ngf = _timeit(ngf, (ths_ng2, inits_ng),
+                                         n_rep=3, per=Bng)
+                details[f"daltonng_fused_batch{Bng}_evals_per_sec"] =                     round(1.0 / t_ngf, 2)
+                details[f"daltonng_fused_batch{Bng}_finite"] = bool(
+                    jnp.all(jnp.isfinite(out_ngf)))
+                if truth is not None:
+                    details[f"daltonng_fused_batch{Bng}_abs_err"] = round(
+                        abs(float(out_ngf[0])
+                            - float(truth["daltonng_ll"])), 6)
+
+        # fused basic: shares the fused solve_mv forward pass
+        from rodeo_tpu.ops import pallas_kalman as pk_basic
+        with _row(details, "basic_fused_batch"):
+            Bb = 128
+            ths_b = jnp.broadcast_to(th_i, (Bb, 3)) *                 (1 + 1e-6 * jnp.arange(Bb, dtype=jnp.float32)[:, None])
+            inits_b = jnp.broadcast_to(
+                cfg_i["ode_init"], (Bb,) + cfg_i["ode_init"].shape)
+
+            def b_loglik_f(obs_data, ode_data, **p):
+                return jnp.sum(
+                    -0.5 * (obs_data[..., 0] - ode_data[..., 0]) ** 2)
+
+            bf = jax.jit(lambda ts, x0: pk_basic.basic_fused_batch(
+                thetas=ts, ode_weight=cfg_i["ode_weight"], ode_inits=x0,
+                t_min=cfg_i["t_min"], t_max=cfg_i["t_max"],
+                n_steps=cfg_i["n_steps"], prior_pars=cfg_i["prior_pars"],
+                obs_data=yobs_i, obs_times=obs_times_i,
+                obs_loglik=b_loglik_f, ode_flat=lorenz.lorenz_flat,
+                jac_flat=lorenz.lorenz_jac_flat)[0])
+            t_bf, out_bf = _timeit(bf, (ths_b, inits_b), n_rep=3, per=Bb)
+            details["basic_fused_batch128_evals_per_sec"] = round(
+                1.0 / t_bf, 2)
+            details["basic_fused_batch128_finite"] = bool(
+                jnp.all(jnp.isfinite(out_bf)))
+            if truth is not None:
+                details["basic_fused_batch128_abs_err"] = round(
+                    abs(float(out_bf[0]) - float(truth["basic_ll"])), 6)
 
         def b_loglik(obs_data, ode_data, **p):
             return jnp.sum(-0.5 * (obs_data[..., 0] - ode_data[..., 0])**2)

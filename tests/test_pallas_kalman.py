@@ -506,3 +506,31 @@ def test_basic_fused_batch_matches_xla():
             **{**cfg, "ode_init": inits[i]})
         np.testing.assert_allclose(float(lls[i]), float(ll_i), rtol=2e-3,
                                    atol=2e-2)
+
+
+def test_stationary_matches_exact(lorenz_cfg):
+    """The stationary-gain latency path == the exact fused path (the
+    Riccati gain is constant to ~4e-7 after ~10 steps on this model, so
+    the trajectories agree to f32 accuracy)."""
+    cfg, theta = lorenz_cfg
+    kw = dict(key=None, interrogate=interrogate_kramer, theta=theta,
+              ode_flat=lorenz.lorenz_flat, jac_flat=lorenz.lorenz_jac_flat,
+              **cfg)
+    mu0, var0 = pallas_kalman.solve_mv_fused(**kw)
+    mu1, var1 = pallas_kalman.solve_mv_fused_stationary(n_warm=64, **kw)
+    np.testing.assert_allclose(np.asarray(mu1[:, :, 0]),
+                               np.asarray(mu0[:, :, 0]),
+                               rtol=5e-3, atol=5e-3)
+    scale = float(np.abs(np.asarray(var0)).max()) + 1e-30
+    np.testing.assert_allclose(np.asarray(var1) / scale,
+                               np.asarray(var0) / scale, atol=2e-4)
+    # EK0 variant (valid for every model)
+    mu0r, _ = pallas_kalman.solve_mv_fused(
+        key=None, interrogate=interrogate_rodeo, theta=theta,
+        ode_flat=lorenz.lorenz_flat, jac_flat=None, **cfg)
+    mu1r, _ = pallas_kalman.solve_mv_fused_stationary(
+        key=None, interrogate=interrogate_rodeo, theta=theta,
+        ode_flat=lorenz.lorenz_flat, jac_flat=None, n_warm=64, **cfg)
+    np.testing.assert_allclose(np.asarray(mu1r[:, :, 0]),
+                               np.asarray(mu0r[:, :, 0]),
+                               rtol=5e-3, atol=5e-3)

@@ -45,20 +45,28 @@ T_MAX = 20.0
 B_AMORT = 8
 
 
-def timeit(fn_one, xs, n_rep=5):
-    """Amortized: lax.map of fn_one over a leading-B batch of inputs,
-    per-call time = total / B (host dispatch ~26 ms through the tunnel
-    would otherwise swamp every kernel measurement)."""
+def drain(o):
+    """Full host readback of one element — the only reliable completion
+    point on this backend (block_until_ready acks enqueue only)."""
+    import numpy as np
+    np.asarray(jax.tree_util.tree_leaves(o)[0]).ravel()[0]
+
+
+def timeit(fn_one, xs, K=5):
+    """K back-to-back fresh-input amortized calls + one drain."""
     fn = jax.jit(lambda xs_: jax.lax.map(fn_one, xs_))
-    out = fn(xs)
-    jax.tree_util.tree_leaves(out)[0].block_until_ready()
-    best = 1e9
-    for _ in range(n_rep):
-        t0 = time.perf_counter()
-        out = fn(xs)
-        jax.tree_util.tree_leaves(out)[0].block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / B_AMORT)
-    return best * 1e3  # ms
+    o = fn(xs)
+    drain(o)
+    t0 = time.perf_counter()
+    drain(o)
+    probe = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for i in range(K):
+        o = fn(jax.tree_util.tree_map(
+            lambda a: a * (1 + 1e-6 * (i + 1)), xs))
+    drain(o)
+    tot = time.perf_counter() - t0 - probe
+    return tot / (K * B_AMORT) * 1e3  # ms
 
 
 def setup():

@@ -103,7 +103,7 @@ def main():
     res = {}
     for rep in (0, 1):
         for variant in ("store18", "store1", "store0"):
-            for chunk, label2 in ((250, ""), (10000, "_c10k")):
+            for chunk, label2 in ((250, ""),):
                 fn = jax.jit(lambda xs, v=variant, c=chunk: jax.lax.map(
                     lambda x: run(v, c, x), xs))
                 x0 = jnp.ones((B_AMORT, NB, NCOL), jnp.float32) \
