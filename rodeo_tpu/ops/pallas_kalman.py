@@ -1474,28 +1474,71 @@ def _mean_gain_kernel(ode_flat, chunk, q, n_block, q_const, unroll,
         m_scr[:, j:j + 1] = out[j]
 
 
-def _shift_up(a, d):
-    """a[n] -> a[n + d] with zero padding (suffix-scan shift)."""
-    pad = jnp.zeros((d,) + a.shape[1:], a.dtype)
-    return jnp.concatenate([a[d:], pad], axis=0)
+def _mean_boundary_kernel(ode_flat, k_group, q, n_block, q_const,
+                          w_ref, kst_ref, x0_ref, th_ref, tgrid_ref,
+                          tv_ref, bnd_ref, m_scr):
+    """Store-free constant-gain mean chain: one grid step = one k-step
+    group, whose ENTRY state is the only store (the per-step VMEM column
+    stores of the full filter cost ~1.6-2.8 us/step vs ~95 ns/step for
+    the same math store-free — tools/exp_store.py)."""
+    gi = pl.program_id(0)
+    Qm = q_const
+    W_cols = [w_ref[:, j:j + 1] for j in range(q)]
+    K_cols = [kst_ref[:, j:j + 1] for j in range(q)]
+    tv_cols = [tv_ref[:, j:j + 1] for j in range(q)]
+
+    @pl.when(gi == 0)
+    def _init():
+        m_scr[:] = x0_ref[:]
+
+    bnd_ref[0] = m_scr[:]                 # group-entry state (1 store)
+
+    def body(r, carry):
+        m_cols = list(carry)
+        mp_cols = _matvec(q, Qm, m_cols)
+        x_cols = [mp_cols[j] * tv_cols[j] for j in range(q)]
+        t_n = tgrid_ref[gi * k_group + r, 0]
+        f0 = ode_flat(x_cols, th_ref, t_n)
+        wm = None
+        for j in range(q):
+            wm = _acc(wm, W_cols[j] * mp_cols[j])
+        z = f0 - wm
+        return tuple(mp_cols[i] + K_cols[i] * z for i in range(q))
+
+    out = jax.lax.fori_loop(0, k_group, body,
+                            tuple(m_scr[:, j:j + 1] for j in range(q)))
+    for j in range(q):
+        m_scr[:, j:j + 1] = out[j]
 
 
-def _doubling_smoother(gvec, Lmat, G):
-    """Suffix scan of the constant-gain smoother recursions
-    ``m_n = g_n + G m_{n+1}`` and ``P_n = L_n + G P_{n+1} G'`` over the
-    whole axis in log2(N) levels of batched einsums (terminal values go in
-    the LAST rows of ``gvec``/``Lmat``; out-of-range contributions vanish
-    through zero padding)."""
-    n = gvec.shape[0]
-    Gp = G
-    m, P = gvec, Lmat
-    d = 1
-    while d < n:
-        m = m + jnp.einsum("bij,tbj->tbi", Gp, _shift_up(m, d))
-        P = P + jnp.einsum("bij,tbjk,blk->tbil", Gp, _shift_up(P, d), Gp)
-        Gp = Gp @ Gp
-        d *= 2
-    return m, P
+def _mean_recovery_kernel(ode_flat, k_group, q, n_block, n_group, q_const,
+                          w_ref, kst_ref, bnd_ref, th_ref, t_ref, tv_ref,
+                          mf_ref):
+    """Group-parallel interior recovery: lanes = time groups, each lane
+    re-runs its group's k-step mean chain from the stored boundary state;
+    stores are (n_block, n_group)-wide rows, amortized across groups."""
+    Qm = q_const
+    W_cols = [w_ref[:, j:j + 1] for j in range(q)]
+    K_cols = [kst_ref[:, j:j + 1] for j in range(q)]
+    tv_cols = [tv_ref[:, j:j + 1] for j in range(q)]
+
+    def body(r, carry):
+        m_cols = list(carry)
+        mp_cols = _matvec(q, Qm, m_cols)
+        x_cols = [mp_cols[j] * tv_cols[j] for j in range(q)]
+        t_row = t_ref[r]                               # (1, n_group)
+        f0 = ode_flat(x_cols, th_ref, t_row)
+        wm = None
+        for j in range(q):
+            wm = _acc(wm, W_cols[j] * mp_cols[j])
+        z = f0 - wm
+        mf_cols = [mp_cols[i] + K_cols[i] * z for i in range(q)]
+        for j in range(q):
+            mf_ref[r, j] = mf_cols[j]
+        return tuple(mf_cols)
+
+    jax.lax.fori_loop(0, k_group, body,
+                      tuple(bnd_ref[j] for j in range(q)))
 
 
 def solve_mv_fused_stationary(key, ode_fun, ode_weight, ode_init,
@@ -1543,12 +1586,20 @@ def solve_mv_fused_stationary(key, ode_fun, ode_weight, ode_init,
     theta = params.get("theta")
     theta_col = jnp.zeros((1, 1), jnp.float32) if theta is None         else jnp.asarray(theta)[:, None]
     n_warm = min(n_warm, n_steps)
+    # two-phase schedule: the tail (n_steps - n_warm) splits into G groups
+    # of 64 steps (boundary-store sequential kernel + group-parallel
+    # recovery); the warm prefix absorbs the remainder
+    k_group = 64
+    n_group = max((n_steps - n_warm) // k_group, 0)
+    if n_group >= 2:
+        n_warm = n_steps - n_group * k_group
 
     # --- exact Riccati prefix (full fused filter on n_warm steps) -------
     mfw, pfw, mpw, ppw = fused_filter(
         ode_flat, jac_flat, n_warm, Qs, Rs, W_s, x0_s, theta_col,
-        tgrid[:n_warm], t_vec, chunk=min(16, n_warm), interpret=interpret,
-        raw_q_const=raw_q_const, unroll=True, mode=mode)
+        tgrid[:n_warm], t_vec, chunk=_pick_chunk(n_warm, target=16),
+        interpret=interpret, raw_q_const=raw_q_const, unroll=True,
+        mode=mode)
 
     # constant H (nb, q): EK0 -> W; EK1 -> W - jac * t (jac evaluated at a
     # dummy state: state-independence is the validity contract)
@@ -1575,31 +1626,87 @@ def solve_mv_fused_stationary(key, ode_fun, ode_weight, ode_init,
         jnp.broadcast_to(K_pre[-1], (n_steps - n_warm, n_block, q)),
     ], axis=0)
 
-    # --- sequential mean chain with streamed gains ----------------------
-    if chunk is None:
-        chunk = _pick_chunk(n_steps, target=16 if unroll else 256)
-    n_chunks = n_steps // chunk
-    kern = functools.partial(_mean_gain_kernel, ode_flat, chunk, q,
-                             n_block, raw_q_const, unroll)
-    blk = pl.BlockSpec((chunk, n_block, q), lambda i: (i, 0, 0),
-                       memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                      memory_space=pltpu.VMEM)
-    mf = pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((n_steps, n_block, q), jnp.float32),
-        grid=(n_chunks,),
-        in_specs=[rep((n_block, q)), blk, rep((n_block, q)),
-                  rep(theta_col.shape),
-                  pl.BlockSpec((n_steps, 1), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  rep((1, q))],
-        out_specs=blk,
-        scratch_shapes=[pltpu.VMEM((n_block, q), jnp.float32)],
-        interpret=_interpret_mode(interpret),
-    )(W_s, gains.astype(jnp.float32), x0_s,
-      theta_col.astype(jnp.float32), tgrid[:, None].astype(jnp.float32),
-      t_vec[None, :].astype(jnp.float32))
+    K_star = K_pre[-1].astype(jnp.float32)                # (nb, q)
+    if n_group >= 2:
+        # --- two-phase STORE-FREE mean chain ----------------------------
+        # phase S: sequential over the tail, ONE store per 64-step group
+        kern_s = functools.partial(
+            _mean_boundary_kernel, ode_flat, k_group, q, n_block,
+            raw_q_const)
+        tg_tail = tgrid[n_warm:]
+        bnd = pl.pallas_call(
+            kern_s,
+            out_shape=jax.ShapeDtypeStruct((n_group, n_block, q),
+                                           jnp.float32),
+            grid=(n_group,),
+            in_specs=[rep((n_block, q)), rep((n_block, q)),
+                      rep((n_block, q)), rep(theta_col.shape),
+                      pl.BlockSpec((n_group * k_group, 1),
+                                   lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      rep((1, q))],
+            out_specs=pl.BlockSpec((1, n_block, q), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((n_block, q), jnp.float32)],
+            interpret=_interpret_mode(interpret),
+        )(W_s, K_star, mfw[-1].astype(jnp.float32),
+          theta_col.astype(jnp.float32),
+          tg_tail[:, None].astype(jnp.float32),
+          t_vec[None, :].astype(jnp.float32))
+
+        # phase R: lanes = groups, interior rows recomputed in parallel;
+        # stores are (nb, n_group)-wide.  NB ode_flat receives a (1, G)
+        # time ROW here (per-lane times) — fine for elementwise time use.
+        bnd_lanes = jnp.transpose(bnd, (2, 1, 0))         # (q, nb, G)
+        t_lanes = jnp.transpose(
+            tg_tail.reshape(n_group, k_group))[:, None, :]  # (k, 1, G)
+        kern_r = functools.partial(
+            _mean_recovery_kernel, ode_flat, k_group, q, n_block, n_group,
+            raw_q_const)
+        mfr = pl.pallas_call(
+            kern_r,
+            out_shape=jax.ShapeDtypeStruct((k_group, q, n_block, n_group),
+                                           jnp.float32),
+            grid=(1,),
+            in_specs=[rep((n_block, q)), rep((n_block, q)),
+                      rep((q, n_block, n_group)), rep(theta_col.shape),
+                      rep((k_group, 1, n_group)), rep((1, q))],
+            out_specs=rep((k_group, q, n_block, n_group)),
+            interpret=_interpret_mode(interpret),
+        )(W_s, K_star, bnd_lanes.astype(jnp.float32),
+          theta_col.astype(jnp.float32), t_lanes.astype(jnp.float32),
+          t_vec[None, :].astype(jnp.float32))
+        tail_rows = jnp.transpose(mfr, (3, 0, 2, 1)).reshape(
+            n_group * k_group, n_block, q)
+        mf = jnp.concatenate([mfw, tail_rows], axis=0)
+    else:
+        # short horizon: single streamed-gain sequential kernel
+        if chunk is None:
+            chunk = _pick_chunk(n_steps, target=16 if unroll else 256)
+        n_chunks = n_steps // chunk
+        kern = functools.partial(_mean_gain_kernel, ode_flat, chunk, q,
+                                 n_block, raw_q_const, unroll)
+        blk = pl.BlockSpec((chunk, n_block, q), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+        mf = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((n_steps, n_block, q),
+                                           jnp.float32),
+            grid=(n_chunks,),
+            in_specs=[rep((n_block, q)), blk, rep((n_block, q)),
+                      rep(theta_col.shape),
+                      pl.BlockSpec((n_steps, 1), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      rep((1, q))],
+            out_specs=blk,
+            scratch_shapes=[pltpu.VMEM((n_block, q), jnp.float32)],
+            interpret=_interpret_mode(interpret),
+        )(W_s, gains.astype(jnp.float32), x0_s,
+          theta_col.astype(jnp.float32),
+          tgrid[:, None].astype(jnp.float32),
+          t_vec[None, :].astype(jnp.float32))
 
     # predicted means recovered batched: mp_n = Q mf_{n-1} (mp_1 = Q x0)
     Qd = jnp.asarray(
@@ -1616,51 +1723,17 @@ def solve_mv_fused_stationary(key, ode_fun, ode_weight, ode_init,
     pf = jnp.concatenate([pfw, pf_tail], axis=0)
     pp = jnp.concatenate([ppw, pp_tail], axis=0)
 
-    # --- constant-gain backward smoother: doubling scan -----------------
-    pf_d = _unpack_tri(pf, q, pairs)
-    pp_d = _unpack_tri(pp, q, pairs)
-    Pf_star = _unpack_tri(pfw[-1], q, pairs)              # (nb, q, q)
-    Pp_star = _unpack_tri(ppw[-1], q, pairs)
-    # G* = Pf* Q' Pp*^{-1}  (per block, q x q)
-    G_star = jnp.linalg.solve(
-        jnp.swapaxes(Pp_star, -1, -2),
-        (Pf_star @ jnp.swapaxes(Qd[None], -1, -2)).swapaxes(-1, -2)
-    ).swapaxes(-1, -2)
-    # L* = (I - G Q) Pf (I - G Q)' + G R G'   (Joseph, steady state)
-    eyeq = jnp.eye(q, dtype=jnp.float32)
-    IGQ = eyeq[None] - G_star @ Qd[None]
-    Rs_d = Rs.astype(jnp.float32)
-    L_star = IGQ @ Pf_star @ jnp.swapaxes(IGQ, -1, -2)         + G_star @ Rs_d @ jnp.swapaxes(G_star, -1, -2)
-    # g_n = mf_n - G mp_{n+1}, rows n = 1..N-1; terminal row = (mfN, pfN)
-    g_rows = mf[:-1] - jnp.einsum("bij,tbj->tbi", G_star, mp[1:])
-    gvec = jnp.concatenate([g_rows, mf[-1][None]], axis=0)
-    Lmat = jnp.concatenate([
-        jnp.broadcast_to(L_star, (n_steps - 1, n_block, q, q)),
-        pf_d[-1][None],
-    ], axis=0)
-    ms, Ps = _doubling_smoother(gvec, Lmat, G_star)
-
-    # exact short resweep of the prefix rows (their per-step gains differ
-    # from G* during the Riccati transient) — an n_warm-step XLA scan
-    Gn = jnp.einsum("tbij,jk->tbik", pf_d[:n_warm], Qd.T)
-    Gn = jnp.linalg.solve(
-        jnp.swapaxes(pp_d[1:n_warm + 1], -1, -2),
-        jnp.swapaxes(Gn, -1, -2)).swapaxes(-1, -2)
-    gn = mf[:n_warm] - jnp.einsum("tbij,tbj->tbi", Gn, mp[1:n_warm + 1])
-    IGQn = eyeq[None, None] - Gn @ Qd[None, None]
-    Ln = IGQn @ pf_d[:n_warm] @ jnp.swapaxes(IGQn, -1, -2)         + Gn @ Rs_d[None] @ jnp.swapaxes(Gn, -1, -2)
-
-    def resweep(carry, xs):
-        m_next, P_next = carry
-        m_cur = xs["g"] + jnp.einsum("bij,bj->bi", xs["G"], m_next)
-        P_cur = xs["L"] + xs["G"] @ P_next @ jnp.swapaxes(xs["G"], -1, -2)
-        return (m_cur, P_cur), (m_cur, P_cur)
-
-    seed = (ms[n_warm], Ps[n_warm])   # row n_warm+1 value = ms index n_warm
-    (_, _), (m_pre, P_pre) = jax.lax.scan(
-        resweep, seed, {"g": gn, "G": Gn, "L": Ln}, reverse=True)
-    ms = jnp.concatenate([m_pre, ms[n_warm:]], axis=0)
-    Ps = jnp.concatenate([P_pre, Ps[n_warm:]], axis=0)
+    # --- backward smoother: k-step composed Pallas recursion ------------
+    # (per-step gains derive from the assembled pf/pp arrays: exact over
+    # the warm prefix, constant beyond it — no special-casing needed; the
+    # all-XLA doubling-scan alternative measured SLOWER end-to-end than
+    # the composed Pallas kernel, see docs/design.md round-3 notes)
+    ms, ps = fused_smoother_composed(
+        n_steps, Qs, Rs, mf[:-1], pf[:-1], mp[1:], pp[1:],
+        mf[-1], pf[-1], raw_q_const=raw_q_const, k_compose=64,
+        interpret=interpret)
+    ms = jnp.concatenate([ms, mf[-1][None]], axis=0)      # rows 1..N
+    Ps = _unpack_tri(jnp.concatenate([ps, pf[-1][None]], axis=0), q, pairs)
 
     # assemble rows 0..N in original coordinates
     t_v = t_vec.astype(jnp.float32)

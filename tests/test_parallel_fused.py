@@ -120,3 +120,36 @@ def test_run_chains_fused_sharded(mesh):
     assert positions.shape == (n_samp, B, 3)
     assert ll.shape == (B,) and bool(jnp.all(jnp.isfinite(ll)))
     assert float(jnp.mean(accept)) > 0.0
+
+
+def test_chain_runner_runtime_scale():
+    """The proposal scale is a runtime (traced) argument: re-tuning must
+    not re-trace, and different scales must change acceptance."""
+    from rodeo_tpu.parallel.chains import make_chain_runner
+    cfg = fitzhugh.setup(n_steps=20, t_max=2.0, dtype=jnp.float32)
+    theta = cfg.pop("theta")
+    mu_ref, _ = pallas_kalman.solve_mv_fused(
+        key=None, interrogate=None, theta=theta,
+        ode_flat=fitzhugh.fitzhugh_flat,
+        jac_flat=fitzhugh.fitzhugh_jac_flat, **cfg)
+
+    def loglik(positions, paths):
+        resid = paths[:, :, 0, :] - mu_ref[:, :, 0, None]
+        return -0.5 * jnp.sum(resid * resid, axis=(0, 1)) / 0.01
+
+    B, n_samp = 16, 8
+    init = jnp.broadcast_to(theta, (B, 3)).astype(jnp.float32)
+    runner = make_chain_runner(
+        loglik, n_lane=B, n_samples=n_samp, rw_scale=0.02,
+        ode_weight=cfg["ode_weight"], ode_init=cfg["ode_init"],
+        t_min=cfg["t_min"], t_max=cfg["t_max"], n_steps=cfg["n_steps"],
+        prior_pars=cfg["prior_pars"], ode_flat=fitzhugh.fitzhugh_flat,
+        jac_flat=fitzhugh.fitzhugh_jac_flat)
+    p1, _, acc_small = runner(init, jax.random.PRNGKey(1), scale=1e-4)
+    p2, _, acc_big = runner(init, jax.random.PRNGKey(1), scale=5.0)
+    assert p1.shape == (n_samp, B, 3)
+    # a tiny proposal accepts (almost) always; a huge one (almost) never
+    assert float(jnp.mean(acc_small)) > float(jnp.mean(acc_big))
+    # default falls back to the build-time scale
+    p3, _, _ = runner(init, jax.random.PRNGKey(1))
+    assert p3.shape == (n_samp, B, 3)

@@ -46,10 +46,11 @@ B_AMORT = 8
 
 
 def drain(o):
-    """Full host readback of one element — the only reliable completion
+    """Host readback of one element — the only reliable completion
     point on this backend (block_until_ready acks enqueue only)."""
     import numpy as np
-    np.asarray(jax.tree_util.tree_leaves(o)[0]).ravel()[0]
+    leaf = jax.tree_util.tree_leaves(o)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
 
 
 def timeit(fn_one, xs, K=5):
@@ -251,7 +252,18 @@ def main():
     thetas = jnp.broadcast_to(theta, (B_AMORT, 3)) * \
         (1 + 1e-6 * jnp.arange(B_AMORT, dtype=jnp.float32)[:, None])
 
-    # end-to-end current best
+    import time as _t
+    print("start", _t.strftime("%H:%M:%S"), flush=True)
+
+    # NEW: stationary-gain two-phase path (the round-3 latency design)
+    res["stationary"] = timeit(
+        lambda th: pk.solve_mv_fused_stationary(
+            key=None, interrogate=interrogate_kramer, theta=th,
+            ode_flat=lorenz.lorenz_flat, jac_flat=lorenz.lorenz_jac_flat,
+            **cfg)[0], thetas)
+    print("stationary", res["stationary"], flush=True)
+
+    # end-to-end round-2 best
     res["full_k64_unroll"] = timeit(
         lambda th: pk.solve_mv_fused(
             key=None, interrogate=interrogate_kramer, theta=th,
