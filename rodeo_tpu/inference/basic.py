@@ -27,7 +27,7 @@ def basic(key, ode_fun, ode_weight, ode_init,
           interrogate,
           prior_pars,
           obs_data, obs_times, obs_loglik,
-          kalman_type="standard", **params):
+          kalman_type="standard", temporal="sequential", **params):
     r"""
     Basic approximate log-likelihood of :math:`p(Y_{0:M} \mid Z_{1:N})`.
 
@@ -44,6 +44,11 @@ def basic(key, ode_fun, ode_weight, ode_init,
         obs_times (ndarray(n_obs)): Observation times.
         obs_loglik (Callable): ``obs_loglik(obs_data, ode_data, **params)``.
         kalman_type (str): ``"standard"`` or ``"square-root"``.
+        temporal (str): ``"sequential"`` or ``"parallel"`` — the latter
+            runs the underlying smoother parallel-in-time
+            (:mod:`rodeo_tpu.ops.ptime`); TPU-only addition, values
+            identical.  For lane-batched throughput use
+            :func:`rodeo_tpu.ops.pallas_kalman.basic_fused_batch`.
         params: Optional model parameters.
 
     Returns:
@@ -60,6 +65,7 @@ def basic(key, ode_fun, ode_weight, ode_init,
         interrogate=interrogate,
         prior_pars=prior_pars,
         kalman_type=kalman_type,
+        temporal=temporal,
         **params,
     )
     sim_times = jnp.linspace(t_min, t_max, n_steps + 1)
