@@ -257,20 +257,22 @@ def _sync(out):
 
 
 def _timeit(fn, args, n_rep=5, per=1):
+    """Amortized drain protocol: n_rep back-to-back calls, ONE host sync
+    at the end (the submission queue is FIFO, so the final readback
+    drains every call), minus the separately measured sync roundtrip.
+    Per-rep syncing would add the ~30-40 ms tunnel roundtrip to every
+    measurement."""
     out = fn(*args)
     _sync(out)
-    # probe cost: re-syncing an already-materialized result = pure
-    # roundtrip + tiny-slice overhead
     t0 = time.perf_counter()
     _sync(out)
     probe = time.perf_counter() - t0
-    best = 1e9
+    t0 = time.perf_counter()
     for _ in range(n_rep):
-        t0 = time.perf_counter()
         out = fn(*args)
-        _sync(out)
-        best = min(best, max(time.perf_counter() - t0 - probe, 0.0) / per)
-    return best, out
+    _sync(out)
+    total = max(time.perf_counter() - t0 - probe, 1e-9)
+    return total / (n_rep * per), out
 
 
 class _row:

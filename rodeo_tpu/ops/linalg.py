@@ -21,7 +21,8 @@ import contextvars
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fast_linalg", "fast_linalg_enabled", "solve_small", "inv_small"]
+__all__ = ["fast_linalg", "fast_linalg_enabled", "solve_small",
+           "inv_small", "sym_eigh_small"]
 
 _FAST = contextvars.ContextVar("rodeo_tpu_fast_linalg", default=False)
 
@@ -227,3 +228,86 @@ def _psd_factor_eigh_jvp(primals, tangents):
     dsqw = jnp.where(live, dw / (2.0 * sqw + eps * scale[..., 0]), 0.0)
     d_out = dv * sqw[..., None, :] + v * dsqw[..., None, :]
     return primal_out, d_out
+
+
+def sym_eigh_small(a):
+    r"""
+    Closed-form symmetric eigendecomposition for trailing dims up to 3
+    (batched, elementwise ops only — ``jnp.linalg.eigh`` of millions of
+    tiny matrices lowers to an iterative routine that dominates whole
+    pipelines on TPU).
+
+    Eigenvalues by the trigonometric solution of the characteristic
+    cubic; eigenvectors by the Cayley–Hamilton construction
+    :math:`v_i \propto` columns of :math:`\prod_{j \ne i}(A - \lambda_j I)`
+    (largest column chosen per batch element).  Scale-normalized.  For a
+    numerically repeated eigenvalue the individual eigenvectors are
+    ill-determined (as with any method); downstream masked-quadratic
+    users are insensitive to the within-subspace basis.
+
+    Returns ``(w, v)`` with eigenvalues ascending, like ``jnp.linalg.eigh``.
+    """
+    n = a.shape[-1]
+    if n == 1:
+        return a[..., 0], jnp.ones_like(a)
+    scale = jnp.max(jnp.abs(a), axis=(-1, -2), keepdims=True)
+    scale = jnp.where(scale == 0, 1.0, scale)
+    A = a / scale
+    eye = jnp.eye(n, dtype=a.dtype)
+    if n == 2:
+        a00, a01, a11 = A[..., 0, 0], A[..., 0, 1], A[..., 1, 1]
+        tr2 = 0.5 * (a00 + a11)
+        d = jnp.sqrt(jnp.maximum((0.5 * (a00 - a11)) ** 2 + a01 * a01,
+                                 0.0))
+        w = jnp.stack([tr2 - d, tr2 + d], axis=-1)
+        # eigenvector of w0: (A - w1 I) columns
+        B = A - w[..., 1, None, None] * eye
+        c0, c1 = B[..., :, 0], B[..., :, 1]
+        pick = (jnp.sum(c0 * c0, -1, keepdims=True)
+                >= jnp.sum(c1 * c1, -1, keepdims=True))
+        v0 = jnp.where(pick, c0, c1)
+        v0 = v0 / jnp.sqrt(jnp.maximum(
+            jnp.sum(v0 * v0, -1, keepdims=True), 1e-38))
+        v1 = jnp.stack([-v0[..., 1], v0[..., 0]], axis=-1)
+        return w * scale[..., 0], jnp.stack([v0, v1], axis=-1)
+    if n != 3:
+        raise ValueError("sym_eigh_small supports n <= 3")
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    qm = (a00 + a11 + a22) / 3.0
+    p2 = ((a00 - qm) ** 2 + (a11 - qm) ** 2 + (a22 - qm) ** 2
+          + 2.0 * p1)
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-38))
+    B = (A - qm[..., None, None] * eye) / p[..., None, None]
+    detB = (B[..., 0, 0] * (B[..., 1, 1] * B[..., 2, 2]
+                            - B[..., 1, 2] * B[..., 2, 1])
+            - B[..., 0, 1] * (B[..., 1, 0] * B[..., 2, 2]
+                              - B[..., 1, 2] * B[..., 2, 0])
+            + B[..., 0, 2] * (B[..., 1, 0] * B[..., 2, 1]
+                              - B[..., 1, 1] * B[..., 2, 0]))
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    w_hi = qm + 2.0 * p * jnp.cos(phi)
+    w_lo = qm + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    w_mid = 3.0 * qm - w_hi - w_lo
+    w = jnp.stack([w_lo, w_mid, w_hi], axis=-1)            # ascending
+
+    def eigvec(wi, wj, wk):
+        # v_i from columns of (A - wj I)(A - wk I) (Cayley-Hamilton)
+        M = (A - wj[..., None, None] * eye) @ \
+            (A - wk[..., None, None] * eye)
+        norms = jnp.sum(M * M, axis=-2)                    # per column
+        idx = jnp.argmax(norms, axis=-1)
+        v = jnp.take_along_axis(
+            M, idx[..., None, None].repeat(n, axis=-2), axis=-1)[..., 0]
+        return v / jnp.sqrt(jnp.maximum(
+            jnp.sum(v * v, -1, keepdims=True), 1e-38))
+
+    v0 = eigvec(w[..., 0], w[..., 1], w[..., 2])
+    v2 = eigvec(w[..., 2], w[..., 0], w[..., 1])
+    v1 = jnp.cross(v2, v0)
+    v1 = v1 / jnp.sqrt(jnp.maximum(
+        jnp.sum(v1 * v1, -1, keepdims=True), 1e-38))
+    v = jnp.stack([v0, v1, v2], axis=-1)
+    return w * scale[..., 0], v

@@ -303,7 +303,14 @@ def _masked_eigh(C, q):
     format cannot resolve are treated as exact degeneracies."""
     pairs, _ = _tri_idx(q)
     dense = _unpack_tri(jnp.moveaxis(C, 1, -1), q, pairs)  # (T,nb,B,q,q)
-    w, v = jnp.linalg.eigh(dense)
+    if q <= 3:
+        # closed-form elementwise eigendecomposition: jnp.linalg.eigh of
+        # millions of tiny matrices is an iterative routine that
+        # dominated the whole daltonng pipeline on TPU
+        from rodeo_tpu.ops.linalg import sym_eigh_small
+        w, v = sym_eigh_small(dense)
+    else:
+        w, v = jnp.linalg.eigh(dense)
     tol = 100.0 * jnp.asarray(jnp.finfo(dense.dtype).eps, dense.dtype)
     keep = w > tol * jnp.maximum(
         jnp.max(jnp.abs(w), axis=-1, keepdims=True), 1e-30)
