@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["fast_linalg", "fast_linalg_enabled", "solve_small",
-           "inv_small", "sym_eigh_small"]
+           "inv_small", "sym_eigh_small", "chol_small",
+           "tri_solve_small"]
 
 _FAST = contextvars.ContextVar("rodeo_tpu_fast_linalg", default=False)
 
@@ -311,3 +312,62 @@ def sym_eigh_small(a):
         jnp.sum(v1 * v1, -1, keepdims=True), 1e-38))
     v = jnp.stack([v0, v1, v2], axis=-1)
     return w * scale[..., 0], v
+
+
+def chol_small(a, floor=1e-12):
+    r"""
+    Closed-form lower Cholesky for trailing dims up to 5 (batched,
+    elementwise ops only, unrolled at trace time).
+
+    Correlation-normalized with a *relative* pivot floor: near-unit
+    correlations otherwise cancel catastrophically in float32 (same
+    stabilization as the fused kernels' packed-column factorization).
+    A floored pivot corresponds to ~1e-6 relative noise injected along a
+    genuinely degenerate direction.
+    """
+    n = a.shape[-1]
+    tiny = jnp.asarray(jnp.finfo(a.dtype).tiny, a.dtype)
+    d = jnp.sqrt(jnp.maximum(
+        jnp.diagonal(a, axis1=-2, axis2=-1), tiny))           # (..., n)
+    corr = a / (d[..., :, None] * d[..., None, :])
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = corr[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][i] = jnp.sqrt(jnp.maximum(s, floor))
+            else:
+                L[i][j] = s / L[j][j]
+    rows = [jnp.stack(
+        [L[i][j] if j <= i else jnp.zeros_like(corr[..., 0, 0])
+         for j in range(n)], axis=-1) for i in range(n)]
+    return jnp.stack(rows, axis=-2) * d[..., :, None]
+
+
+def tri_solve_small(chol, b, lower=True, transpose=False):
+    r"""
+    Closed-form triangular solve by unrolled substitution for trailing
+    dims up to 5 (batched; ``b`` is ``(..., n, k)``).  ``transpose=True``
+    solves against ``chol.T`` (upper) without materializing it.
+    """
+    n = chol.shape[-1]
+    if not lower:
+        return tri_solve_small(jnp.swapaxes(chol, -1, -2), b,
+                               lower=True, transpose=not transpose)
+    cols = [b[..., i, :] for i in range(n)]
+    out = [None] * n
+    if not transpose:
+        for i in range(n):
+            s = cols[i]
+            for k in range(i):
+                s = s - chol[..., i, k, None] * out[k]
+            out[i] = s / chol[..., i, i, None]
+    else:
+        for i in range(n - 1, -1, -1):
+            s = cols[i]
+            for k in range(i + 1, n):
+                s = s - chol[..., k, i, None] * out[k]
+            out[i] = s / chol[..., i, i, None]
+    return jnp.stack(out, axis=-2)

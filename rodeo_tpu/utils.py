@@ -64,6 +64,18 @@ def add_sqrt(sqrt_A, sqrt_B):
     Returns:
         (ndarray(..., n, n)): Factor ``L`` such that ``L @ L.T = A + B``.
     """
+    n = sqrt_A.shape[-2]
+    from rodeo_tpu.ops.linalg import fast_linalg_enabled
+    if fast_linalg_enabled() and n <= 5:
+        # fast path: closed-form Cholesky of the Gram sum A A' + B B'.
+        # A valid factor (differs from the QR one by an orthogonal
+        # rotation only, so every L L' consumer agrees); forming the Gram
+        # squares the condition number, which the Taylor-preconditioned
+        # wrappers — the only fast_linalg users — keep at O(1).  Batched
+        # QR on TPU is an iterative routine ~15x the cost.
+        from rodeo_tpu.ops.linalg import chol_small
+        gram = sqrt_A @ mtt(sqrt_A) + sqrt_B @ mtt(sqrt_B)
+        return chol_small(gram)
     stacked = jnp.concatenate([mtt(sqrt_A), mtt(sqrt_B)], axis=-2)
     _, r = jnp.linalg.qr(stacked, mode="reduced")
     return mtt(r)
