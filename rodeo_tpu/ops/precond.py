@@ -24,7 +24,6 @@ variance :math:`W \Sigma W'` are invariant under the transform.
 """
 import jax
 import jax.numpy as jnp
-import jax.scipy as jsp
 
 import rodeo_tpu.solve as _solve
 from rodeo_tpu.ops import ptime as _ptime
@@ -36,21 +35,27 @@ __all__ = ["taylor_scale", "scale_prior", "solve_mv", "solve_sim",
            "dalton_solve_sim", "dalton_solve_mv_nn"]
 
 
-def _factorial(x):
-    return jnp.exp(jsp.special.gammaln(x + 1.0))
-
-
 def taylor_scale(dt, n_deriv, dtype=None):
     r"""
     Diagonal preconditioner ``t_vec`` with
     ``t_vec[i] = sqrt(dt) * dt**(q-i) / (q-i)!`` for ``q = n_deriv - 1``.
 
+    Built from exact trace-time factorials and iterated ``dt``
+    multiplications — not ``pow``/``gammaln`` device transcendentals,
+    whose float32 approximations on TPU perturb the scaling by ~1e-4
+    relative (see :mod:`rodeo_tpu.prior.ibm`).  Jittable in ``dt``.
+
     Returns:
         (ndarray(n_deriv,)): The diagonal of :math:`T`.
     """
-    i = jnp.arange(n_deriv, dtype=dtype or jnp.float64)
-    q = n_deriv - 1.0
-    return jnp.sqrt(dt) * dt ** (q - i) / _factorial(q - i)
+    import math
+    dt = jnp.asarray(dt, dtype) if dtype is not None else jnp.asarray(dt)
+    pows = [jnp.ones_like(dt)]
+    for _ in range(n_deriv - 1):
+        pows.append(pows[-1] * dt)
+    q = n_deriv - 1
+    return jnp.sqrt(dt) * jnp.stack(
+        [pows[q - i] / math.factorial(q - i) for i in range(n_deriv)])
 
 
 def scale_prior(prior_pars, t_vec, sqrt=False):

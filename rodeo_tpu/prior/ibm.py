@@ -15,16 +15,12 @@ Functional parity target: ``/root/reference/src/rodeo/prior/ibm.py``
 resident, so the prior construction traces into the same XLA program as the
 solve.
 """
+import math
+
 import jax
 import jax.numpy as jnp
-import jax.scipy as jsp
 
 __all__ = ["ibm_state", "ibm_init"]
-
-
-def _factorial(x):
-    """Real-argument factorial via the gamma function: ``x!`` for integer x."""
-    return jnp.exp(jsp.special.gammaln(x + 1.0))
 
 
 def ibm_state(dt, q, sigma):
@@ -34,23 +30,40 @@ def ibm_state(dt, q, sigma):
 
     Parity: ``prior/ibm.py:37-62``.
 
+    ACCURACY NOTE (TPU): the combinatorial coefficients are exact Python
+    floats folded in at trace time, and the ``dt`` powers are built by
+    iterated multiplication — never ``pow``/``gammaln`` device
+    transcendentals, whose few-ulp float32 approximations on TPU perturb
+    the prior by ~1e-4 relative and (on chaotic systems) blow the solve
+    accuracy from ~1e-3 to ~0.5 absolute (measured, Lorenz63 t<=4).
+    Remains fully jittable in ``dt``.
+
     Args:
-        dt (float): Step size.
-        q (int): Number of integrations (state dimension is ``q + 1``).
+        dt (float): Step size (may be traced).
+        q (int): Number of integrations (static; state dim is ``q + 1``).
         sigma (float): Diffusion scale.
 
     Returns:
         (tuple): ``Q`` (q+1, q+1) and ``R`` (q+1, q+1).
     """
-    I, J = jnp.meshgrid(jnp.arange(q + 1), jnp.arange(q + 1),
-                        indexing="ij", sparse=True)
-    upper = J - I
-    Q = jnp.nan_to_num(dt ** upper / _factorial(upper), 0)
-    pow_r = (2.0 * q + 1.0) - I - J
-    num = dt ** pow_r
-    den = pow_r * _factorial(q - I) * _factorial(q - J)
-    R = sigma ** 2 * num / den
-    return Q, R
+    dt = jnp.asarray(dt)
+    # dt^k for k = 0..2q+1 by iterated multiplication (1 rounding per
+    # power instead of exp(k log dt) transcendental error)
+    pows = [jnp.ones_like(dt)]
+    for _ in range(2 * q + 1):
+        pows.append(pows[-1] * dt)
+    Q = jnp.stack([
+        jnp.stack([pows[j - i] / math.factorial(j - i)
+                   if j >= i else jnp.zeros_like(dt)
+                   for j in range(q + 1)])
+        for i in range(q + 1)])
+    R = jnp.stack([
+        jnp.stack([pows[2 * q + 1 - i - j]
+                   / ((2 * q + 1 - i - j)
+                      * math.factorial(q - i) * math.factorial(q - j))
+                   for j in range(q + 1)])
+        for i in range(q + 1)])
+    return Q, sigma ** 2 * R
 
 
 def ibm_init(dt, n_deriv, sigma):
