@@ -11,8 +11,12 @@ Run: python examples/timings.py          (CPU, f64 — the preprint's setup)
                                           Taylor-preconditioned solver;
                                           LSODA/RK45 stay on host CPU)
 """
+import os
 import sys
 import timeit
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -48,16 +52,35 @@ def _rk45_bench(odeint_fun, x0_ode, t_min, t_max, th_np, tseq):
             term, solver, t0=t_min, t1=t_max, dt0=tseq[1] - tseq[0],
             y0=y0, args=th_np,
             saveat=diffrax.SaveAt(ts=jnp.asarray(tseq))).ys)
-        return _bench(lambda: sol(jnp.asarray(x0_ode)).block_until_ready())
+        return _bench(lambda: sol(jnp.asarray(x0_ode)))
     return _bench(lambda: solve_ivp(
         lambda t, y: odeint_fun(y, t, th_np), (t_min, t_max), x0_ode,
         method="RK45", t_eval=tseq))
 
 
+def _sync(out):
+    """Force completion: `block_until_ready` on the experimental TPU
+    tunnel acknowledges enqueue, not completion — only a host readback
+    reliably drains the device (see bench.py::_sync)."""
+    if hasattr(out, "ravel"):
+        np.asarray(out).ravel()[:1]
+    return out
+
+
 def _bench(fn, *args):
-    fn(*args)  # warm up / compile
-    return min(timeit.repeat(lambda: fn(*args), number=N_LOOPS,
-                             repeat=3)) / N_LOOPS
+    out = fn(*args)  # warm up / compile
+    _sync(out)
+    t0 = timeit.default_timer()
+    _sync(out)
+    probe = timeit.default_timer() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = timeit.default_timer()
+        for _ in range(N_LOOPS):
+            out = fn(*args)
+        _sync(out)
+        best = min(best, max(timeit.default_timer() - t0 - probe, 1e-12))
+    return best / N_LOOPS
 
 
 def time_model(name, model, odeint_fun, x0_ode, n_steps, t_max):
@@ -82,7 +105,7 @@ def time_model(name, model, odeint_fun, x0_ode, n_steps, t_max):
     if bool(jnp.any(jnp.isnan(out))):
         raise RuntimeError(f"{name}: blocked solve produced NaNs")
     t_blocked = _bench(
-        lambda ths: solve(ths).block_until_ready(), thetas) / n_amortize
+        lambda ths: solve(ths), thetas) / n_amortize
 
     # non-blocked: collapse the prior into one dense block
     dense_prior = indep_init(cfg["prior_pars"])
@@ -114,7 +137,7 @@ def time_model(name, model, odeint_fun, x0_ode, n_steps, t_max):
         t_dense = float("nan")
     else:
         t_dense = _bench(
-            lambda ths: solve_nb(ths).block_until_ready(),
+            lambda ths: solve_nb(ths),
             thetas) / n_amortize
 
     tseq = np.linspace(cfg["t_min"], cfg["t_max"], n_steps + 1)
