@@ -37,10 +37,18 @@ def _tri_solve(chol, b, lower=True):
     Leading (batch) dims are broadcast explicitly —
     ``solve_triangular`` itself rejects mismatched batch ranks, which
     matters when a whole-time-axis batched kernel call mixes stacked
-    ``(T, nb, q, q)`` factors with a shared ``(nb, q, q)`` transition."""
+    ``(T, nb, q, q)`` factors with a shared ``(nb, q, q)`` transition.
+
+    Under :func:`rodeo_tpu.ops.linalg.fast_linalg` (the preconditioned
+    wrappers) tiny systems use unrolled closed-form substitution — the
+    LAPACK-style batched triangular solve is an iterative routine that
+    dominates the sqrt filter's step cost on TPU."""
     bshape = jnp.broadcast_shapes(chol.shape[:-2], b.shape[:-2])
     chol = jnp.broadcast_to(chol, bshape + chol.shape[-2:])
     b = jnp.broadcast_to(b, bshape + b.shape[-2:])
+    from rodeo_tpu.ops.linalg import fast_linalg_enabled, tri_solve_small
+    if fast_linalg_enabled() and chol.shape[-1] <= 5:
+        return tri_solve_small(chol, b, lower=lower)
     return jax.scipy.linalg.solve_triangular(chol, b, lower=lower)
 
 
