@@ -378,6 +378,24 @@ def daltonng_fused_batch(thetas, ode_weight, ode_inits,
     if n_bmeas != 1:
         raise NotImplementedError(
             "daltonng_fused_batch requires n_bmeas == 1")
+    with jax.default_matmul_precision("highest"):
+        return _daltonng_fused_batch_impl(
+            thetas, ode_weight, ode_inits, t_min, t_max, n_steps,
+            prior_pars, obs_data, obs_times, obs_comp_flat, obs_dims,
+            ode_flat, jac_flat, chunk, interpret)
+
+
+def _daltonng_fused_batch_impl(thetas, ode_weight, ode_inits,
+                               t_min, t_max, n_steps, prior_pars,
+                               obs_data, obs_times, obs_comp_flat,
+                               obs_dims, ode_flat, jac_flat, chunk,
+                               interpret):
+    # highest-precision matmuls: the associative mean scan and logpdf
+    # einsums run on Taylor-scaled quantities of magnitude ~1e6, where
+    # the TPU default bfloat16 matmul passes inject ~8e-3 relative noise
+    # (see solve_mv_fused_stationary)
+    n_lane = thetas.shape[0]
+    n_block, n_bmeas, q = ode_weight.shape
     pairs, _ = _tri_idx(q)
     n_tri = len(pairs)
     dt = (t_max - t_min) / n_steps

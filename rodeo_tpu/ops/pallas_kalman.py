@@ -785,9 +785,18 @@ def solve_mv_fused(key, ode_fun, ode_weight, ode_init,
         ode_flat, jac_flat, n_steps, Qs, Rs, W_s, x0_s,
         theta_col, tgrid, t_vec, chunk=chunk, interpret=interpret,
         raw_q_const=raw_q_const, unroll=unroll, mode=mode, eps=eps)
-    # smoother over steps 1..n_steps-1 (terminal = filtered at n_steps);
-    # k_compose > 1 shortens the sequential recursion k-fold by exact
-    # k-step composition (latency path)
+    # smoother over steps 1..n_steps-1 (terminal = filtered at n_steps).
+    # DEFAULT k_compose=16: the plain backward recursion's gain is
+    # unipotent in the Taylor-scaled coordinates (Pascal-like, eigenvalues
+    # 1 with Jordan blocks), so float32 rounding noise amplifies
+    # POLYNOMIALLY over a long sequential recursion (measured: O(1e4)
+    # absolute drift over 10k steps on real TPU, caught by the bench
+    # accuracy audit); k-step composition injects noise only at N/k
+    # boundary steps and recovers interiors in one batched apply, landing
+    # at the f32-CPU control accuracy.  Pass k_compose=1 to force the
+    # plain recursion (short horizons only).
+    if k_compose is None and n_steps >= 512:
+        k_compose = 16
     if k_compose is not None and k_compose > 1:
         ms, ps = fused_smoother_composed(
             n_steps, Qs, Rs,
@@ -1547,7 +1556,7 @@ def solve_mv_fused_stationary(key, ode_fun, ode_weight, ode_init,
                               prior_pars=None,
                               ode_flat=None, jac_flat=None,
                               interpret="auto", chunk=None,
-                              n_warm=64, unroll=True,
+                              n_warm=64, unroll=True, two_phase=True,
                               interrogation=None, **params):
     r"""
     :func:`solve_mv_fused` specialization for time-constant measurement
@@ -1565,6 +1574,24 @@ def solve_mv_fused_stationary(key, ode_fun, ode_weight, ode_init,
     if ode_flat is None:
         raise ValueError(
             "solve_mv_fused_stationary requires a Mosaic-safe `ode_flat`")
+    return _solve_mv_fused_stationary_impl(
+        ode_weight, ode_init, t_min, t_max, n_steps, interrogate,
+        prior_pars, ode_flat, jac_flat, interpret, chunk, n_warm,
+        unroll, two_phase, interrogation, **params)
+
+
+def _solve_mv_fused_stationary_impl(ode_weight, ode_init, t_min, t_max,
+                                    n_steps, interrogate, prior_pars,
+                                    ode_flat, jac_flat, interpret, chunk,
+                                    n_warm, unroll, two_phase,
+                                    interrogation, **params):
+    # NB the host-side assembly (gain recovery from covariances, the
+    # mp = Q mf recovery) avoids matmul/einsum primitives entirely and
+    # uses unrolled elementwise column sums: the TPU's DEFAULT f32 dot
+    # precision is bfloat16 passes (~8e-3 relative), which on the
+    # ~1e6-magnitude Taylor-scaled quantities seeded perturbations that
+    # chaotic dynamics amplified 1000x over the exact path (measured:
+    # 1.34 vs 1.2e-3 max abs err at t<=4 on Lorenz-10k)
     mode = resolve_interrogation(interrogate, interrogation, jac_flat)
     if mode not in ("kramer", "rodeo"):
         raise NotImplementedError(
@@ -1590,7 +1617,7 @@ def solve_mv_fused_stationary(key, ode_fun, ode_weight, ode_init,
     # of 64 steps (boundary-store sequential kernel + group-parallel
     # recovery); the warm prefix absorbs the remainder
     k_group = 64
-    n_group = max((n_steps - n_warm) // k_group, 0)
+    n_group = max((n_steps - n_warm) // k_group, 0) if two_phase else 0
     if n_group >= 2:
         n_warm = n_steps - n_group * k_group
 
@@ -1616,8 +1643,8 @@ def solve_mv_fused_stationary(key, ode_fun, ode_weight, ode_init,
 
     # gains from the prefix predicted covariances + frozen steady state
     ppw_d = _unpack_tri(ppw, q, pairs)                    # (n_warm,nb,q,q)
-    PH = jnp.einsum("tbij,bj->tbi", ppw_d, H)
-    S = jnp.einsum("bi,tbi->tb", H, PH)
+    PH = sum(ppw_d[..., j] * H[None, :, None, j] for j in range(q))
+    S = sum(H[None, :, i] * PH[..., i] for i in range(q))
     if mode == "rodeo":
         S = 2.0 * S
     K_pre = PH / S[..., None]                             # (n_warm,nb,q)
@@ -1709,13 +1736,18 @@ def solve_mv_fused_stationary(key, ode_fun, ode_weight, ode_init,
           t_vec[None, :].astype(jnp.float32))
 
     # predicted means recovered batched: mp_n = Q mf_{n-1} (mp_1 = Q x0)
-    Qd = jnp.asarray(
-        [[raw_q_const[i][j] if isinstance(raw_q_const[i][j], float)
-          else 0.0 for j in range(q)] for i in range(q)], jnp.float32)         if raw_q_const is not None else None
-    if Qd is None:
-        Qd = Qs[0].astype(jnp.float32)
     prev = jnp.concatenate([x0_s[None], mf[:-1]], axis=0)
-    mp = jnp.einsum("ij,tbj->tbi", Qd, prev)
+    if raw_q_const is not None:
+        # trace-time constant coefficients: elementwise FMAs, exact f32
+        mp = jnp.stack([
+            sum(raw_q_const[i][j] * prev[..., j] for j in range(q)
+                if raw_q_const[i][j] != 0.0)
+            for i in range(q)], axis=-1)
+    else:
+        Qd = Qs[0].astype(jnp.float32)
+        mp = jnp.stack([
+            sum(Qd[i, j] * prev[..., j] for j in range(q))
+            for i in range(q)], axis=-1)
 
     # full-horizon covariances: exact prefix + frozen steady state
     pf_tail = jnp.broadcast_to(pfw[-1], (n_steps - n_warm, n_block, n_tri))
