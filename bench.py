@@ -799,8 +799,8 @@ def main():
             return -0.5 * (y_cols[0] - x_col) ** 2 / 0.005
 
         from rodeo_tpu.ops.pallas_daltonng import daltonng_fused_batch
-        # 512 lanes exceeds the remote-compile envelope for this kernel
-        for Bng in (16, 128):
+        # >=128 lanes exceeds the remote-compile envelope for this kernel
+        for Bng in (16, 64):
             with _row(details, f"daltonng_fused_batch{Bng}"):
                 ths_ng2 = jnp.broadcast_to(th_i, (Bng, 3)) *                     (1 + 1e-6 * jnp.arange(Bng, dtype=jnp.float32)[:, None])
                 inits_ng = jnp.broadcast_to(
