@@ -295,13 +295,21 @@ def sym_eigh_small(a):
     w = jnp.stack([w_lo, w_mid, w_hi], axis=-1)            # ascending
 
     def eigvec(wi, wj, wk):
-        # v_i from columns of (A - wj I)(A - wk I) (Cayley-Hamilton)
+        # v_i spans the column space of (A - wj I)(A - wk I)
+        # (Cayley-Hamilton, rank one in exact arithmetic).  Select a
+        # representative GATHER-FREE (argmax/take_along_axis lower to TPU
+        # gathers that dominated whole pipelines): the image of almost
+        # any probe vector lies along v_i; use two fixed non-parallel
+        # probes and keep the larger image elementwise.
         M = (A - wj[..., None, None] * eye) @ \
             (A - wk[..., None, None] * eye)
-        norms = jnp.sum(M * M, axis=-2)                    # per column
-        idx = jnp.argmax(norms, axis=-1)
-        v = jnp.take_along_axis(
-            M, idx[..., None, None].repeat(n, axis=-2), axis=-1)[..., 0]
+        u1 = jnp.asarray([1.0, 0.62, 0.29][:n], a.dtype)
+        u2 = jnp.asarray([-0.33, 0.81, 1.0][:n], a.dtype)
+        c1 = M @ u1
+        c2 = M @ u2
+        n1 = jnp.sum(c1 * c1, -1, keepdims=True)
+        n2 = jnp.sum(c2 * c2, -1, keepdims=True)
+        v = jnp.where(n1 >= n2, c1, c2)
         return v / jnp.sqrt(jnp.maximum(
             jnp.sum(v * v, -1, keepdims=True), 1e-38))
 

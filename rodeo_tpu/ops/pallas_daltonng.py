@@ -262,30 +262,23 @@ def _cond_params_cols(q, n_tri, q_const, Rs, mf, pf, mp, pp):
     ppn_cols = [pp[1:, k] for k in range(n_tri)]
     G, g, L = _gain_cols_batched(q, n_tri, q_const, R_cols_b,
                                  mf_cols, pf_cols, mpn_cols, ppn_cols)
-    A = jnp.stack([jnp.stack([G[i][j] for j in range(q)], axis=1)
-                   for i in range(q)], axis=1)       # (T-1, q, q, nb, B)
-    b = jnp.stack(g, axis=1)                          # (T-1, q, nb, B)
-    C = jnp.stack(L, axis=1)                          # (T-1, n_tri, nb, B)
-    return A, b, C
+    G_k = jnp.stack([G[i][j] for i in range(q) for j in range(q)],
+                    axis=1)                           # (T-1, q*q, nb, B)
+    b_k = jnp.stack(g, axis=1)                        # (T-1, q, nb, B)
+    C_k = jnp.stack(L, axis=1)                        # (T-1, n_tri, nb, B)
+    return G_k, b_k, C_k
 
 
-def _suffix_means(A, b, m_term):
-    """Exact smoothed-mean recursion ``m_n = A_n m_{n+1} + b_n`` via an
-    associative suffix scan of affine-map composition (O(log N) depth of
-    batched matmuls instead of an N-step sequential scan)."""
-    def combine(u, v):
-        # associative_scan(reverse=True) accumulates with the LATER
-        # element as the left operand, so the suffix composition
-        # f_n o f_{n+1} o ... must put the RIGHT operand outermost:
-        # u (+) v  :=  v o u
-        Gu, gu = u
-        Gv, gv = v
-        G = jnp.einsum("tij...,tjk...->tik...", Gv, Gu)
-        g = gv + jnp.einsum("tij...,tj...->ti...", Gv, gu)
-        return G, g
-
-    Gs, gs = jax.lax.associative_scan(combine, (A, b), reverse=True)
-    return gs + jnp.einsum("tij...,j...->ti...", Gs, m_term)
+def _suffix_means(G_k, b_k, C_k, m_term, p_term, interpret):
+    """Smoothed-mean recursion ``m_n = G_n m_{n+1} + b_n`` via the
+    lane-batched Pallas recursion kernel.  (An XLA ``associative_scan``
+    of the affine composition was tried first: its pad/slice lowering
+    and einsum layout transposes cost 96 ms at 4k steps x 16 lanes on
+    v5e vs ~2 ms for the kernel.)"""
+    from rodeo_tpu.ops.pallas_kalman import smoother_recursion_batch
+    ms, _ = smoother_recursion_batch(b_k, G_k, C_k, m_term, p_term,
+                                     interpret=interpret)
+    return ms
 
 
 def _masked_eigh(C, q):
@@ -445,13 +438,14 @@ def _daltonng_fused_batch_impl(thetas, ode_weight, ode_inits,
     mp_full = jnp.concatenate([m0, mp])
     pp_full = jnp.concatenate([p0, pp])
 
-    # backward-kernel parameters (A, b, C) for n = 1..N-1
-    A, b, C = _cond_params_cols(q, n_tri, q_const, Rs,
-                                mf_full[1:], pf_full[1:],
-                                mp_full[1:], pp_full[1:])
+    # backward-kernel parameters (G, b, C) for n = 1..N-1
+    G_k, b_k, C = _cond_params_cols(q, n_tri, q_const, Rs,
+                                    mf_full[1:], pf_full[1:],
+                                    mp_full[1:], pp_full[1:])
 
-    # smoothed means: rows 1..N-1 by associative suffix scan, N = filt
-    means = _suffix_means(A, b, mf_full[n_steps])
+    # smoothed means: rows 1..N-1 via the Pallas recursion kernel
+    means = _suffix_means(G_k, b_k, C, mf_full[n_steps],
+                          pf_full[n_steps], interpret)
     mean_path = jnp.concatenate([m0, means, mf_full[n_steps][None]])
 
     # logx_yhat: quadratic form vanishes at the smoothed mean ->
@@ -485,16 +479,21 @@ def _daltonng_fused_batch_impl(thetas, ode_weight, ode_inits,
     pfz_full = jnp.concatenate([p0, pfz])
     mpz_full = jnp.concatenate([m0, mpz])
     ppz_full = jnp.concatenate([p0, ppz])
-    Az, bz, Cz = _cond_params_cols(q, n_tri, q_const, Rs,
-                                   mfz_full[1:], pfz_full[1:],
-                                   mpz_full[1:], ppz_full[1:])
+    Gz_k, bz_k, Cz = _cond_params_cols(q, n_tri, q_const, Rs,
+                                       mfz_full[1:], pfz_full[1:],
+                                       mpz_full[1:], ppz_full[1:])
 
     # logx_z at the smoothed-mean path
     logx_zN = jnp.sum(_logpdf_packed(
         mean_path[n_steps][None], mfz_full[n_steps][None],
         pfz_full[n_steps][None], q), axis=(0, 1))
-    mean_sim = bz + jnp.einsum("tij...,tj...->ti...", Az,
-                               mean_path[2:n_steps + 1])
+    # mean_sim_i = b_i + sum_j Gz[i,j] path_j — elementwise column sums
+    # (einsum on these layouts lowers to costly transposes; and the TPU
+    # default dot precision is bfloat16)
+    path_n1 = mean_path[2:n_steps + 1]                # (T-1, q, nb, B)
+    mean_sim = bz_k + jnp.stack(
+        [sum(Gz_k[:, i * q + j] * path_n1[:, j] for j in range(q))
+         for i in range(q)], axis=1)
     logx_z = logx_zN + jnp.sum(_logpdf_packed(
         mean_path[1:n_steps], mean_sim, Cz, q), axis=(0, 1))
 

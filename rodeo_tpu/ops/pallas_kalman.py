@@ -1297,6 +1297,60 @@ def _gain_cols_batched(q, n_tri, q_const, R_cols_b,
     return G, g, L
 
 
+def smoother_recursion_batch(g_k, G_k, L_k, mN, pN,
+                             chunk=None, interpret="auto"):
+    r"""
+    Lane-batched backward affine recursion
+    ``m_n = g_n + G_n m_{n+1}``, ``P_n = L_n + G_n P_{n+1} G_n'`` in ONE
+    Pallas kernel (state carried in VMEM scratch, reverse-streamed
+    chunks) — the smoothing workhorse of the batch paths, and ~50x
+    faster than an XLA ``associative_scan`` over the same arrays (the
+    scan's pad/slice lowering and einsum layout transposes dominated the
+    fused daltonng pipeline; measured 96 ms -> ~2 ms at 4k steps).
+
+    Args:
+        g_k (ndarray(T, q, n_block, n_lane)): Offsets.
+        G_k (ndarray(T, q*q, n_block, n_lane)): Gains, row-major.
+        L_k (ndarray(T, n_tri, n_block, n_lane)): Packed noise terms.
+        mN, pN: Terminal values ``(q, n_block, n_lane)`` /
+            ``(n_tri, n_block, n_lane)``.
+
+    Returns:
+        (tuple): ``ms`` (T, q, n_block, n_lane), ``ps`` (T, n_tri,
+        n_block, n_lane).
+    """
+    n_len, q, n_block, n_lane = g_k.shape
+    n_tri = L_k.shape[1]
+    if chunk is None:
+        s_chunk = _pick_chunk_batch(n_len, n_lane)
+    else:
+        s_chunk = _pick_chunk(n_len, target=chunk)
+    n_chunks = n_len // s_chunk
+    kern = functools.partial(_smoother_kernel_batch, s_chunk, q, n_block,
+                             n_tri, n_lane)
+    outs = [
+        jax.ShapeDtypeStruct((n_len, q, n_block, n_lane), jnp.float32),
+        jax.ShapeDtypeStruct((n_len, n_tri, n_block, n_lane), jnp.float32),
+    ]
+    rev4 = lambda i: (n_chunks - 1 - i, 0, 0, 0)
+    blk = lambda d: pl.BlockSpec((s_chunk, d, n_block, n_lane), rev4,
+                                 memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple([0] * len(shape)), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern, out_shape=outs, grid=(n_chunks,),
+        in_specs=[blk(q), blk(q * q), blk(n_tri),
+                  rep((q, n_block, n_lane)), rep((n_tri, n_block, n_lane))],
+        out_specs=[blk(q), blk(n_tri)],
+        scratch_shapes=[
+            pltpu.VMEM((q, n_block, n_lane), jnp.float32),
+            pltpu.VMEM((n_tri, n_block, n_lane), jnp.float32),
+        ],
+        interpret=_interpret_mode(interpret),
+    )(g_k.astype(jnp.float32), G_k.astype(jnp.float32),
+      L_k.astype(jnp.float32), mN, pN)
+
+
 def solve_mv_fused_batch(thetas, ode_weight, ode_inits,
                          t_min, t_max, n_steps,
                          prior_pars,
@@ -1380,34 +1434,8 @@ def solve_mv_fused_batch(thetas, ode_weight, ode_inits,
     g_k = jnp.stack(g, axis=1).astype(jnp.float32)
     L_k = jnp.stack(L, axis=1).astype(jnp.float32)
 
-    n_len = n_steps - 1
-    if chunk is None:
-        s_chunk = _pick_chunk_batch(n_len, n_lane)
-    else:
-        s_chunk = _pick_chunk(n_len, target=chunk)
-    n_chunks = n_len // s_chunk
-    kern = functools.partial(_smoother_kernel_batch, s_chunk, q, n_block,
-                             n_tri, n_lane)
-    outs = [
-        jax.ShapeDtypeStruct((n_len, q, n_block, n_lane), jnp.float32),
-        jax.ShapeDtypeStruct((n_len, n_tri, n_block, n_lane), jnp.float32),
-    ]
-    rev4 = lambda i: (n_chunks - 1 - i, 0, 0, 0)
-    blk = lambda d: pl.BlockSpec((s_chunk, d, n_block, n_lane), rev4,
-                                 memory_space=pltpu.VMEM)
-    rep = lambda shape: pl.BlockSpec(
-        shape, lambda i: tuple([0] * len(shape)), memory_space=pltpu.VMEM)
-    ms, ps = pl.pallas_call(
-        kern, out_shape=outs, grid=(n_chunks,),
-        in_specs=[blk(q), blk(q * q), blk(n_tri),
-                  rep((q, n_block, n_lane)), rep((n_tri, n_block, n_lane))],
-        out_specs=[blk(q), blk(n_tri)],
-        scratch_shapes=[
-            pltpu.VMEM((q, n_block, n_lane), jnp.float32),
-            pltpu.VMEM((n_tri, n_block, n_lane), jnp.float32),
-        ],
-        interpret=_interpret_mode(interpret),
-    )(g_k, G_k, L_k, mf[-1], pf[-1])
+    ms, ps = smoother_recursion_batch(g_k, G_k, L_k, mf[-1], pf[-1],
+                                      chunk=chunk, interpret=interpret)
 
     # assemble (N+1, nb, q | n_tri, B) in original coordinates, lanes last
     def rows(a):  # (T, d, nb, B) -> (T, nb, d, B)
