@@ -74,7 +74,11 @@ def add_sqrt(sqrt_A, sqrt_B):
         # wrappers — the only fast_linalg users — keep at O(1).  Batched
         # QR on TPU is an iterative routine ~15x the cost.
         from rodeo_tpu.ops.linalg import chol_small
-        gram = sqrt_A @ mtt(sqrt_A) + sqrt_B @ mtt(sqrt_B)
+        # broadcast-sum Gram: tiny batched `@` lowers to padded
+        # dot_general on TPU; the elementwise form stays on the VPU
+        gram = (sqrt_A[..., :, None, :] * sqrt_A[..., None, :, :]
+                ).sum(-1) + \
+               (sqrt_B[..., :, None, :] * sqrt_B[..., None, :, :]).sum(-1)
         return chol_small(gram)
     stacked = jnp.concatenate([mtt(sqrt_A), mtt(sqrt_B)], axis=-2)
     _, r = jnp.linalg.qr(stacked, mode="reduced")
