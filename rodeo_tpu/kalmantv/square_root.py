@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from rodeo_tpu.utils import add_sqrt, mtt, mvdot
+from rodeo_tpu.ops.linalg import matmul_small as _mm
 
 __all__ = [
     "predict",
@@ -69,7 +70,7 @@ def predict(mean_state_past,
     :math:`Q \Sigma_{n-1|n-1} Q' + R`.
     """
     mean_state_pred = mvdot(wgt_state, mean_state_past) + mean_state
-    var_state_pred = add_sqrt(wgt_state @ var_state_past, var_state)
+    var_state_pred = add_sqrt(_mm(wgt_state, var_state_past), var_state)
     return mean_state_pred, var_state_pred
 
 
@@ -89,15 +90,15 @@ def update(mean_state_pred,
     """
     mean_meas_pred = mvdot(wgt_meas, mean_state_pred) + mean_meas
     # factor of the forecast variance S = W Sigma W' + V
-    var_meas_meas_pred = add_sqrt(wgt_meas @ var_state_pred, var_meas)
+    var_meas_meas_pred = add_sqrt(_mm(wgt_meas, var_state_pred), var_meas)
     # K = Sigma W' S^{-1} via L^{-T} (L^{-1} W) Sigma
     tmp = _tri_solve(var_meas_meas_pred, wgt_meas, lower=True)
-    tmp = tmp @ var_state_pred @ mtt(var_state_pred)
+    tmp = _mm(_mm(tmp, var_state_pred), mtt(var_state_pred))
     gain = mtt(_tri_solve(mtt(var_meas_meas_pred), tmp, lower=False))
     mean_state_filt = mean_state_pred + mvdot(gain, x_meas - mean_meas_pred)
     var_state_filt = add_sqrt(
-        var_state_pred - (gain @ wgt_meas) @ var_state_pred,
-        gain @ var_meas,
+        var_state_pred - _mm(_mm(gain, wgt_meas), var_state_pred),
+        _mm(gain, var_meas),
     )
     return mean_state_filt, var_state_filt
 
@@ -140,9 +141,9 @@ def _smooth_gain(var_state_filt, var_state_pred, wgt_state):
     from square-root factors with triangular solves.
     Parity: ``square_root.py:158-175``.
     """
-    variance_state_filt = var_state_filt @ mtt(var_state_filt)
+    variance_state_filt = _mm(var_state_filt, mtt(var_state_filt))
     tmp = _tri_solve(var_state_pred, wgt_state, lower=True)
-    tmp = tmp @ variance_state_filt
+    tmp = _mm(tmp, variance_state_filt)
     gain = mtt(_tri_solve(mtt(var_state_pred), tmp, lower=False))
     return gain
 
@@ -155,8 +156,8 @@ def _joint_sqrt(gain, wgt_state, var_state_filt, extra_sqrt):
     """
     eye = jnp.broadcast_to(
         jnp.eye(gain.shape[-1], dtype=gain.dtype), gain.shape)
-    J = eye - gain @ wgt_state
-    return add_sqrt(gain @ extra_sqrt, J @ var_state_filt)
+    J = eye - _mm(gain, wgt_state)
+    return add_sqrt(_mm(gain, extra_sqrt), _mm(J, var_state_filt))
 
 
 def smooth_mv(mean_state_next,
@@ -246,8 +247,8 @@ def forecast(mean_state_pred,
     factor), so that logpdf consumers are form-agnostic.
     """
     mean_fore = mvdot(wgt_meas, mean_state_pred) + mean_meas
-    var_fore = add_sqrt(wgt_meas @ var_state_pred, var_meas)
-    var_fore = var_fore @ mtt(var_fore)
+    var_fore = add_sqrt(_mm(wgt_meas, var_state_pred), var_meas)
+    var_fore = _mm(var_fore, mtt(var_fore))
     return mean_fore, var_fore
 
 

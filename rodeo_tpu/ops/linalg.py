@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 __all__ = ["fast_linalg", "fast_linalg_enabled", "solve_small",
            "inv_small", "sym_eigh_small", "chol_small",
-           "tri_solve_small"]
+           "tri_solve_small", "matmul_small"]
 
 _FAST = contextvars.ContextVar("rodeo_tpu_fast_linalg", default=False)
 
@@ -379,3 +379,17 @@ def tri_solve_small(chol, b, lower=True, transpose=False):
                 s = s - chol[..., k, i, None] * out[k]
             out[i] = s / chol[..., i, i, None]
     return jnp.stack(out, axis=-2)
+
+
+def matmul_small(a, b):
+    r"""
+    Batched matrix product for tiny trailing dims via broadcast-multiply
+    and sum — under :func:`fast_linalg` with both trailing dims <= 8.
+    Tiny batched ``@`` lowers to padded ``dot_general`` on TPU (and at
+    default precision to bfloat16 passes); the broadcast-sum form stays
+    elementwise on the VPU at full float32.  Falls back to ``@``.
+    """
+    if (_FAST.get() and a.shape[-1] <= 8 and a.shape[-2] <= 8
+            and b.shape[-1] <= 8):
+        return (a[..., :, :, None] * b[..., None, :, :]).sum(-2)
+    return a @ b
