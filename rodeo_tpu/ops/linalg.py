@@ -313,12 +313,42 @@ def sym_eigh_small(a):
         return v / jnp.sqrt(jnp.maximum(
             jnp.sum(v * v, -1, keepdims=True), 1e-38))
 
-    v0 = eigvec(w[..., 0], w[..., 1], w[..., 2])
-    v2 = eigvec(w[..., 2], w[..., 0], w[..., 1])
-    v1 = jnp.cross(v2, v0)
-    v1 = v1 / jnp.sqrt(jnp.maximum(
-        jnp.sum(v1 * v1, -1, keepdims=True), 1e-38))
-    v = jnp.stack([v0, v1, v2], axis=-1)
+    # candidates at the two spectral extremes; for (near-)repeated
+    # eigenvalues the within-subspace direction is arbitrary (as for any
+    # eigensolver), so complete to an ORTHONORMAL triple by anchoring on
+    # the better-separated extreme, Gram-Schmidt-projecting the other,
+    # and taking the cross product — exact reconstruction V diag(w) V'
+    # holds then even for fully degenerate spectra (any orthonormal
+    # basis is an eigenbasis there)
+    v0c = eigvec(w[..., 0], w[..., 1], w[..., 2])
+    v2c = eigvec(w[..., 2], w[..., 0], w[..., 1])
+    low_sep = (w[..., 1] - w[..., 0]) >= (w[..., 2] - w[..., 1])
+    anchor = jnp.where(low_sep[..., None], v0c, v2c)
+    # exact-isotropic input: the Cayley-Hamilton products vanish exactly
+    # and both candidates are zero — any orthonormal basis is an
+    # eigenbasis, so seed with a fixed axis
+    a2 = jnp.sum(anchor * anchor, -1, keepdims=True)
+    anchor = jnp.where(a2 > 0.5, anchor,
+                       jnp.broadcast_to(eye[2], anchor.shape))
+    other = jnp.where(low_sep[..., None], v2c, v0c)
+    other = other - jnp.sum(other * anchor, -1, keepdims=True) * anchor
+    onorm = jnp.sqrt(jnp.maximum(
+        jnp.sum(other * other, -1, keepdims=True), 1e-38))
+    # if the secondary collapsed onto the anchor (isotropic case), fall
+    # back to the anchor's least-aligned axis, re-projected
+    fallback = eye[0] - anchor * anchor[..., 0:1]
+    fb2 = eye[1] - anchor * anchor[..., 1:2]
+    fa = jnp.where(jnp.abs(anchor[..., 0:1]) <= jnp.abs(anchor[..., 1:2]),
+                   fallback, fb2)
+    other = jnp.where(onorm > 1e-6, other / onorm,
+                      fa / jnp.sqrt(jnp.maximum(
+                          jnp.sum(fa * fa, -1, keepdims=True), 1e-38)))
+    mid = jnp.cross(anchor, other)
+    mid = mid / jnp.sqrt(jnp.maximum(
+        jnp.sum(mid * mid, -1, keepdims=True), 1e-38))
+    v0 = jnp.where(low_sep[..., None], anchor, other)
+    v2 = jnp.where(low_sep[..., None], other, anchor)
+    v = jnp.stack([v0, mid, v2], axis=-1)
     return w * scale[..., 0], v
 
 

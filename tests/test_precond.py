@@ -484,3 +484,32 @@ def test_sym_eigh_small():
                         np.asarray(v))
         sc = np.abs(a).max(axis=(-1, -2), keepdims=True)
         np.testing.assert_allclose(rec / sc, a / sc, atol=1e-7)
+
+
+def test_sym_eigh_small_degenerate():
+    """Repeated/zero eigenvalues: eigenvalues stay exact and the masked
+    logpdf use-case (projection onto well-separated eigenspaces) stays
+    sound — V diag(w) V' reconstructs A even when the within-subspace
+    basis is arbitrary."""
+    from rodeo_tpu.ops.linalg import sym_eigh_small
+    cases = [
+        np.diag([2.0, 2.0, 5.0]),                  # repeated pair
+        np.diag([0.0, 0.0, 1.0]),                  # rank-1
+        np.eye(3) * 3.0,                           # fully degenerate
+        np.diag([1e-12, 1.0, 1.0]),                # near-null + pair
+    ]
+    rng = np.random.default_rng(3)
+    Q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+    for base in cases:
+        a = Q @ base @ Q.T
+        w, v = sym_eigh_small(jnp.asarray(a[None]))
+        w_ref, _ = np.linalg.eigh(a[None])
+        # the trig formula's degenerate-point rounding is ~1e-9 relative
+        # to the spectral scale — far below the masked-logpdf threshold
+        # (100*eps relative)
+        scale = max(np.abs(w_ref).max(), 1e-30)
+        np.testing.assert_allclose(np.asarray(w) / scale, w_ref / scale,
+                                   atol=1e-7)
+        rec = np.einsum("bik,bk,bjk->bij", np.asarray(v), np.asarray(w),
+                        np.asarray(v))
+        np.testing.assert_allclose(rec, a[None], atol=1e-8)
