@@ -9,4 +9,6 @@ from rodeo_tpu.parallel.chains import (
     run_chains, run_chains_fused, sharded_loglik)
 from rodeo_tpu.parallel.fused import (
     sharded_solve_mv_fused_batch, sharded_fenrir_fused_batch,
-    sharded_solve_sim_fused_batch, run_chains_fused_sharded)
+    sharded_dalton_fused_batch, sharded_daltonng_fused_batch,
+    sharded_basic_fused_batch, sharded_solve_sim_fused_batch,
+    run_chains_fused_sharded)

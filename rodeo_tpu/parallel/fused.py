@@ -24,7 +24,9 @@ except ImportError:                                # pragma: no cover
 from rodeo_tpu.parallel.mesh import make_mesh
 
 __all__ = ["sharded_solve_mv_fused_batch", "sharded_fenrir_fused_batch",
-           "sharded_solve_sim_fused_batch", "run_chains_fused_sharded"]
+           "sharded_dalton_fused_batch", "sharded_daltonng_fused_batch",
+           "sharded_basic_fused_batch", "sharded_solve_sim_fused_batch",
+           "run_chains_fused_sharded"]
 
 
 def _lane_sharded(fn, mesh, axis_name, n_array_outs, out_lane_axis):
@@ -99,6 +101,98 @@ def sharded_fenrir_fused_batch(thetas, ode_weight, ode_inits,
 
     return _lane_sharded(local, mesh, axis_name, 1, 0)(
         thetas, ode_inits, ode_weight, obs_data, obs_weight, obs_var)
+
+
+def sharded_dalton_fused_batch(thetas, ode_weight, ode_inits,
+                               t_min, t_max, n_steps, prior_pars,
+                               obs_data, obs_times, obs_weight, obs_var,
+                               ode_flat, jac_flat=None,
+                               mesh=None, axis_name="batch",
+                               chunk=None, interpret="auto"):
+    r"""
+    :func:`rodeo_tpu.ops.pallas_dalton.dalton_fused_batch` with the lane
+    axis sharded over a device mesh.  Returns ``(n_lane,)`` log-likelihood
+    values, globally sharded.
+    """
+    from rodeo_tpu.ops import pallas_dalton as pd
+    if mesh is None:
+        mesh = make_mesh(axis_name=axis_name)
+
+    def local(th, x0, W, yobs, D, Om):
+        return pd.dalton_fused_batch(
+            thetas=th, ode_weight=W, ode_inits=x0,
+            t_min=t_min, t_max=t_max, n_steps=n_steps,
+            prior_pars=prior_pars,
+            obs_data=yobs, obs_times=obs_times, obs_weight=D, obs_var=Om,
+            ode_flat=ode_flat, jac_flat=jac_flat,
+            chunk=chunk, interpret=interpret)
+
+    return _lane_sharded(local, mesh, axis_name, 1, 0)(
+        thetas, ode_inits, ode_weight, obs_data, obs_weight, obs_var)
+
+
+def sharded_daltonng_fused_batch(thetas, ode_weight, ode_inits,
+                                 t_min, t_max, n_steps, prior_pars,
+                                 obs_data, obs_times, obs_comp_flat,
+                                 obs_dims, ode_flat, jac_flat=None,
+                                 mesh=None, axis_name="batch",
+                                 chunk=None, interpret="auto"):
+    r"""
+    :func:`rodeo_tpu.ops.pallas_daltonng.daltonng_fused_batch` with the
+    lane axis sharded over a device mesh.  Returns ``(n_lane,)``
+    log-likelihood values, globally sharded.
+    """
+    from rodeo_tpu.ops import pallas_daltonng as png
+    if mesh is None:
+        mesh = make_mesh(axis_name=axis_name)
+
+    def local(th, x0, W, yobs):
+        return png.daltonng_fused_batch(
+            thetas=th, ode_weight=W, ode_inits=x0,
+            t_min=t_min, t_max=t_max, n_steps=n_steps,
+            prior_pars=prior_pars,
+            obs_data=yobs, obs_times=obs_times,
+            obs_comp_flat=obs_comp_flat, obs_dims=obs_dims,
+            ode_flat=ode_flat, jac_flat=jac_flat,
+            chunk=chunk, interpret=interpret)
+
+    return _lane_sharded(local, mesh, axis_name, 1, 0)(
+        thetas, ode_inits, ode_weight, obs_data)
+
+
+def sharded_basic_fused_batch(thetas, ode_weight, ode_inits,
+                              t_min, t_max, n_steps, prior_pars,
+                              obs_data, obs_times, obs_loglik,
+                              ode_flat, jac_flat=None,
+                              mesh=None, axis_name="batch",
+                              chunk=None, interpret="auto", **params):
+    r"""
+    :func:`rodeo_tpu.ops.pallas_kalman.basic_fused_batch` with the lane
+    axis sharded over a device mesh.  Returns ``(loglik (n_lane,),
+    mean (n_steps+1, n_block, q, n_lane))``, globally sharded.
+    """
+    from rodeo_tpu.ops import pallas_kalman as pk
+    if mesh is None:
+        mesh = make_mesh(axis_name=axis_name)
+
+    def local(th, x0, W, yobs):
+        return pk.basic_fused_batch(
+            thetas=th, ode_weight=W, ode_inits=x0,
+            t_min=t_min, t_max=t_max, n_steps=n_steps,
+            prior_pars=prior_pars,
+            obs_data=yobs, obs_times=obs_times, obs_loglik=obs_loglik,
+            ode_flat=ode_flat, jac_flat=jac_flat,
+            chunk=chunk, interpret=interpret, **params)
+
+    def wrapped(thetas, ode_inits, *reps):
+        in_specs = (P(axis_name), P(axis_name)) + (P(),) * len(reps)
+        out_specs = (P(axis_name), P(None, None, None, axis_name))
+        return shard_map(
+            local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )(thetas, ode_inits, *reps)
+
+    return wrapped(thetas, ode_inits, ode_weight, obs_data)
 
 
 def sharded_solve_sim_fused_batch(key, thetas, ode_weight, ode_inits,
