@@ -38,7 +38,8 @@ from rodeo_tpu.ops.pallas_kalman import (
     _sym_quadform, _interpret_mode, p_cols_at)
 from rodeo_tpu.utils import mtt, mvdot
 
-__all__ = ["fenrir_fused"]
+__all__ = ["fenrir_fused", "fenrir_fused_batch",
+           "fenrir_fused_batch_grad"]
 
 _LOG2PI = 1.8378770664093453
 
@@ -488,3 +489,514 @@ def fenrir_fused_batch(thetas, ode_weight, ode_inits,
       m_seed.astype(jnp.float32), p_seed.astype(jnp.float32),
       ld0.astype(jnp.float32))
     return ld[0]
+
+
+# --- gradients at fused speed (forward-mode tangent augmentation) -------------
+#
+# The MAP/HMC workload needs d loglik / d theta.  jax cannot autodiff
+# through Pallas kernels, but for n_theta ~ 3-7 parameters FORWARD mode
+# is the right shape anyway (n_theta directional derivatives = the full
+# gradient of a scalar), and the tangent recursions are obtained without
+# any hand-derived adjoint math: each kernel's per-step update is a PURE
+# jnp column function, and `jax.jvp` applied to it INSIDE the kernel body
+# traces the tangent arithmetic into the same Mosaic program (precedent:
+# the in-kernel Laplace derivatives of ops/pallas_daltonng.py).  The
+# between-kernel (XLA) stages are differentiated by plain `jax.jvp`.
+#
+# Cost: primal + n_tan tangents per step (the primal is re-traced per
+# tangent; XLA CSEs the duplicates), i.e. a small multiple of the fused
+# likelihood — versus the ~200x slower XLA scan gradient path.
+
+
+def _filter_step_pure(ode_flat, jac_flat, mode, q, where, pairs, q_const,
+                      R_cols, W_cols, tv_cols, t_n):
+    """Pure per-step EK filter update in column form (tangent twin of the
+    `_filter_kernel_batch` body; kramer/rodeo only)."""
+    from rodeo_tpu.ops.pallas_kalman import _matvec, _acc, _sym_quadform
+
+    def step(m_cols, p_cols, th):
+        m_cols, p_cols = list(m_cols), list(p_cols)
+        mp_cols = _matvec(q, q_const, m_cols)
+        pp_cols = _sym_quadform(q, q_const, p_cols, where)
+        pp_cols = [pp_cols[k] + R_cols[k] for k in range(len(pp_cols))]
+        x_cols = [mp_cols[j] * tv_cols[j] for j in range(q)]
+        f0 = ode_flat(x_cols, th, t_n)
+        jd_cols = jac_flat(x_cols, th, t_n) if mode == "kramer" \
+            else [None] * q
+        H_cols = []
+        for j in range(q):
+            if jd_cols[j] is None:
+                H_cols.append(W_cols[j])
+            else:
+                H_cols.append(W_cols[j] - jd_cols[j] * tv_cols[j])
+        hm = None
+        for j in range(q):
+            hm = _acc(hm, H_cols[j] * mp_cols[j])
+        mm = -f0
+        for j in range(q):
+            if jd_cols[j] is not None:
+                mm = mm + jd_cols[j] * x_cols[j]
+        z = -(hm + mm)
+        PH_cols = []
+        for i in range(q):
+            acc = None
+            for j in range(q):
+                acc = _acc(acc, p_cols_at(pp_cols, where, i, j)
+                           * H_cols[j])
+            PH_cols.append(acc)
+        S = None
+        for i in range(q):
+            S = _acc(S, H_cols[i] * PH_cols[i])
+        if mode == "rodeo":
+            S = S + S
+        inv_S = 1.0 / S
+        gain = [PH_cols[i] * inv_S for i in range(q)]
+        mf_cols = [mp_cols[i] + gain[i] * z for i in range(q)]
+        IKW = [[(1.0 if i == j else 0.0) - gain[i] * H_cols[j]
+                for j in range(q)] for i in range(q)]
+        pf_cols = _sym_quadform(q, IKW, pp_cols, where)
+        if mode == "rodeo":
+            V = S * 0.5
+            pf_cols = [pf_cols[k] + gain[i] * gain[j] * V
+                       for k, (i, j) in enumerate(pairs)]
+        return (tuple(mf_cols), tuple(pf_cols),
+                tuple(mp_cols), tuple(pp_cols))
+
+    return step
+
+
+def _filter_kernel_batch_tan(ode_flat, jac_flat, mode, n_tan, chunk, q,
+                             n_block, n_tri, n_lane, q_const,
+                             r_ref, w_ref, x0_ref, th_ref, tgrid_ref,
+                             tv_ref,
+                             mf_ref, pf_ref, mp_ref, pp_ref,
+                             m_scr, p_scr):
+    """Tangent-augmented lane-batched forward filter: carries the primal
+    state plus ``n_tan`` tangent copies; per step, one `jax.jvp` of the
+    pure update per tangent direction (basis vectors in theta-space).
+    Outputs stack primal + tangents on the d axis."""
+    pairs, where = _tri_idx(q)
+    gi = pl.program_id(0)
+    R_cols = [r_ref[:, k:k + 1] for k in range(n_tri)]
+    W_cols = [w_ref[:, j:j + 1] for j in range(q)]
+    tv_cols = [tv_ref[:, j:j + 1] for j in range(q)]
+    n_aug = 1 + n_tan
+    th_val = th_ref[:]                                    # (n_theta, B)
+    n_theta = th_val.shape[0]
+    dths = []
+    for k in range(n_tan):
+        rows = [jnp.ones_like(th_val[0:1]) if i == k
+                else jnp.zeros_like(th_val[0:1]) for i in range(n_theta)]
+        dths.append(jnp.concatenate(rows, axis=0))
+
+    @pl.when(gi == 0)
+    def _init():
+        for j in range(q):
+            m_scr[j] = x0_ref[j]
+        for d in range(n_aug * q):
+            if d >= q:
+                m_scr[d] = jnp.zeros((n_block, n_lane), jnp.float32)
+        for k in range(n_aug * n_tri):
+            p_scr[k] = jnp.zeros((n_block, n_lane), jnp.float32)
+
+    def body(r, carry):
+        t_n = tgrid_ref[gi * chunk + r, 0]
+        step = _filter_step_pure(ode_flat, jac_flat, mode, q, where,
+                                 pairs, q_const, R_cols, W_cols, tv_cols,
+                                 t_n)
+        m_cols = tuple(carry[:q])
+        p_cols = tuple(carry[n_aug * q:n_aug * q + n_tri])
+        prim = step(m_cols, p_cols, th_val)
+        outs = [prim]
+        for k in range(n_tan):
+            dm = tuple(carry[(1 + k) * q:(2 + k) * q])
+            dp = tuple(carry[n_aug * q + (1 + k) * n_tri:
+                             n_aug * q + (2 + k) * n_tri])
+            _, tan = jax.jvp(step, (m_cols, p_cols, th_val),
+                             (dm, dp, dths[k]))
+            outs.append(tan)
+        for d, (mfc, pfc, mpc, ppc) in enumerate(outs):
+            for j in range(q):
+                mf_ref[r, d * q + j] = mfc[j]
+                mp_ref[r, d * q + j] = mpc[j]
+            for k in range(n_tri):
+                pf_ref[r, d * n_tri + k] = pfc[k]
+                pp_ref[r, d * n_tri + k] = ppc[k]
+        new_m = sum((list(o[0]) for o in outs), [])
+        new_p = sum((list(o[1]) for o in outs), [])
+        return tuple(new_m) + tuple(new_p)
+
+    m0 = [m_scr[d] for d in range(n_aug * q)]
+    p0 = [p_scr[k] for k in range(n_aug * n_tri)]
+    out = jax.lax.fori_loop(0, chunk, body, tuple(m0) + tuple(p0))
+    for d in range(n_aug * q):
+        m_scr[d] = out[d]
+    for k in range(n_aug * n_tri):
+        p_scr[k] = out[n_aug * q + k]
+
+
+def _fenrir_backward_step_pure(q, where, pairs, mask):
+    """Pure per-step backward update + logdens accumulation (tangent twin
+    of the `_fenrir_backward_kernel_batch` body)."""
+    from rodeo_tpu.ops.pallas_kalman import _sym_quadform
+
+    def step(m_cols, p_cols, ld, A_cols, b_cols, C_cols, D, y, om):
+        m_cols, p_cols = list(m_cols), list(p_cols)
+        A = [[A_cols[i * q + j] for j in range(q)] for i in range(q)]
+        mp = []
+        for i in range(q):
+            acc = b_cols[i]
+            for j in range(q):
+                acc = acc + A[i][j] * m_cols[j]
+            mp.append(acc)
+        app = _sym_quadform(q, A, p_cols, where)
+        pp = [C_cols[kk] + app[kk] for kk in range(len(C_cols))]
+        PD = []
+        for i in range(q):
+            acc = None
+            for j in range(q):
+                term = p_cols_at(pp, where, i, j) * D[j]
+                acc = term if acc is None else acc + term
+            PD.append(acc)
+        S = om
+        for i in range(q):
+            S = S + D[i] * PD[i]
+        z = y
+        for i in range(q):
+            z = z - D[i] * mp[i]
+        inv_S = 1.0 / S
+        logp = -0.5 * jnp.sum(z * z * inv_S + jnp.log(S) + _LOG2PI,
+                              axis=0, keepdims=True)
+        ld = ld + mask * logp
+        K = [PD[i] * inv_S * mask for i in range(q)]
+        m_out = [mp[i] + K[i] * z for i in range(q)]
+        IKD = [[(1.0 if i == j else 0.0) - K[i] * D[j]
+                for j in range(q)] for i in range(q)]
+        pj = _sym_quadform(q, IKD, pp, where)
+        p_out = [pj[kk] + K[i] * K[j] * om
+                 for kk, (i, j) in enumerate(pairs)]
+        return tuple(m_out), tuple(p_out), ld
+
+    return step
+
+
+def _fenrir_backward_kernel_batch_tan(n_tan, chunk, q, n_block, n_tri,
+                                      n_lane,
+                                      A_ref, b_ref, C_ref, d_ref, y_ref,
+                                      om_ref, mask_ref,
+                                      m0_ref, p0_ref, ld0_ref,
+                                      ld_ref,
+                                      m_scr, p_scr, ld_scr):
+    """Tangent-augmented backward filter: primal + tangent state and
+    log-density rows; streamed (A, b, C) carry their tangents stacked on
+    the d axis."""
+    pairs, where = _tri_idx(q)
+    gi = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
+    n_aug = 1 + n_tan
+
+    @pl.when(gi == 0)
+    def _seed():
+        for d in range(n_aug * q):
+            m_scr[d] = m0_ref[d]
+        for k in range(n_aug * n_tri):
+            p_scr[k] = p0_ref[k]
+        ld_scr[:] = ld0_ref[:]
+
+    def body(kk, carry):
+        r = chunk - 1 - kk
+        mask = mask_ref[(n_chunks - 1 - gi) * chunk + r, 0]
+        step = _fenrir_backward_step_pure(q, where, pairs, mask)
+        m_cols = tuple(carry[:q])
+        p_cols = tuple(carry[n_aug * q:n_aug * q + n_tri])
+        ld = carry[n_aug * (q + n_tri)]
+        A_cols = tuple(A_ref[r, j] for j in range(q * q))
+        b_cols = tuple(b_ref[r, j] for j in range(q))
+        C_cols = tuple(C_ref[r, k] for k in range(n_tri))
+        D = [d_ref[r, j] for j in range(q)]
+        y = y_ref[r, 0]
+        om = om_ref[r, 0]
+        prim = step(m_cols, p_cols, ld, A_cols, b_cols, C_cols, D, y, om)
+        outs = [prim]
+        zD = tuple(jnp.zeros_like(D[j]) for j in range(q))
+        zy = jnp.zeros_like(y)
+        for k in range(n_tan):
+            dm = tuple(carry[(1 + k) * q:(2 + k) * q])
+            dp = tuple(carry[n_aug * q + (1 + k) * n_tri:
+                             n_aug * q + (2 + k) * n_tri])
+            dld = carry[n_aug * (q + n_tri) + 1 + k]
+            dA = tuple(A_ref[r, (1 + k) * q * q + j]
+                       for j in range(q * q))
+            db = tuple(b_ref[r, (1 + k) * q + j] for j in range(q))
+            dC = tuple(C_ref[r, (1 + k) * n_tri + kk2]
+                       for kk2 in range(n_tri))
+            _, tan = jax.jvp(
+                step,
+                (m_cols, p_cols, ld, A_cols, b_cols, C_cols,
+                 tuple(D), y, om),
+                (dm, dp, dld, dA, db, dC, zD, zy, jnp.zeros_like(om)))
+            outs.append(tan)
+        new_m = sum((list(o[0]) for o in outs), [])
+        new_p = sum((list(o[1]) for o in outs), [])
+        new_ld = [o[2] for o in outs]
+        return tuple(new_m) + tuple(new_p) + tuple(new_ld)
+
+    m0 = [m_scr[d] for d in range(n_aug * q)]
+    p0 = [p_scr[k] for k in range(n_aug * n_tri)]
+    l0 = [ld_scr[d:d + 1, :].reshape(1, n_lane) for d in range(n_aug)]
+    out = jax.lax.fori_loop(0, chunk, body,
+                            tuple(m0) + tuple(p0) + tuple(l0))
+    for d in range(n_aug * q):
+        m_scr[d] = out[d]
+    for k in range(n_aug * n_tri):
+        p_scr[k] = out[n_aug * q + k]
+    for d in range(n_aug):
+        ld_scr[d] = out[n_aug * (q + n_tri) + d][0]
+        ld_ref[d] = out[n_aug * (q + n_tri) + d][0]
+
+
+def fused_filter_batch_tan(ode_flat, jac_flat, mode, n_tan, n_steps,
+                           Qs, Rs, W_s, x0_lanes, theta_lanes, tgrid,
+                           t_vec, q_const, chunk=None, interpret="auto"):
+    """Invoke the tangent-augmented batch filter; outputs stack primal +
+    tangents on the d axis: (n_steps, (1+n_tan)*q | *n_tri, nb, B)."""
+    from rodeo_tpu.ops.pallas_kalman import (
+        _pick_chunk_batch, _pick_chunk, _pack_tri)
+    q, n_block, n_lane = x0_lanes.shape
+    pairs, _ = _tri_idx(q)
+    n_tri = len(pairs)
+    n_aug = 1 + n_tan
+    if chunk is None:
+        # augmented blocks are (1+n_tan)x wider: shrink the chunk to stay
+        # inside the VMEM budget
+        chunk = _pick_chunk_batch(n_steps, n_lane * n_aug)
+    n_chunks = n_steps // chunk
+    kern = functools.partial(
+        _filter_kernel_batch_tan, ode_flat, jac_flat, mode, n_tan, chunk,
+        q, n_block, n_tri, n_lane, q_const)
+    outs = [
+        jax.ShapeDtypeStruct((n_steps, n_aug * q, n_block, n_lane),
+                             jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, n_aug * n_tri, n_block, n_lane),
+                             jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, n_aug * q, n_block, n_lane),
+                             jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, n_aug * n_tri, n_block, n_lane),
+                             jnp.float32),
+    ]
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple([0] * len(shape)), memory_space=pltpu.VMEM)
+    fwd4 = lambda i: (i, 0, 0, 0)
+    blk = lambda d: pl.BlockSpec((chunk, d, n_block, n_lane), fwd4,
+                                 memory_space=pltpu.VMEM)
+    in_specs = [
+        rep((n_block, n_tri)),
+        rep((n_block, q)),
+        rep((q, n_block, n_lane)),
+        rep(theta_lanes.shape),
+        pl.BlockSpec((n_steps, 1), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        rep((1, q)),
+    ]
+    out_specs = [blk(n_aug * q), blk(n_aug * n_tri),
+                 blk(n_aug * q), blk(n_aug * n_tri)]
+    R_packed = _pack_tri(Rs, pairs)
+    return pl.pallas_call(
+        kern, out_shape=outs, grid=(n_chunks,),
+        in_specs=in_specs, out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((n_aug * q, n_block, n_lane), jnp.float32),
+            pltpu.VMEM((n_aug * n_tri, n_block, n_lane), jnp.float32),
+        ],
+        interpret=_interpret_mode(interpret),
+    )(R_packed.astype(jnp.float32), W_s.astype(jnp.float32),
+      x0_lanes, theta_lanes, tgrid[:, None].astype(jnp.float32),
+      t_vec[None, :].astype(jnp.float32))
+
+
+def _fenrir_stage2(q, n_tri, where, pairs, q_const, Rs, x0_lanes,
+                   d_grid, y_grid, om_grid, mask_grid, n_steps):
+    """Pure (jax-differentiable) stage between the two kernels: backward
+    chain parameters + terminal masked update, all in column form."""
+    from rodeo_tpu.ops.pallas_kalman import (
+        _gain_cols_batched, _pack_tri, _sym_quadform)
+
+    n_block, n_lane = x0_lanes.shape[1], x0_lanes.shape[2]
+    R_packed = _pack_tri(Rs, pairs)
+    R_cols_b = [R_packed[None, :, k, None] for k in range(n_tri)]
+
+    def f(mf, pf, mp, pp):
+        zero1 = jnp.zeros((1, n_block, n_lane), jnp.float32)
+        mf_full = [jnp.concatenate([x0_lanes[j][None], mf[:-1, j]])
+                   for j in range(q)]
+        pf_full = [jnp.concatenate([zero1, pf[:-1, k]])
+                   for k in range(n_tri)]
+        mpn = [mp[:, j] for j in range(q)]
+        ppn = [pp[:, k] for k in range(n_tri)]
+        A, b, C = _gain_cols_batched(q, n_tri, q_const, R_cols_b,
+                                     mf_full, pf_full, mpn, ppn)
+        A_k = jnp.stack([A[i][j] for i in range(q) for j in range(q)],
+                        axis=1)
+        b_k = jnp.stack(b, axis=1)
+        C_k = jnp.stack(C, axis=1)
+
+        mN = [mf[-1, j] for j in range(q)]
+        pN = [pf[-1, k] for k in range(n_tri)]
+        DN = [d_grid[n_steps, :, j, None] for j in range(q)]
+        omN = om_grid[n_steps, :, :1]
+        yN = y_grid[n_steps, :, :1]
+        PD = []
+        for i in range(q):
+            acc = None
+            for j in range(q):
+                term = p_cols_at(pN, where, i, j) * DN[j]
+                acc = term if acc is None else acc + term
+            PD.append(acc)
+        SN = omN
+        for i in range(q):
+            SN = SN + DN[i] * PD[i]
+        zN = yN
+        for i in range(q):
+            zN = zN - DN[i] * mN[i]
+        maskN = mask_grid[n_steps, 0]
+        ld0 = maskN * (-0.5) * jnp.sum(
+            zN * zN / SN + jnp.log(SN) + _LOG2PI, axis=0, keepdims=True)
+        KN = [PD[i] / SN * maskN for i in range(q)]
+        m_seed = jnp.stack([mN[i] + KN[i] * zN for i in range(q)])
+        IKD = [[(1.0 if i == j else 0.0) - KN[i] * DN[j]
+                for j in range(q)] for i in range(q)]
+        pj = _sym_quadform(q, IKD, pN, where)
+        p_seed = jnp.stack([pj[kk] + KN[i] * KN[j] * omN
+                            for kk, (i, j) in enumerate(pairs)])
+        return A_k, b_k, C_k, m_seed, p_seed, ld0
+
+    return f
+
+
+def fenrir_fused_batch_grad(thetas, ode_weight, ode_inits,
+                            t_min, t_max, n_steps,
+                            prior_pars,
+                            obs_data, obs_times, obs_weight, obs_var,
+                            ode_flat, jac_flat=None, chunk=None,
+                            interpret="auto"):
+    r"""
+    Lane-batched fenrir log-likelihood AND its theta-gradient via
+    forward-mode tangent-augmented fused kernels (see the section
+    comment above) — the MAP / gradient-MCMC workload at fused speed.
+
+    ``ode_inits`` must not depend on theta (tangent seeded zero); models
+    whose x0 is theta-dependent should fold that dependence into the
+    observation model or use the XLA gradient path.
+
+    Returns:
+        (tuple): ``loglik (n_lane,)``, ``grad (n_lane, n_theta)``.
+    """
+    from rodeo_tpu.ops.pallas_kalman import (
+        _static_scaled_qconst, _pick_chunk_batch, _pick_chunk)
+
+    n_lane, n_theta = thetas.shape
+    n_tan = n_theta
+    n_aug = 1 + n_tan
+    n_block, n_bmeas, q = ode_weight.shape
+    n_obs, _, n_bobs, _ = obs_weight.shape
+    if n_bmeas != 1 or n_bobs != 1:
+        raise NotImplementedError(
+            "fenrir_fused_batch_grad requires n_bmeas == n_bobs == 1")
+    pairs, where = _tri_idx(q)
+    n_tri = len(pairs)
+    dt = (t_max - t_min) / n_steps
+    t_vec = taylor_scale(dt, q, dtype=jnp.float32)
+    Qs, Rs = scale_prior(prior_pars, t_vec)
+    q_const = _static_scaled_qconst(prior_pars[0], dt, q)
+    if q_const is None:
+        raise NotImplementedError(
+            "fenrir_fused_batch_grad requires a block-constant transition")
+    W_s = (ode_weight * t_vec[None, None, :])[:, 0, :]
+    x0_lanes = jnp.transpose(
+        (ode_inits / t_vec).astype(jnp.float32), (2, 1, 0))
+    tgrid = t_min + (t_max - t_min) * (jnp.arange(n_steps) + 1) / n_steps
+    theta_lanes = jnp.transpose(thetas).astype(jnp.float32)
+    mode = "kramer" if jac_flat is not None else "rodeo"
+
+    # 1. tangent-augmented forward filter
+    mf_a, pf_a, mp_a, pp_a = fused_filter_batch_tan(
+        ode_flat, jac_flat, mode, n_tan, n_steps, Qs, Rs, W_s, x0_lanes,
+        theta_lanes, tgrid, t_vec, q_const, chunk=chunk,
+        interpret=interpret)
+
+    # 2. observation grids (theta-independent)
+    sim_times = jnp.linspace(t_min, t_max, n_steps + 1)
+    obs_ind = jnp.searchsorted(sim_times, obs_times)
+    D_scaled = (obs_weight[:, :, 0, :]
+                * t_vec.astype(obs_weight.dtype)).astype(jnp.float32)
+    d_grid = jnp.zeros((n_steps + 1, n_block, q), jnp.float32)
+    d_grid = d_grid.at[obs_ind].set(D_scaled)
+    y_grid = jnp.zeros((n_steps + 1, n_block, 1), jnp.float32)
+    y_grid = y_grid.at[obs_ind].set(obs_data[:, :, :1].astype(jnp.float32))
+    om_grid = jnp.ones((n_steps + 1, n_block, 1), jnp.float32)
+    om_grid = om_grid.at[obs_ind].set(
+        obs_var[:, :, 0, :1].astype(jnp.float32))
+    mask_grid = jnp.zeros((n_steps + 1, 1), jnp.float32)
+    mask_grid = mask_grid.at[obs_ind, 0].set(1.0)
+    d_k = jnp.transpose(d_grid[:n_steps], (0, 2, 1))[..., None]
+    y_k = jnp.transpose(y_grid[:n_steps], (0, 2, 1))[..., None]
+    om_k = jnp.transpose(om_grid[:n_steps], (0, 2, 1))[..., None]
+
+    # 3. stage 2 (XLA): primal + jvp per tangent
+    f2 = _fenrir_stage2(q, n_tri, where, pairs, q_const, Rs, x0_lanes,
+                        d_grid, y_grid, om_grid, mask_grid, n_steps)
+    prims = (mf_a[:, :q], pf_a[:, :n_tri], mp_a[:, :q], pp_a[:, :n_tri])
+    out2 = [f2(*prims)]
+    for k in range(n_tan):
+        tans = (mf_a[:, (1 + k) * q:(2 + k) * q],
+                pf_a[:, (1 + k) * n_tri:(2 + k) * n_tri],
+                mp_a[:, (1 + k) * q:(2 + k) * q],
+                pp_a[:, (1 + k) * n_tri:(2 + k) * n_tri])
+        _, tan_out = jax.jvp(f2, prims, tans)
+        out2.append(tan_out)
+    A_aug = jnp.concatenate([o[0] for o in out2], axis=1)
+    b_aug = jnp.concatenate([o[1] for o in out2], axis=1)
+    C_aug = jnp.concatenate([o[2] for o in out2], axis=1)
+    m_seed = jnp.concatenate([o[3] for o in out2], axis=0)
+    p_seed = jnp.concatenate([o[4] for o in out2], axis=0)
+    ld0 = jnp.concatenate([o[5] for o in out2], axis=0)
+
+    # 4. tangent-augmented backward kernel
+    if chunk is None:
+        s_chunk = _pick_chunk_batch(n_steps, n_lane * n_aug)
+    else:
+        s_chunk = _pick_chunk(n_steps, target=chunk)
+    n_chunks = n_steps // s_chunk
+    kern = functools.partial(
+        _fenrir_backward_kernel_batch_tan, n_tan, s_chunk, q, n_block,
+        n_tri, n_lane)
+    rev4 = lambda i: (n_chunks - 1 - i, 0, 0, 0)
+    blk = lambda d, lanes: pl.BlockSpec((s_chunk, d, n_block, lanes), rev4,
+                                        memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple([0] * len(shape)), memory_space=pltpu.VMEM)
+    ld = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n_aug, n_lane), jnp.float32),
+        grid=(n_chunks,),
+        in_specs=[blk(n_aug * q * q, n_lane), blk(n_aug * q, n_lane),
+                  blk(n_aug * n_tri, n_lane),
+                  blk(q, 1), blk(1, 1), blk(1, 1),
+                  pl.BlockSpec((n_steps, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  rep((n_aug * q, n_block, n_lane)),
+                  rep((n_aug * n_tri, n_block, n_lane)),
+                  rep((n_aug, n_lane))],
+        out_specs=pl.BlockSpec((n_aug, n_lane), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_aug * q, n_block, n_lane), jnp.float32),
+            pltpu.VMEM((n_aug * n_tri, n_block, n_lane), jnp.float32),
+            pltpu.VMEM((n_aug, n_lane), jnp.float32),
+        ],
+        interpret=_interpret_mode(interpret),
+    )(A_aug.astype(jnp.float32), b_aug.astype(jnp.float32),
+      C_aug.astype(jnp.float32), d_k, y_k, om_k, mask_grid[:n_steps],
+      m_seed.astype(jnp.float32), p_seed.astype(jnp.float32),
+      ld0.astype(jnp.float32))
+    return ld[0], jnp.transpose(ld[1:])
