@@ -592,6 +592,33 @@ def main():
                 nbg / t_g, 2)
             details["fenrir_grad_finite"] = bool(
                 jnp.all(jnp.isfinite(out_g[1])))
+        with _row(details, "fenrir_fused_grad"):
+            # gradients at fused speed (forward-mode tangent-augmented
+            # kernels): the MAP / gradient-MCMC workload
+            from rodeo_tpu.ops import pallas_fenrir as pfg
+            Bg = 128
+            ths_gf = jnp.broadcast_to(th_f, (Bg, 3)) * \
+                (1 + 1e-6 * jnp.arange(Bg, dtype=jnp.float32)[:, None])
+            inits_gf = jnp.broadcast_to(
+                cfg_f["ode_init"], (Bg,) + cfg_f["ode_init"].shape)
+            gfn = jax.jit(lambda ts, x0: pfg.fenrir_fused_batch_grad(
+                thetas=ts, ode_weight=cfg_f["ode_weight"], ode_inits=x0,
+                t_min=cfg_f["t_min"], t_max=cfg_f["t_max"],
+                n_steps=cfg_f["n_steps"], prior_pars=cfg_f["prior_pars"],
+                obs_data=yobs, obs_times=obs_times, obs_weight=D,
+                obs_var=Om, ode_flat=lorenz.lorenz_flat,
+                jac_flat=lorenz.lorenz_jac_flat))
+            t_gf, out_gf = _timeit(gfn, (ths_gf, inits_gf), n_rep=3,
+                                   per=Bg)
+            details["fenrir_fused_grad_evals_per_sec"] = round(
+                1.0 / t_gf, 2)
+            details["fenrir_fused_grad_finite"] = bool(
+                jnp.all(jnp.isfinite(out_gf[1])))
+            if truth is not None:
+                details["fenrir_fused_grad_ll_abs_err"] = round(
+                    abs(float(out_gf[0][0]) - float(truth["fenrir_ll"])),
+                    6)
+
         with _row(details, "fenrir_fused"):
             # fused Pallas fenrir (sequential-map latency, not vmap)
             from rodeo_tpu.ops import pallas_fenrir
