@@ -272,23 +272,41 @@ def _sync(out):
     float(jax.numpy.ravel(leaf)[0])
 
 
-def _timeit(fn, args, n_rep=5, per=1):
-    """Amortized drain protocol: n_rep back-to-back calls, ONE host sync
-    at the end (the submission queue is FIFO, so the final readback
-    drains every call), minus the separately measured sync roundtrip.
-    Per-rep syncing would add the ~30-40 ms tunnel roundtrip to every
-    measurement."""
+def _timeit(fn, args, n_rep=5, per=1, min_window=0.3):
+    """Amortized drain protocol: n back-to-back calls, ONE host sync at
+    the end (the submission queue is FIFO, so the final readback drains
+    every call), minus the separately measured sync roundtrip.  Per-rep
+    syncing would add the ~30-40 ms tunnel roundtrip to every
+    measurement.
+
+    The probe roundtrip itself has ~10 ms jitter, so a measurement whose
+    drained work is comparable to the probe is pure noise (observed: a
+    3-call window of a 1 ms kernel "measuring" 384e9 evals/s when
+    total - probe went negative).  Reps therefore escalate until the
+    window is at least ``max(min_window, 8 x probe)`` of wall clock;
+    ``n_rep`` is only the starting point."""
     out = fn(*args)
     _sync(out)
+    probe = min(_probe_once(out) for _ in range(3))
+    reps = max(n_rep, 1)
+    floor = max(min_window, 8.0 * probe)
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        _sync(out)
+        total = time.perf_counter() - t0 - probe
+        if total >= floor or reps >= 4096:
+            break
+        scale = floor / max(total, 0.25 * probe, 1e-4)
+        reps = min(4096, max(2 * reps, int(reps * scale) + 1))
+    return max(total, 1e-9) / (reps * per), out
+
+
+def _probe_once(out):
     t0 = time.perf_counter()
     _sync(out)
-    probe = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        out = fn(*args)
-    _sync(out)
-    total = max(time.perf_counter() - t0 - probe, 1e-9)
-    return total / (n_rep * per), out
+    return time.perf_counter() - t0
 
 
 class _row:

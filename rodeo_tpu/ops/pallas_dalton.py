@@ -32,7 +32,7 @@ from rodeo_tpu.ops.pallas_kalman import (
     _tri_idx, _pack_tri, _pick_chunk, _pick_chunk_batch, _sym_quadform,
     _matvec, _acc, _interpret_mode, _static_scaled_qconst, p_cols_at)
 
-__all__ = ["dalton_fused_batch"]
+__all__ = ["dalton_fused_batch", "dalton_fused_batch_grad"]
 
 _LOG2PI = 1.8378770664093453
 
@@ -155,25 +155,182 @@ def _dalton_filter_kernel(ode_flat, jac_flat, with_obs, chunk, q, n_block,
     ld_ref[:] = out[q + n_tri]
 
 
-def dalton_fused_batch(thetas, ode_weight, ode_inits,
-                       t_min, t_max, n_steps,
-                       prior_pars,
-                       obs_data, obs_times, obs_weight, obs_var,
-                       ode_flat, jac_flat=None, chunk=None,
-                       interpret="auto"):
-    r"""
-    Lane-batched fused DALTON log-likelihood
-    :math:`\log p(Y \mid Z) = \log p(Z, Y) - \log p(Z)` — ``n_lane``
-    evaluations per kernel pipeline.
+def _dalton_step_pure(ode_flat, jac_flat, with_obs, q, where, pairs,
+                      q_const, R_cols, W_cols, tv_cols, t_n,
+                      D, y, om, mask):
+    """Pure per-step DALTON filter update (ODE forecast log-density plus
+    the optional masked observation update) in column form — the tangent
+    twin of the `_dalton_filter_kernel` body.  The observation inputs
+    (D, y, om, mask) are theta-independent and closed over, so tangents
+    flow only through (m, p, ld, theta)."""
 
-    Args and return as :func:`rodeo_tpu.ops.pallas_fenrir.fenrir_fused_batch`.
-    """
+    def step(m_cols, p_cols, ld, th):
+        m_cols, p_cols = list(m_cols), list(p_cols)
+        mp_cols = _matvec(q, q_const, m_cols)
+        pp_cols = _sym_quadform(q, q_const, p_cols, where)
+        pp_cols = [pp_cols[k] + R_cols[k] for k in range(len(pp_cols))]
+        x_cols = [mp_cols[j] * tv_cols[j] for j in range(q)]
+        f0 = ode_flat(x_cols, th, t_n)
+        jd_cols = jac_flat(x_cols, th, t_n) if jac_flat is not None \
+            else [None] * q
+        H_cols = []
+        for j in range(q):
+            if jd_cols[j] is None:
+                H_cols.append(W_cols[j])
+            else:
+                H_cols.append(W_cols[j] - jd_cols[j] * tv_cols[j])
+        hm = None
+        for j in range(q):
+            hm = _acc(hm, H_cols[j] * mp_cols[j])
+        mm = -f0
+        for j in range(q):
+            if jd_cols[j] is not None:
+                mm = mm + jd_cols[j] * x_cols[j]
+        z = -(hm + mm)
+        PH_cols = []
+        for i in range(q):
+            acc = None
+            for j in range(q):
+                acc = _acc(acc, p_cols_at(pp_cols, where, i, j) * H_cols[j])
+            PH_cols.append(acc)
+        S = None
+        for i in range(q):
+            S = _acc(S, H_cols[i] * PH_cols[i])
+        if jac_flat is None:
+            S = S + S
+        inv_S = 1.0 / S
+        ld = ld - 0.5 * jnp.sum(z * z * inv_S + jnp.log(S) + _LOG2PI,
+                                axis=0, keepdims=True)
+        gain = [PH_cols[i] * inv_S for i in range(q)]
+        mf_cols = [mp_cols[i] + gain[i] * z for i in range(q)]
+        IKW = [[(1.0 if i == j else 0.0) - gain[i] * H_cols[j]
+                for j in range(q)] for i in range(q)]
+        pf_cols = _sym_quadform(q, IKW, pp_cols, where)
+        if jac_flat is None:
+            V = S * 0.5
+            pf_cols = [pf_cols[k] + gain[i] * gain[j] * V
+                       for k, (i, j) in enumerate(pairs)]
+        if with_obs:
+            PD = []
+            for i in range(q):
+                acc = None
+                for j in range(q):
+                    term = p_cols_at(pf_cols, where, i, j) * D[j]
+                    acc = term if acc is None else acc + term
+                PD.append(acc)
+            So = om
+            for i in range(q):
+                So = So + D[i] * PD[i]
+            zo = y
+            for i in range(q):
+                zo = zo - D[i] * mf_cols[i]
+            inv_So = 1.0 / So
+            logp = -0.5 * jnp.sum(zo * zo * inv_So + jnp.log(So) + _LOG2PI,
+                                  axis=0, keepdims=True)
+            ld = ld + mask * logp
+            K = [PD[i] * inv_So * mask for i in range(q)]
+            mf_cols = [mf_cols[i] + K[i] * zo for i in range(q)]
+            IKD = [[(1.0 if i == j else 0.0) - K[i] * D[j]
+                    for j in range(q)] for i in range(q)]
+            pj = _sym_quadform(q, IKD, pf_cols, where)
+            pf_cols = [pj[kk] + K[i] * K[j] * om
+                       for kk, (i, j) in enumerate(pairs)]
+        return tuple(mf_cols), tuple(pf_cols), ld
+
+    return step
+
+
+def _dalton_filter_kernel_tan(ode_flat, jac_flat, with_obs, n_tan, chunk,
+                              q, n_block, n_tri, n_lane, q_const,
+                              r_ref, w_ref, x0_ref, th_ref, tgrid_ref,
+                              tv_ref, d_ref, y_ref, om_ref, mask_ref,
+                              ld0_ref,
+                              ld_ref,
+                              m_scr, p_scr, ld_scr):
+    """Tangent-augmented DALTON forward filter: carries primal state plus
+    ``n_tan`` tangent copies; per step, one `jax.jvp` of the pure update
+    per theta basis direction (the same in-kernel forward-mode trick as
+    `pallas_fenrir._filter_kernel_batch_tan`)."""
+    pairs, where = _tri_idx(q)
+    gi = pl.program_id(0)
+    R_cols = [r_ref[:, k:k + 1] for k in range(n_tri)]
+    W_cols = [w_ref[:, j:j + 1] for j in range(q)]
+    tv_cols = [tv_ref[:, j:j + 1] for j in range(q)]
+    n_aug = 1 + n_tan
+    th_val = th_ref[:]
+    n_theta = th_val.shape[0]
+    dths = []
+    for k in range(n_tan):
+        rows = [jnp.ones_like(th_val[0:1]) if i == k
+                else jnp.zeros_like(th_val[0:1]) for i in range(n_theta)]
+        dths.append(jnp.concatenate(rows, axis=0))
+
+    @pl.when(gi == 0)
+    def _init():
+        for j in range(q):
+            m_scr[j] = x0_ref[j]
+        for d in range(n_aug * q):
+            if d >= q:
+                m_scr[d] = jnp.zeros((n_block, n_lane), jnp.float32)
+        for k in range(n_aug * n_tri):
+            p_scr[k] = jnp.zeros((n_block, n_lane), jnp.float32)
+        ld_scr[:] = ld0_ref[:]
+
+    def body(r, carry):
+        t_n = tgrid_ref[gi * chunk + r, 0]
+        if with_obs:
+            D = [d_ref[r, j] for j in range(q)]
+            y = y_ref[r, 0]
+            om = om_ref[r, 0]
+            mask = mask_ref[gi * chunk + r, 0]
+        else:
+            D = y = om = mask = None
+        step = _dalton_step_pure(ode_flat, jac_flat, with_obs, q, where,
+                                 pairs, q_const, R_cols, W_cols, tv_cols,
+                                 t_n, D, y, om, mask)
+        m_cols = tuple(carry[:q])
+        p_cols = tuple(carry[n_aug * q:n_aug * q + n_tri])
+        ld = carry[n_aug * (q + n_tri)]
+        prim = step(m_cols, p_cols, ld, th_val)
+        outs = [prim]
+        for k in range(n_tan):
+            dm = tuple(carry[(1 + k) * q:(2 + k) * q])
+            dp = tuple(carry[n_aug * q + (1 + k) * n_tri:
+                             n_aug * q + (2 + k) * n_tri])
+            dld = carry[n_aug * (q + n_tri) + 1 + k]
+            _, tan = jax.jvp(step, (m_cols, p_cols, ld, th_val),
+                             (dm, dp, dld, dths[k]))
+            outs.append(tan)
+        new_m = sum((list(o[0]) for o in outs), [])
+        new_p = sum((list(o[1]) for o in outs), [])
+        new_ld = [o[2] for o in outs]
+        return tuple(new_m) + tuple(new_p) + tuple(new_ld)
+
+    m0 = [m_scr[d] for d in range(n_aug * q)]
+    p0 = [p_scr[k] for k in range(n_aug * n_tri)]
+    l0 = [ld_scr[d:d + 1, :].reshape(1, n_lane) for d in range(n_aug)]
+    out = jax.lax.fori_loop(0, chunk, body,
+                            tuple(m0) + tuple(p0) + tuple(l0))
+    for d in range(n_aug * q):
+        m_scr[d] = out[d]
+    for k in range(n_aug * n_tri):
+        p_scr[k] = out[n_aug * q + k]
+    for d in range(n_aug):
+        ld_scr[d] = out[n_aug * (q + n_tri) + d][0]
+        ld_ref[d] = out[n_aug * (q + n_tri) + d][0]
+
+
+def _dalton_prepare(thetas, ode_weight, ode_inits, t_min, t_max, n_steps,
+                    prior_pars, obs_data, obs_times, obs_weight, obs_var,
+                    caller):
+    """Shared scaled-coordinate / observation-grid setup for the fused
+    DALTON entry points (primal and tangent-augmented)."""
     n_lane = thetas.shape[0]
     n_block, n_bmeas, q = ode_weight.shape
     n_obs, _, n_bobs, _ = obs_weight.shape
     if n_bmeas != 1 or n_bobs != 1:
         raise NotImplementedError(
-            "dalton_fused_batch requires n_bmeas == n_bobs == 1")
+            f"{caller} requires n_bmeas == n_bobs == 1")
     pairs, _ = _tri_idx(q)
     n_tri = len(pairs)
     dt = (t_max - t_min) / n_steps
@@ -182,7 +339,7 @@ def dalton_fused_batch(thetas, ode_weight, ode_inits,
     q_const = _static_scaled_qconst(prior_pars[0], dt, q)
     if q_const is None:
         raise NotImplementedError(
-            "dalton_fused_batch requires a block-constant transition "
+            f"{caller} requires a block-constant transition "
             "available at trace time")
     W_s = (ode_weight * t_vec[None, None, :])[:, 0, :]
     x0_lanes = jnp.transpose(
@@ -219,6 +376,28 @@ def dalton_fused_batch(thetas, ode_weight, ode_inits,
     ld0 = mask_grid[0, 0] * (-0.5) * jnp.sum(
         z0 * z0 / om_grid[0] + jnp.log(om_grid[0]) + _LOG2PI,
         axis=0, keepdims=True)
+    return (n_lane, n_block, q, n_tri, pairs, q_const, Rs, W_s, x0_lanes,
+            tgrid, t_vec, theta_lanes, d_k, y_k, om_k, mask_k, ld0)
+
+
+def dalton_fused_batch(thetas, ode_weight, ode_inits,
+                       t_min, t_max, n_steps,
+                       prior_pars,
+                       obs_data, obs_times, obs_weight, obs_var,
+                       ode_flat, jac_flat=None, chunk=None,
+                       interpret="auto"):
+    r"""
+    Lane-batched fused DALTON log-likelihood
+    :math:`\log p(Y \mid Z) = \log p(Z, Y) - \log p(Z)` — ``n_lane``
+    evaluations per kernel pipeline.
+
+    Args and return as :func:`rodeo_tpu.ops.pallas_fenrir.fenrir_fused_batch`.
+    """
+    prep = _dalton_prepare(
+        thetas, ode_weight, ode_inits, t_min, t_max, n_steps, prior_pars,
+        obs_data, obs_times, obs_weight, obs_var, "dalton_fused_batch")
+    (n_lane, n_block, q, n_tri, pairs, q_const, Rs, W_s, x0_lanes,
+     tgrid, t_vec, theta_lanes, d_k, y_k, om_k, mask_k, ld0) = prep
 
     if chunk is None:
         chunk = _pick_chunk_batch(n_steps, n_lane)
@@ -271,3 +450,92 @@ def dalton_fused_batch(thetas, ode_weight, ode_inits,
     ld_joint = run(True, ld0)
     ld_marg = run(False, jnp.zeros((1, n_lane), jnp.float32))
     return (ld_joint - ld_marg)[0]
+
+
+def dalton_fused_batch_grad(thetas, ode_weight, ode_inits,
+                            t_min, t_max, n_steps,
+                            prior_pars,
+                            obs_data, obs_times, obs_weight, obs_var,
+                            ode_flat, jac_flat=None, chunk=None,
+                            interpret="auto"):
+    r"""
+    Lane-batched fused DALTON log-likelihood AND its theta-gradient via
+    forward-mode tangent-augmented kernels (in-kernel `jax.jvp` of the
+    pure per-step update; same trick as
+    :func:`rodeo_tpu.ops.pallas_fenrir.fenrir_fused_batch_grad`).
+    Because the DALTON kernels carry no per-step stores, the whole
+    augmented computation stays inside the two filter kernels.
+
+    ``ode_inits`` must not depend on theta (tangent seeded zero).
+
+    Returns:
+        (tuple): ``loglik (n_lane,)``, ``grad (n_lane, n_theta)``.
+    """
+    from rodeo_tpu.ops.pallas_kalman import _pick_chunk_batch as _pcb
+
+    n_theta = thetas.shape[1]
+    n_tan = n_theta
+    n_aug = 1 + n_tan
+    prep = _dalton_prepare(
+        thetas, ode_weight, ode_inits, t_min, t_max, n_steps, prior_pars,
+        obs_data, obs_times, obs_weight, obs_var,
+        "dalton_fused_batch_grad")
+    (n_lane, n_block, q, n_tri, pairs, q_const, Rs, W_s, x0_lanes,
+     tgrid, t_vec, theta_lanes, d_k, y_k, om_k, mask_k, ld0) = prep
+
+    if chunk is None:
+        # augmented carries are (1+n_tan)x wider: shrink the chunk
+        chunk = _pcb(n_steps, n_lane * n_aug)
+    n_chunks = n_steps // chunk
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple([0] * len(shape)), memory_space=pltpu.VMEM)
+    fwd4 = lambda i: (i, 0, 0, 0)
+    blk = lambda d, lanes: pl.BlockSpec((chunk, d, n_block, lanes), fwd4,
+                                        memory_space=pltpu.VMEM)
+    in_specs = [
+        rep((n_block, n_tri)),                          # R packed
+        rep((n_block, q)),                              # W
+        rep((q, n_block, n_lane)),                      # x0
+        rep(theta_lanes.shape),                         # theta
+        pl.BlockSpec((n_steps, 1), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),          # tgrid
+        rep((1, q)),                                    # t_vec
+        blk(q, 1),                                      # D
+        blk(1, 1),                                      # y
+        blk(1, 1),                                      # Om
+        pl.BlockSpec((n_steps, 1), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),          # mask
+        rep((n_aug, n_lane)),                           # seed logdens rows
+    ]
+    R_packed = _pack_tri(Rs, pairs)
+    zeros_tan = jnp.zeros((n_tan, n_lane), jnp.float32)
+
+    def run(with_obs, ld_seed):
+        kern = functools.partial(
+            _dalton_filter_kernel_tan, ode_flat, jac_flat, with_obs,
+            n_tan, chunk, q, n_block, n_tri, n_lane, q_const)
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((n_aug, n_lane), jnp.float32),
+            grid=(n_chunks,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((n_aug, n_lane), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((n_aug * q, n_block, n_lane), jnp.float32),
+                pltpu.VMEM((n_aug * n_tri, n_block, n_lane), jnp.float32),
+                pltpu.VMEM((n_aug, n_lane), jnp.float32),
+            ],
+            interpret=_interpret_mode(interpret),
+        )(R_packed.astype(jnp.float32), W_s.astype(jnp.float32),
+          x0_lanes, theta_lanes,
+          tgrid[:, None].astype(jnp.float32),
+          t_vec[None, :].astype(jnp.float32),
+          d_k, y_k, om_k, mask_k, ld_seed.astype(jnp.float32))
+
+    # ld0 is theta-independent (x0 must not depend on theta): tangent rows
+    # seed zero
+    ld_joint = run(True, jnp.concatenate([ld0, zeros_tan], axis=0))
+    ld_marg = run(False, jnp.zeros((n_aug, n_lane), jnp.float32))
+    diff = ld_joint - ld_marg
+    return diff[0], jnp.transpose(diff[1:])

@@ -127,6 +127,26 @@ def mvncond(mu, Sigma, icond):
     return A, b, V
 
 
+def _mvn_logpdf_pieces(x, mean, cov):
+    """Shared primal quantities for the masked-eigen logpdf and its JVP."""
+    w, v = jnp.linalg.eigh(cov)
+    z = mvdot(mtt(v), x - mean)
+    # degenerate-direction mask: absolute (reference semantics,
+    # ``utils.py:71-77``) AND dtype-relative — eigh of a PSD-up-to-rounding
+    # matrix returns eigenvalues negative at ~eps * ||cov||, which for
+    # large-scale covariances (e.g. diffuse priors in float32) far exceeds
+    # any absolute threshold and would NaN through log().
+    wmax = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+    rel_tol = 100.0 * jnp.finfo(w.dtype).eps
+    live = (~jnp.isclose(w, 0.0, rtol=1e-300)) & (w > rel_tol * wmax)
+    w_safe = jnp.where(live, w, 1.0)
+    val = z * z / w_safe + jnp.log(w_safe)
+    val = -0.5 * jnp.sum(jnp.where(live, val, 0.0), axis=-1)
+    val = val - 0.5 * jnp.log(2 * jnp.pi) * jnp.sum(live, axis=-1)
+    return val, (w, v, z, live, w_safe)
+
+
+@jax.custom_jvp
 def multivariate_normal_logpdf(x, mean, cov):
     r"""
     Log-density of a (possibly singular) multivariate normal.
@@ -137,6 +157,14 @@ def multivariate_normal_logpdf(x, mean, cov):
 
     Batched over leading dims of ``x``/``mean``/``cov``.
 
+    Differentiation note: the derivative is supplied analytically in terms
+    of the masked pseudo-inverse (constant-rank semantics: the null space
+    is treated as structural).  ``jnp.linalg.eigh``'s own JVP divides by
+    eigenvalue gaps and returns NaN on the *repeated* eigenvalues that
+    masked stacked covariances always carry (e.g. the unit dead-row blocks
+    of the DALTON forecast), which made ``jax.grad`` of every
+    logpdf-consuming likelihood NaN.
+
     Args:
         x (ndarray(..., p)): Observation.
         mean (ndarray(..., p)): Mean.
@@ -145,22 +173,26 @@ def multivariate_normal_logpdf(x, mean, cov):
     Returns:
         (ndarray(...)): Log-density value(s).
     """
-    w, v = jnp.linalg.eigh(cov)
-    z = mvdot(mtt(v), x - mean)
-    z2 = z * z
-    # degenerate-direction mask: absolute (reference semantics,
-    # ``utils.py:71-77``) AND dtype-relative — eigh of a PSD-up-to-rounding
-    # matrix returns eigenvalues negative at ~eps * ||cov||, which for
-    # large-scale covariances (e.g. diffuse priors in float32) far exceeds
-    # any absolute threshold and would NaN through log().
-    wmax = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
-    rel_tol = 100.0 * jnp.finfo(w.dtype).eps
-    live = (~jnp.isclose(w, 0.0, rtol=1e-300)) & (w > rel_tol * wmax)
-    w_safe = jnp.where(live, w, 1.0)
-    val = z2 / w_safe + jnp.log(w_safe)
-    val = -0.5 * jnp.sum(jnp.where(live, val, 0.0), axis=-1)
-    val = val - 0.5 * jnp.log(2 * jnp.pi) * jnp.sum(live, axis=-1)
+    val, _ = _mvn_logpdf_pieces(x, mean, cov)
     return val
+
+
+@multivariate_normal_logpdf.defjvp
+def _mvn_logpdf_jvp(primals, tangents):
+    # d logpdf = -1/2 [ 2 a'·v'(dx-dmean) − a'Ma + tr(Σ⁺ dΣ) ],
+    # a = Σ⁺(x−mean) in the eigenbasis, M = v' dΣ v,
+    # tr(Σ⁺dΣ) = Σ_live M_ii/w_i — exact for locally constant rank.
+    x, mean, cov = primals
+    dx, dmean, dcov = tangents
+    val, (w, v, z, live, w_safe) = _mvn_logpdf_pieces(x, mean, cov)
+    alpha = jnp.where(live, z / w_safe, 0.0)
+    dz = mvdot(mtt(v), dx - dmean)
+    term1 = 2.0 * jnp.sum(alpha * dz, axis=-1)
+    Mv = jnp.matmul(jnp.matmul(mtt(v), dcov), v)
+    term2 = -jnp.einsum("...i,...ij,...j->...", alpha, Mv, alpha)
+    Mdiag = jnp.diagonal(Mv, axis1=-2, axis2=-1)
+    term3 = jnp.sum(jnp.where(live, Mdiag / w_safe, 0.0), axis=-1)
+    return val, -0.5 * (term1 + term2 + term3)
 
 
 def first_order_pad(ode_fun, n_vars, n_deriv):

@@ -83,6 +83,51 @@ def test_grad_nongaussian_and_basic(setup):
         obs_loglik=b_ll, **cfg)[0], th)
 
 
+def test_grad_mvn_logpdf_masked():
+    """The masked-eigen logpdf's analytic JVP: matches finite differences
+    at full rank, and stays finite (where eigh's own JVP NaNs) on
+    repeated-eigenvalue and rank-deficient covariances — the shape every
+    masked stacked DALTON forecast has."""
+    from rodeo_tpu.utils import multivariate_normal_logpdf as lpdf
+    rng = np.random.default_rng(0)
+    p, eps = 4, 1e-6
+    A = rng.normal(size=(p, p))
+    C = jnp.asarray(A @ A.T + np.eye(p))
+    x = jnp.asarray(rng.normal(size=p))
+    mu = jnp.asarray(rng.normal(size=p))
+    g = jax.grad(lambda c: lpdf(x, mu, c))(C)
+    fd = np.zeros((p, p))
+    for i in range(p):
+        for j in range(p):
+            E = np.zeros((p, p))
+            E[i, j] = eps
+            fd[i, j] = (float(lpdf(x, mu, C + E))
+                        - float(lpdf(x, mu, C - E))) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(g), fd, rtol=1e-5, atol=1e-6)
+    gx, gm = jax.grad(lpdf, argnums=(0, 1))(x, mu, C)
+    np.testing.assert_allclose(np.asarray(gx), -np.asarray(gm), rtol=1e-12)
+    # repeated eigenvalues (identity cov): eigh JVP divides by zero gaps
+    gi = jax.grad(lambda c: lpdf(x, mu, c))(jnp.eye(p))
+    assert bool(jnp.all(jnp.isfinite(gi)))
+    np.testing.assert_allclose(
+        np.asarray(gi), np.asarray(jax.grad(lambda c: jnp.squeeze(
+            -0.5 * ((x - mu) @ jnp.linalg.solve(c, x - mu)
+                    + jnp.linalg.slogdet(c)[1])))(jnp.eye(p) * 1.0)),
+        rtol=1e-6, atol=1e-8)
+    # rank-deficient: gradient lives on the support subspace, finite, and
+    # matches a directional finite difference along a support direction
+    B = rng.normal(size=(p, 2))
+    Cs = jnp.asarray(B @ B.T)
+    xs = jnp.asarray((B @ B.T) @ rng.normal(size=p))
+    gs = jax.grad(lambda m: lpdf(xs, m, Cs))(jnp.zeros(p))
+    assert bool(jnp.all(jnp.isfinite(gs)))
+    d = (B @ B.T) @ rng.normal(size=p)
+    d = jnp.asarray(d / np.linalg.norm(d))
+    fd_dir = (float(lpdf(xs, eps * d, Cs))
+              - float(lpdf(xs, -eps * d, Cs))) / (2 * eps)
+    np.testing.assert_allclose(float(gs @ d), fd_dir, rtol=1e-5, atol=1e-7)
+
+
 def test_grad_precond_fenrir_f32(setup):
     """The TPU-mode (f32, preconditioned) likelihood gradient is finite."""
     _, _, obs = setup
