@@ -636,6 +636,33 @@ def main():
                 details["fenrir_fused_grad_ll_abs_err"] = round(
                     abs(float(out_gf[0][0]) - float(truth["fenrir_ll"])),
                     6)
+        with _row(details, "dalton_fused_grad"):
+            # fused DALTON value+grad (same tangent-augmented trick; the
+            # f32 XLA reverse-mode DALTON gradient is cancellation noise,
+            # so this is also the only *accurate* fast gradient)
+            from rodeo_tpu.ops import pallas_dalton as pdg
+            Bg = 128
+            ths_gd = jnp.broadcast_to(th_f, (Bg, 3)) * \
+                (1 + 1e-6 * jnp.arange(Bg, dtype=jnp.float32)[:, None])
+            inits_gd = jnp.broadcast_to(
+                cfg_f["ode_init"], (Bg,) + cfg_f["ode_init"].shape)
+            gdn = jax.jit(lambda ts, x0: pdg.dalton_fused_batch_grad(
+                thetas=ts, ode_weight=cfg_f["ode_weight"], ode_inits=x0,
+                t_min=cfg_f["t_min"], t_max=cfg_f["t_max"],
+                n_steps=cfg_f["n_steps"], prior_pars=cfg_f["prior_pars"],
+                obs_data=yobs, obs_times=obs_times, obs_weight=D,
+                obs_var=Om, ode_flat=lorenz.lorenz_flat,
+                jac_flat=lorenz.lorenz_jac_flat))
+            t_gd, out_gd = _timeit(gdn, (ths_gd, inits_gd), n_rep=3,
+                                   per=Bg)
+            details["dalton_fused_grad_evals_per_sec"] = round(
+                1.0 / t_gd, 2)
+            details["dalton_fused_grad_finite"] = bool(
+                jnp.all(jnp.isfinite(out_gd[1])))
+            if truth is not None:
+                details["dalton_fused_grad_ll_abs_err"] = round(
+                    abs(float(out_gd[0][0]) - float(truth["dalton_ll"])),
+                    6)
 
         with _row(details, "fenrir_fused"):
             # fused Pallas fenrir (sequential-map latency, not vmap)
@@ -896,6 +923,36 @@ def main():
             if truth is not None:
                 details["basic_fused_batch128_abs_err"] = round(
                     abs(float(out_bf[0]) - float(truth["basic_ll"])), 6)
+
+        with _row(details, "basic_fused_grad"):
+            # fused basic value+grad: tangent-augmented fused solve
+            # chained through the user obs_loglik by jvp
+            Bbg = 128
+            ths_bg = jnp.broadcast_to(th_i, (Bbg, 3)) * \
+                (1 + 1e-6 * jnp.arange(Bbg, dtype=jnp.float32)[:, None])
+            inits_bg = jnp.broadcast_to(
+                cfg_i["ode_init"], (Bbg,) + cfg_i["ode_init"].shape)
+
+            def b_loglik_g(obs_data, ode_data, **p):
+                return jnp.sum(
+                    -0.5 * (obs_data[..., 0] - ode_data[..., 0]) ** 2)
+
+            bgf = jax.jit(lambda ts, x0: pk_basic.basic_fused_batch_grad(
+                thetas=ts, ode_weight=cfg_i["ode_weight"], ode_inits=x0,
+                t_min=cfg_i["t_min"], t_max=cfg_i["t_max"],
+                n_steps=cfg_i["n_steps"], prior_pars=cfg_i["prior_pars"],
+                obs_data=yobs_i, obs_times=obs_times_i,
+                obs_loglik=b_loglik_g, ode_flat=lorenz.lorenz_flat,
+                jac_flat=lorenz.lorenz_jac_flat)[:2])
+            t_bg, out_bg = _timeit(bgf, (ths_bg, inits_bg), n_rep=3,
+                                   per=Bbg)
+            details["basic_fused_grad_evals_per_sec"] = round(
+                1.0 / t_bg, 2)
+            details["basic_fused_grad_finite"] = bool(
+                jnp.all(jnp.isfinite(out_bg[1])))
+            if truth is not None:
+                details["basic_fused_grad_ll_abs_err"] = round(
+                    abs(float(out_bg[0][0]) - float(truth["basic_ll"])), 6)
 
         def b_loglik(obs_data, ode_data, **p):
             return jnp.sum(-0.5 * (obs_data[..., 0] - ode_data[..., 0])**2)

@@ -46,6 +46,7 @@ from rodeo_tpu.ops.precond import taylor_scale, scale_prior
 
 __all__ = ["fused_filter", "fused_smoother", "solve_mv_fused",
            "solve_mv_fused_stationary", "basic_fused_batch",
+           "solve_mv_fused_batch_grad", "basic_fused_batch_grad",
            "jvp_jac_flat"]
 
 
@@ -1455,6 +1456,218 @@ def solve_mv_fused_batch(thetas, ode_weight, ode_inits,
         rows(pf[-1][None]),
     ], axis=0) * tri_scale[:, None]
     return mean_rows, var_rows
+
+
+def _smoother_mean_kernel_batch_tan(n_tan, chunk, q, n_block, n_lane,
+                                    g_ref, G_ref, mN_ref,
+                                    ms_ref, m_scr):
+    """Tangent-augmented backward affine MEAN recursion:
+    ``m = g + G m⁺``, ``dm_k = dg_k + dG_k m⁺ + G dm_k⁺`` — the smoothing
+    counterpart of the tangent-augmented filter.  Offsets/gains stream
+    primal + tangents stacked on the d axis; covariances are not carried
+    (solution sensitivities need means only)."""
+    gi = pl.program_id(0)
+    n_aug = 1 + n_tan
+
+    @pl.when(gi == 0)
+    def _seed():
+        for d in range(n_aug * q):
+            m_scr[d] = mN_ref[d]
+
+    def body(k, carry):
+        r = chunk - 1 - k
+        m_cols = carry[:q]
+        G = [[G_ref[r, i * q + j] for j in range(q)] for i in range(q)]
+        outs = []
+        for i in range(q):
+            acc = g_ref[r, i]
+            for j in range(q):
+                acc = acc + G[i][j] * m_cols[j]
+            outs.append(acc)
+        for t in range(n_tan):
+            dm_cols = carry[(1 + t) * q:(2 + t) * q]
+            for i in range(q):
+                acc = g_ref[r, (1 + t) * q + i]
+                for j in range(q):
+                    acc = acc + G_ref[r, (1 + t) * q * q + i * q + j] \
+                        * m_cols[j] + G[i][j] * dm_cols[j]
+                outs.append(acc)
+        for d in range(n_aug * q):
+            ms_ref[r, d] = outs[d]
+        return tuple(outs)
+
+    m_in = tuple(m_scr[d] for d in range(n_aug * q))
+    out = jax.lax.fori_loop(0, chunk, body, m_in)
+    for d in range(n_aug * q):
+        m_scr[d] = out[d]
+
+
+def solve_mv_fused_batch_grad(thetas, ode_weight, ode_inits,
+                              t_min, t_max, n_steps,
+                              prior_pars,
+                              ode_flat, jac_flat=None,
+                              chunk=None, interpret="auto"):
+    r"""
+    Lane-batched fused solve posterior mean AND its theta-sensitivities
+    via forward-mode tangent-augmented kernels: the tangent filter of
+    :mod:`rodeo_tpu.ops.pallas_fenrir`, `jax.jvp` through the (pure XLA)
+    smoothing-gain stage, and a tangent-augmented backward mean kernel.
+    This is the fused-speed substrate for likelihood gradients whose
+    observation model consumes the solution mean (``basic``), and for
+    d(solution)/d(theta) sensitivity analysis generally.
+
+    ``ode_inits`` must not depend on theta (tangents seeded zero); EK0/EK1
+    interrogations only (``jac_flat`` selects EK1).
+
+    Returns:
+        (tuple):
+        - **mean** (ndarray(n_steps+1, n_block, q, n_lane)): as
+          :func:`solve_mv_fused_batch`.
+        - **dmean** (ndarray(n_theta, n_steps+1, n_block, q, n_lane)):
+          per-parameter directional derivatives of **mean**.
+    """
+    from rodeo_tpu.ops.pallas_fenrir import fused_filter_batch_tan
+
+    n_lane, n_theta = thetas.shape
+    n_tan = n_theta
+    n_aug = 1 + n_tan
+    n_block, n_bmeas, q = ode_weight.shape
+    if n_bmeas != 1:
+        raise NotImplementedError("fused kernels require n_bmeas == 1")
+    pairs, _ = _tri_idx(q)
+    n_tri = len(pairs)
+    dt = (t_max - t_min) / n_steps
+    t_vec = taylor_scale(dt, q, dtype=jnp.float32)
+    Qs, Rs = scale_prior(prior_pars, t_vec)
+    q_const = _static_scaled_qconst(prior_pars[0], dt, q)
+    if q_const is None:
+        raise NotImplementedError(
+            "solve_mv_fused_batch_grad requires a block-constant "
+            "transition available at trace time")
+    W_s = (ode_weight * t_vec[None, None, :])[:, 0, :]
+    x0_lanes = jnp.transpose(
+        (ode_inits / t_vec).astype(jnp.float32), (2, 1, 0))   # (q, nb, B)
+    tgrid = t_min + (t_max - t_min) * (jnp.arange(n_steps) + 1) / n_steps
+    theta_lanes = jnp.transpose(thetas).astype(jnp.float32)
+    mode = "kramer" if jac_flat is not None else "rodeo"
+
+    mf_a, pf_a, mp_a, pp_a = fused_filter_batch_tan(
+        ode_flat, jac_flat, mode, n_tan, n_steps, Qs, Rs, W_s, x0_lanes,
+        theta_lanes, tgrid, t_vec, q_const, chunk=chunk,
+        interpret=interpret)
+
+    # smoothing gains: primal via the shared column-layout helper, one
+    # jax.jvp per tangent direction (pure XLA stage — differentiable)
+    R_packed = _pack_tri(Rs, pairs)
+    R_cols_b = [R_packed[None, :, k, None] for k in range(n_tri)]
+
+    def gains(mf, pf, mp, pp):
+        mf_cols = [mf[:-1, j] for j in range(q)]
+        pf_cols = [pf[:-1, k] for k in range(n_tri)]
+        mpn_cols = [mp[1:, j] for j in range(q)]
+        ppn_cols = [pp[1:, k] for k in range(n_tri)]
+        G, g, _ = _gain_cols_batched(q, n_tri, q_const, R_cols_b,
+                                     mf_cols, pf_cols, mpn_cols, ppn_cols)
+        G_k = jnp.stack([G[i][j] for i in range(q) for j in range(q)],
+                        axis=1)
+        g_k = jnp.stack(g, axis=1)
+        return G_k, g_k
+
+    prims = (mf_a[:, :q], pf_a[:, :n_tri], mp_a[:, :q], pp_a[:, :n_tri])
+    outs = [gains(*prims)]
+    for k in range(n_tan):
+        tans = (mf_a[:, (1 + k) * q:(2 + k) * q],
+                pf_a[:, (1 + k) * n_tri:(2 + k) * n_tri],
+                mp_a[:, (1 + k) * q:(2 + k) * q],
+                pp_a[:, (1 + k) * n_tri:(2 + k) * n_tri])
+        _, tan_out = jax.jvp(gains, prims, tans)
+        outs.append(tan_out)
+    G_aug = jnp.concatenate([o[0] for o in outs], axis=1).astype(
+        jnp.float32)                                  # (T-1, n_aug*q*q, ...)
+    g_aug = jnp.concatenate([o[1] for o in outs], axis=1).astype(
+        jnp.float32)                                  # (T-1, n_aug*q, ...)
+    mN_aug = mf_a[-1]                                 # (n_aug*q, nb, B)
+
+    n_len = n_steps - 1
+    if chunk is None:
+        s_chunk = _pick_chunk_batch(n_len, n_lane * n_aug)
+    else:
+        s_chunk = _pick_chunk(n_len, target=chunk)
+    n_chunks = n_len // s_chunk
+    kern = functools.partial(_smoother_mean_kernel_batch_tan, n_tan,
+                             s_chunk, q, n_block, n_lane)
+    rev4 = lambda i: (n_chunks - 1 - i, 0, 0, 0)
+    blk = lambda d: pl.BlockSpec((s_chunk, d, n_block, n_lane), rev4,
+                                 memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple([0] * len(shape)), memory_space=pltpu.VMEM)
+    ms_aug = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_len, n_aug * q, n_block, n_lane), jnp.float32),
+        grid=(n_chunks,),
+        in_specs=[blk(n_aug * q), blk(n_aug * q * q),
+                  rep((n_aug * q, n_block, n_lane))],
+        out_specs=blk(n_aug * q),
+        scratch_shapes=[
+            pltpu.VMEM((n_aug * q, n_block, n_lane), jnp.float32),
+        ],
+        interpret=_interpret_mode(interpret),
+    )(g_aug, G_aug, mN_aug)
+
+    def rows(a):  # (T, d, nb, B) -> (T, nb, d, B)
+        return jnp.transpose(a, (0, 2, 1, 3))
+
+    t_col = t_vec.astype(jnp.float32)[:, None]                # (q, 1)
+    mean_rows = jnp.concatenate([
+        jnp.transpose(x0_lanes, (1, 0, 2))[None],
+        rows(ms_aug[:, :q]),
+        rows(mf_a[-1][None, :q]),
+    ], axis=0) * t_col
+    dmeans = []
+    for k in range(n_tan):
+        sl = slice((1 + k) * q, (2 + k) * q)
+        dmeans.append(jnp.concatenate([
+            jnp.zeros((1, n_block, q, n_lane), jnp.float32),  # x0: dtheta 0
+            rows(ms_aug[:, sl]),
+            rows(mf_a[-1][None, sl]),
+        ], axis=0) * t_col)
+    return mean_rows, jnp.stack(dmeans)
+
+
+def basic_fused_batch_grad(thetas, ode_weight, ode_inits,
+                           t_min, t_max, n_steps,
+                           prior_pars,
+                           obs_data, obs_times, obs_loglik,
+                           ode_flat, jac_flat=None,
+                           chunk=None, interpret="auto", **params):
+    r"""
+    Lane-batched fused Basic likelihood AND its theta-gradient: the
+    tangent-augmented fused solve (:func:`solve_mv_fused_batch_grad`)
+    chained through the user ``obs_loglik`` by `jax.jvp` — the MAP /
+    gradient-MCMC workload for plug-in likelihoods at fused speed.
+
+    Returns:
+        (tuple): ``loglik (n_lane,)``, ``grad (n_lane, n_theta)``,
+        ``mean (n_steps+1, n_block, q, n_lane)``.
+    """
+    mean_rows, dmean = solve_mv_fused_batch_grad(
+        thetas=thetas, ode_weight=ode_weight, ode_inits=ode_inits,
+        t_min=t_min, t_max=t_max, n_steps=n_steps, prior_pars=prior_pars,
+        ode_flat=ode_flat, jac_flat=jac_flat, chunk=chunk,
+        interpret=interpret)
+    sim_times = jnp.linspace(t_min, t_max, n_steps + 1)
+    obs_ind = jnp.searchsorted(sim_times, obs_times)
+
+    def lls_of(ode_rows):
+        ode_obs = ode_rows[obs_ind]               # (n_obs, nb, q, n_lane)
+        return jax.vmap(lambda od: obs_loglik(obs_data, od, **params),
+                        in_axes=-1)(ode_obs)
+
+    lls = lls_of(mean_rows)
+    grads = [jax.jvp(lls_of, (mean_rows,), (dmean[k],))[1]
+             for k in range(dmean.shape[0])]
+    return lls, jnp.stack(grads, axis=-1), mean_rows
 
 
 # --- stationary-gain latency path ---------------------------------------------

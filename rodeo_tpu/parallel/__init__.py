@@ -11,4 +11,5 @@ from rodeo_tpu.parallel.fused import (
     sharded_solve_mv_fused_batch, sharded_fenrir_fused_batch,
     sharded_dalton_fused_batch, sharded_daltonng_fused_batch,
     sharded_basic_fused_batch, sharded_solve_sim_fused_batch,
-    run_chains_fused_sharded)
+    sharded_fenrir_fused_batch_grad, sharded_dalton_fused_batch_grad,
+    sharded_basic_fused_batch_grad, run_chains_fused_sharded)

@@ -26,6 +26,9 @@ from rodeo_tpu.parallel.mesh import make_mesh
 __all__ = ["sharded_solve_mv_fused_batch", "sharded_fenrir_fused_batch",
            "sharded_dalton_fused_batch", "sharded_daltonng_fused_batch",
            "sharded_basic_fused_batch", "sharded_solve_sim_fused_batch",
+           "sharded_fenrir_fused_batch_grad",
+           "sharded_dalton_fused_batch_grad",
+           "sharded_basic_fused_batch_grad",
            "run_chains_fused_sharded"]
 
 
@@ -193,6 +196,105 @@ def sharded_basic_fused_batch(thetas, ode_weight, ode_inits,
         )(thetas, ode_inits, *reps)
 
     return wrapped(thetas, ode_inits, ode_weight, obs_data)
+
+
+def sharded_fenrir_fused_batch_grad(thetas, ode_weight, ode_inits,
+                                    t_min, t_max, n_steps, prior_pars,
+                                    obs_data, obs_times, obs_weight,
+                                    obs_var, ode_flat, jac_flat=None,
+                                    mesh=None, axis_name="batch",
+                                    chunk=None, interpret="auto"):
+    r"""
+    :func:`rodeo_tpu.ops.pallas_fenrir.fenrir_fused_batch_grad` with the
+    lane axis sharded over a device mesh (gradient-MCMC / MAP fleets:
+    lane groups per chip, zero collectives).  Returns ``(loglik
+    (n_lane,), grad (n_lane, n_theta))``, globally sharded on lanes.
+    """
+    from rodeo_tpu.ops import pallas_fenrir as pf
+    if mesh is None:
+        mesh = make_mesh(axis_name=axis_name)
+
+    def local(th, x0, W, yobs, D, Om):
+        return pf.fenrir_fused_batch_grad(
+            thetas=th, ode_weight=W, ode_inits=x0,
+            t_min=t_min, t_max=t_max, n_steps=n_steps,
+            prior_pars=prior_pars,
+            obs_data=yobs, obs_times=obs_times, obs_weight=D, obs_var=Om,
+            ode_flat=ode_flat, jac_flat=jac_flat,
+            chunk=chunk, interpret=interpret)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(), P(), P(), P()),
+        out_specs=(P(axis_name), P(axis_name)),
+        check_vma=False,
+    )(thetas, ode_inits, ode_weight, obs_data, obs_weight, obs_var)
+
+
+def sharded_dalton_fused_batch_grad(thetas, ode_weight, ode_inits,
+                                    t_min, t_max, n_steps, prior_pars,
+                                    obs_data, obs_times, obs_weight,
+                                    obs_var, ode_flat, jac_flat=None,
+                                    mesh=None, axis_name="batch",
+                                    chunk=None, interpret="auto"):
+    r"""
+    :func:`rodeo_tpu.ops.pallas_dalton.dalton_fused_batch_grad` with the
+    lane axis sharded over a device mesh.  Returns ``(loglik (n_lane,),
+    grad (n_lane, n_theta))``, globally sharded on lanes.
+    """
+    from rodeo_tpu.ops import pallas_dalton as pd
+    if mesh is None:
+        mesh = make_mesh(axis_name=axis_name)
+
+    def local(th, x0, W, yobs, D, Om):
+        return pd.dalton_fused_batch_grad(
+            thetas=th, ode_weight=W, ode_inits=x0,
+            t_min=t_min, t_max=t_max, n_steps=n_steps,
+            prior_pars=prior_pars,
+            obs_data=yobs, obs_times=obs_times, obs_weight=D, obs_var=Om,
+            ode_flat=ode_flat, jac_flat=jac_flat,
+            chunk=chunk, interpret=interpret)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(), P(), P(), P()),
+        out_specs=(P(axis_name), P(axis_name)),
+        check_vma=False,
+    )(thetas, ode_inits, ode_weight, obs_data, obs_weight, obs_var)
+
+
+def sharded_basic_fused_batch_grad(thetas, ode_weight, ode_inits,
+                                   t_min, t_max, n_steps, prior_pars,
+                                   obs_data, obs_times, obs_loglik,
+                                   ode_flat, jac_flat=None,
+                                   mesh=None, axis_name="batch",
+                                   chunk=None, interpret="auto", **params):
+    r"""
+    :func:`rodeo_tpu.ops.pallas_kalman.basic_fused_batch_grad` with the
+    lane axis sharded over a device mesh.  Returns ``(loglik (n_lane,),
+    grad (n_lane, n_theta), mean (n_steps+1, n_block, q, n_lane))``,
+    globally sharded on lanes.
+    """
+    from rodeo_tpu.ops import pallas_kalman as pk
+    if mesh is None:
+        mesh = make_mesh(axis_name=axis_name)
+
+    def local(th, x0, W, yobs):
+        return pk.basic_fused_batch_grad(
+            thetas=th, ode_weight=W, ode_inits=x0,
+            t_min=t_min, t_max=t_max, n_steps=n_steps,
+            prior_pars=prior_pars,
+            obs_data=yobs, obs_times=obs_times, obs_loglik=obs_loglik,
+            ode_flat=ode_flat, jac_flat=jac_flat,
+            chunk=chunk, interpret=interpret, **params)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(), P()),
+        out_specs=(P(axis_name), P(axis_name),
+                   P(None, None, None, axis_name)),
+        check_vma=False,
+    )(thetas, ode_inits, ode_weight, obs_data)
 
 
 def sharded_solve_sim_fused_batch(key, thetas, ode_weight, ode_inits,

@@ -571,6 +571,78 @@ def test_fenrir_fused_batch_grad_matches_jax_grad():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_solve_mv_fused_batch_grad_matches_jacfwd():
+    """Tangent-augmented fused solve sensitivities d(mean)/d(theta) ==
+    jax.jacfwd of the f64 XLA solve; primal means match the fused batch
+    exactly."""
+    from rodeo_tpu.ops import precond as precond_mod
+    cfg = lorenz.setup(n_steps=50, t_max=0.5, dtype=jnp.float32)
+    theta = cfg.pop("theta")
+    B = 2
+    thetas = jnp.stack([theta, theta * 1.02])
+    inits = jnp.broadcast_to(cfg["ode_init"], (B,) + cfg["ode_init"].shape)
+    base = dict(ode_weight=cfg["ode_weight"], ode_inits=inits,
+                t_min=cfg["t_min"], t_max=cfg["t_max"],
+                n_steps=cfg["n_steps"], prior_pars=cfg["prior_pars"],
+                ode_flat=lorenz.lorenz_flat,
+                jac_flat=lorenz.lorenz_jac_flat)
+    mean, dmean = pallas_kalman.solve_mv_fused_batch_grad(
+        thetas=thetas, **base)
+    mean_ref, _ = pallas_kalman.solve_mv_fused_batch(thetas=thetas, **base)
+    np.testing.assert_array_equal(np.asarray(mean), np.asarray(mean_ref))
+    # f64 truth for the sensitivities
+    cfg64 = lorenz.setup(n_steps=50, t_max=0.5, dtype=jnp.float64)
+    cfg64.pop("theta")
+    for i in range(B):
+        jac = jax.jacfwd(lambda th: precond_mod.solve_mv(
+            key=None, interrogate=interrogate_kramer, theta=th,
+            **cfg64)[0])(thetas[i].astype(jnp.float64))
+        # jac: (n_steps+1, nb, q, n_theta); dmean: (n_theta, ..., B)
+        got = np.transpose(np.asarray(dmean[:, :, :, :, i]), (1, 2, 3, 0))
+        scale = np.abs(np.asarray(jac)).max() + 1e-12
+        np.testing.assert_allclose(got / scale, np.asarray(jac) / scale,
+                                   atol=2e-5)
+
+
+def test_basic_fused_batch_grad_matches_f64():
+    """Fused basic value+grad == f64 jax.grad of the XLA basic path."""
+    cfg = lorenz.setup(n_steps=50, t_max=0.5, dtype=jnp.float32)
+    theta = cfg.pop("theta")
+    n_obs = 3
+    obs_times = jnp.linspace(0.0, 0.5, n_obs).astype(jnp.float32)
+    rng = np.random.default_rng(5)
+    yobs = jnp.asarray(rng.normal(size=(n_obs, 3, 1)) * 3, jnp.float32)
+
+    def b_loglik(obs_data, ode_data, **p):
+        return jnp.sum(-0.5 * (obs_data[..., 0] - ode_data[..., 0]) ** 2
+                       / 0.01)
+
+    B = 2
+    thetas = jnp.stack([theta, theta * 1.01])
+    inits = jnp.broadcast_to(cfg["ode_init"], (B,) + cfg["ode_init"].shape)
+    lls, grads, mean = pallas_kalman.basic_fused_batch_grad(
+        thetas=thetas, ode_weight=cfg["ode_weight"], ode_inits=inits,
+        t_min=cfg["t_min"], t_max=cfg["t_max"], n_steps=cfg["n_steps"],
+        prior_pars=cfg["prior_pars"], obs_data=yobs, obs_times=obs_times,
+        obs_loglik=b_loglik, ode_flat=lorenz.lorenz_flat,
+        jac_flat=lorenz.lorenz_jac_flat)
+    assert lls.shape == (B,) and grads.shape == (B, 3)
+    cfg64 = lorenz.setup(n_steps=50, t_max=0.5, dtype=jnp.float64)
+    cfg64.pop("theta")
+    for i in range(B):
+        v_ref, g_ref = jax.value_and_grad(lambda th: precond.basic(
+            key=None, interrogate=interrogate_kramer, theta=th,
+            obs_data=yobs.astype(jnp.float64),
+            obs_times=obs_times.astype(jnp.float64),
+            obs_loglik=b_loglik,
+            **{**cfg64, "ode_init": inits[i].astype(jnp.float64)})[0])(
+                thetas[i].astype(jnp.float64))
+        np.testing.assert_allclose(float(lls[i]), float(v_ref), rtol=2e-3,
+                                   atol=2e-2)
+        np.testing.assert_allclose(np.asarray(grads[i]), np.asarray(g_ref),
+                                   rtol=2e-3, atol=1e-2)
+
+
 def test_dalton_fused_batch_grad_matches_jax_grad():
     """Tangent-augmented fused DALTON gradient == jax.grad of the XLA
     path (in-kernel forward-mode jvp; primal must match the fused batch

@@ -215,3 +215,60 @@ def test_sharded_dalton_daltonng_basic(mesh):
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_1),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_grad_wrappers(mesh):
+    """Sharded fenrir/dalton/basic GRADIENT wrappers == single-mesh calls
+    (8 virtual devices, Pallas interpreter)."""
+    from rodeo_tpu.parallel import (
+        sharded_fenrir_fused_batch_grad, sharded_dalton_fused_batch_grad,
+        sharded_basic_fused_batch_grad)
+    from rodeo_tpu.ops import pallas_dalton, pallas_fenrir as pf
+    from rodeo_tpu.models import lorenz as lz
+    cfg = lz.setup(n_steps=40, t_max=0.4, dtype=jnp.float32)
+    theta = cfg.pop("theta")
+    B = 16
+    thetas = jnp.broadcast_to(theta, (B, 3)) * \
+        (1 + 1e-5 * jnp.arange(B, dtype=jnp.float32)[:, None])
+    inits = jnp.broadcast_to(cfg["ode_init"], (B,) + cfg["ode_init"].shape)
+    n_obs = 3
+    obs_times = jnp.linspace(0.0, 0.4, n_obs).astype(jnp.float32)
+    rng = np.random.default_rng(4)
+    yobs = jnp.asarray(rng.normal(size=(n_obs, 3, 1)) * 3, jnp.float32)
+    D = jnp.zeros((n_obs, 3, 1, 3), jnp.float32).at[:, :, :, 0].set(1.0)
+    Om = 0.01 * jnp.broadcast_to(jnp.eye(1, dtype=jnp.float32),
+                                 (n_obs, 3, 1, 1))
+    base = dict(ode_weight=cfg["ode_weight"], ode_inits=inits,
+                t_min=cfg["t_min"], t_max=cfg["t_max"],
+                n_steps=cfg["n_steps"], prior_pars=cfg["prior_pars"],
+                ode_flat=lz.lorenz_flat, jac_flat=lz.lorenz_jac_flat)
+    obs = dict(obs_data=yobs, obs_times=obs_times, obs_weight=D,
+               obs_var=Om)
+
+    for sharded_fn, local_fn in (
+            (sharded_fenrir_fused_batch_grad, pf.fenrir_fused_batch_grad),
+            (sharded_dalton_fused_batch_grad,
+             pallas_dalton.dalton_fused_batch_grad)):
+        ll_s, g_s = sharded_fn(thetas=thetas, mesh=mesh, **obs, **base)
+        ll_1, g_1 = local_fn(thetas=thetas, **obs, **base)
+        assert g_s.shape == (B, 3)
+        np.testing.assert_allclose(np.asarray(ll_s), np.asarray(ll_1),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_1),
+                                   rtol=1e-4, atol=1e-5)
+
+    def b_loglik(obs_data, ode_data, **p):
+        return jnp.sum(-0.5 * (obs_data[..., 0] - ode_data[..., 0]) ** 2)
+
+    ll_s, g_s, mu_s = sharded_basic_fused_batch_grad(
+        thetas=thetas, obs_data=yobs, obs_times=obs_times,
+        obs_loglik=b_loglik, mesh=mesh, **base)
+    ll_1, g_1, mu_1 = pallas_kalman.basic_fused_batch_grad(
+        thetas=thetas, obs_data=yobs, obs_times=obs_times,
+        obs_loglik=b_loglik, **base)
+    np.testing.assert_allclose(np.asarray(ll_s), np.asarray(ll_1),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_1),
+                               rtol=1e-5, atol=1e-5)
