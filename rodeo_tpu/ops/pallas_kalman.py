@@ -1502,6 +1502,55 @@ def _smoother_mean_kernel_batch_tan(n_tan, chunk, q, n_block, n_lane,
         m_scr[d] = out[d]
 
 
+def smoother_mean_recursion_batch_tan(g_aug, G_aug, mN_aug, n_tan,
+                                      chunk=None, interpret="auto"):
+    r"""
+    Tangent-augmented lane-batched backward affine MEAN recursion in one
+    Pallas kernel: primal ``m = g + G m⁺`` with ``n_tan`` tangent rows
+    ``dm_k = dg_k + dG_k m⁺ + G dm_k⁺`` (the derivative recursion of the
+    smoothing pass — shared by the fused solve, basic and daltonng
+    gradient paths).
+
+    Args:
+        g_aug (ndarray(T, (1+n_tan)*q, nb, B)): Primal + tangent offsets.
+        G_aug (ndarray(T, (1+n_tan)*q*q, nb, B)): Primal + tangent gains,
+            row-major per block.
+        mN_aug (ndarray((1+n_tan)*q, nb, B)): Terminal values.
+
+    Returns:
+        (ndarray(T, (1+n_tan)*q, nb, B)): Smoothed means + tangents.
+    """
+    n_aug = 1 + n_tan
+    n_len, _, n_block, n_lane = g_aug.shape
+    q = g_aug.shape[1] // n_aug
+    if chunk is None:
+        s_chunk = _pick_chunk_batch(n_len, n_lane * n_aug)
+    else:
+        s_chunk = _pick_chunk(n_len, target=chunk)
+    n_chunks = n_len // s_chunk
+    kern = functools.partial(_smoother_mean_kernel_batch_tan, n_tan,
+                             s_chunk, q, n_block, n_lane)
+    rev4 = lambda i: (n_chunks - 1 - i, 0, 0, 0)
+    blk = lambda d: pl.BlockSpec((s_chunk, d, n_block, n_lane), rev4,
+                                 memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple([0] * len(shape)), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_len, n_aug * q, n_block, n_lane), jnp.float32),
+        grid=(n_chunks,),
+        in_specs=[blk(n_aug * q), blk(n_aug * q * q),
+                  rep((n_aug * q, n_block, n_lane))],
+        out_specs=blk(n_aug * q),
+        scratch_shapes=[
+            pltpu.VMEM((n_aug * q, n_block, n_lane), jnp.float32),
+        ],
+        interpret=_interpret_mode(interpret),
+    )(g_aug.astype(jnp.float32), G_aug.astype(jnp.float32),
+      mN_aug.astype(jnp.float32))
+
+
 def solve_mv_fused_batch_grad(thetas, ode_weight, ode_inits,
                               t_min, t_max, n_steps,
                               prior_pars,
@@ -1587,33 +1636,8 @@ def solve_mv_fused_batch_grad(thetas, ode_weight, ode_inits,
     g_aug = jnp.concatenate([o[1] for o in outs], axis=1).astype(
         jnp.float32)                                  # (T-1, n_aug*q, ...)
     mN_aug = mf_a[-1]                                 # (n_aug*q, nb, B)
-
-    n_len = n_steps - 1
-    if chunk is None:
-        s_chunk = _pick_chunk_batch(n_len, n_lane * n_aug)
-    else:
-        s_chunk = _pick_chunk(n_len, target=chunk)
-    n_chunks = n_len // s_chunk
-    kern = functools.partial(_smoother_mean_kernel_batch_tan, n_tan,
-                             s_chunk, q, n_block, n_lane)
-    rev4 = lambda i: (n_chunks - 1 - i, 0, 0, 0)
-    blk = lambda d: pl.BlockSpec((s_chunk, d, n_block, n_lane), rev4,
-                                 memory_space=pltpu.VMEM)
-    rep = lambda shape: pl.BlockSpec(
-        shape, lambda i: tuple([0] * len(shape)), memory_space=pltpu.VMEM)
-    ms_aug = pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct(
-            (n_len, n_aug * q, n_block, n_lane), jnp.float32),
-        grid=(n_chunks,),
-        in_specs=[blk(n_aug * q), blk(n_aug * q * q),
-                  rep((n_aug * q, n_block, n_lane))],
-        out_specs=blk(n_aug * q),
-        scratch_shapes=[
-            pltpu.VMEM((n_aug * q, n_block, n_lane), jnp.float32),
-        ],
-        interpret=_interpret_mode(interpret),
-    )(g_aug, G_aug, mN_aug)
+    ms_aug = smoother_mean_recursion_batch_tan(
+        g_aug, G_aug, mN_aug, n_tan, chunk=chunk, interpret=interpret)
 
     def rows(a):  # (T, d, nb, B) -> (T, nb, d, B)
         return jnp.transpose(a, (0, 2, 1, 3))

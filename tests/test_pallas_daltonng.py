@@ -110,3 +110,44 @@ def test_daltonng_fused_poisson():
             obs_times=obs_times.astype(jnp.float64),
             obs_loglik_i=pois_loglik, **cfg64)
         np.testing.assert_allclose(float(lls[i]), float(ll_i), rtol=5e-3)
+
+
+def test_daltonng_fused_batch_grad():
+    """Tangent-augmented fused daltonng gradient: primal == the fused
+    batch exactly; gradient matches the f64 XLA `jax.grad` in DIRECTION
+    and scale (the value is a ~1e5-magnitude f32 difference of filter
+    sums, so componentwise f32 agreement is limited — the check is on
+    the normalized gradient and the norm ratio)."""
+    cfg, theta, obs_times, yobs = _setup()
+    B = 2
+    thetas = jnp.stack([theta, theta * 1.01])
+    inits = jnp.broadcast_to(cfg["ode_init"], (B,) + cfg["ode_init"].shape)
+    from rodeo_tpu.ops.pallas_daltonng import daltonng_fused_batch_grad
+    base = dict(ode_weight=cfg["ode_weight"], ode_inits=inits,
+                t_min=cfg["t_min"], t_max=cfg["t_max"],
+                n_steps=cfg["n_steps"], prior_pars=cfg["prior_pars"],
+                obs_data=yobs, obs_times=obs_times,
+                obs_comp_flat=obs_comp_flat, obs_dims=(0,),
+                ode_flat=lorenz.lorenz_flat,
+                jac_flat=lorenz.lorenz_jac_flat)
+    ll, grad = daltonng_fused_batch_grad(thetas=thetas, **base)
+    ll_ref = daltonng_fused_batch(thetas=thetas, **base)
+    np.testing.assert_array_equal(np.asarray(ll), np.asarray(ll_ref))
+    assert grad.shape == (B, 3)
+    cfg64 = lorenz.setup(n_steps=200, t_max=2.0, dtype=jnp.float64)
+    cfg64.pop("theta")
+    for i in range(B):
+        g_ref = jax.grad(lambda th: precond.daltonng(
+            key=None, interrogate=interrogate_kramer, theta=th,
+            obs_data=yobs.astype(jnp.float64),
+            obs_times=obs_times.astype(jnp.float64),
+            obs_loglik_i=nn_loglik, **cfg64))(
+                thetas[i].astype(jnp.float64))
+        g_ref = np.asarray(g_ref)
+        g = np.asarray(grad[i])
+        assert np.all(np.isfinite(g))
+        cos = float(g @ g_ref / (np.linalg.norm(g)
+                                 * np.linalg.norm(g_ref)))
+        ratio = float(np.linalg.norm(g) / np.linalg.norm(g_ref))
+        assert cos > 0.99, (g, g_ref, cos)
+        assert 0.9 < ratio < 1.1, (g, g_ref, ratio)
