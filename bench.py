@@ -719,7 +719,7 @@ def main():
     # meaningful (VERDICT r2 #6).
     mcmc_obs = None
     try:
-        import numpy as np
+        import numpy as np  # noqa: F811 - row-local import
         from rodeo_tpu.models import fitzhugh
         from rodeo_tpu.inference import pseudo_marginal as pm
         from rodeo_tpu.parallel import run_chains
@@ -825,6 +825,66 @@ def main():
     except Exception as e:  # noqa: BLE001
         details["mcmc_fused_bench_error"] = repr(e)[:500]
 
+    # gradient-based MCMC: lockstep MALA over the fused fenrir marginal
+    # likelihood + gradient (ONE tangent-augmented kernel pipeline per
+    # step for all chains) on the same FitzHugh observations
+    try:
+        import numpy as np
+        from rodeo_tpu.models import fitzhugh
+        from rodeo_tpu.parallel.chains import make_mala_runner
+        from rodeo_tpu.ops.pallas_fenrir import fenrir_fused_batch_grad
+        if mcmc_obs is None:
+            raise RuntimeError("posterior setup above failed")
+        obs_idx, y_m, sigma_obs, cfg_m, th_m = mcmc_obs
+        n_obs_m = y_m.shape[0]
+        obs_times_m = (10.0 * obs_idx / cfg_m["n_steps"]).astype(
+            jnp.float32)
+        D_m = jnp.zeros((n_obs_m, 2, 1, 3), jnp.float32
+                        ).at[:, :, :, 0].set(1.0)
+        Om_m = (sigma_obs ** 2) * jnp.broadcast_to(
+            jnp.eye(1, dtype=jnp.float32), (n_obs_m, 2, 1, 1))
+        n_lane_g, n_samp_g = 128, 100
+        inits_g = jnp.broadcast_to(
+            cfg_m["ode_init"], (n_lane_g,) + cfg_m["ode_init"].shape)
+
+        def logpost_grad(positions):
+            return fenrir_fused_batch_grad(
+                thetas=positions, ode_weight=cfg_m["ode_weight"],
+                ode_inits=inits_g, t_min=cfg_m["t_min"],
+                t_max=cfg_m["t_max"], n_steps=cfg_m["n_steps"],
+                prior_pars=cfg_m["prior_pars"],
+                obs_data=y_m[:, :, None], obs_times=obs_times_m,
+                obs_weight=D_m, obs_var=Om_m,
+                ode_flat=fitzhugh.fitzhugh_flat,
+                jac_flat=fitzhugh.fitzhugh_jac_flat)
+
+        runner_g = make_mala_runner(logpost_grad, n_lane_g, n_samp_g,
+                                    step_size=0.01)
+        init_g = jnp.broadcast_to(th_m, (n_lane_g, 3)).astype(jnp.float32)
+        tuned_g, acc_g = None, None
+        for s_cand in (0.002, 0.005, 0.01, 0.02):
+            _, _, acc_p = runner_g(init_g, jax.random.PRNGKey(31),
+                                   step_size_override=s_cand)
+            a = float(jnp.mean(acc_p))
+            # MALA's optimal acceptance is ~0.57
+            if acc_g is None or abs(a - 0.57) < abs(acc_g - 0.57):
+                tuned_g, acc_g = s_cand, a
+        details["mala_fused_tuned_step"] = tuned_g
+        t0 = time.perf_counter()
+        pos_g, ll_g, acc_gr = runner_g(init_g, jax.random.PRNGKey(32),
+                                       step_size_override=tuned_g)
+        _sync(pos_g)
+        dt_g = time.perf_counter() - t0
+        details["mala_fused_chain_steps_per_sec"] = round(
+            n_lane_g * n_samp_g / dt_g, 2)
+        details["mala_fused_mean_accept"] = round(float(jnp.mean(acc_gr)),
+                                                  3)
+        details["mala_fused_finite"] = bool(jnp.all(jnp.isfinite(ll_g)))
+        ess_g = _ess_total(np.asarray(pos_g[:, :, 0]))
+        details["mala_fused_ess_per_sec"] = round(ess_g / dt_g, 2)
+    except Exception as e:  # noqa: BLE001
+        details["mala_fused_bench_error"] = repr(e)[:500]
+
     # f32 coverage rows for the remaining inference surface (VERDICT r1 #4)
     try:
         import numpy as np
@@ -895,6 +955,37 @@ def main():
                     details[f"daltonng_fused_batch{Bng}_abs_err"] = round(
                         abs(float(out_ngf[0])
                             - float(truth["daltonng_ll"])), 6)
+
+        with _row(details, "daltonng_fused_grad"):
+            # fused daltonng value+grad (tangent-augmented Laplace filter;
+            # the (1+n_theta)x-wider kernel uses 16 lanes to stay inside
+            # the remote-compile envelope)
+            from rodeo_tpu.ops.pallas_daltonng import (
+                daltonng_fused_batch_grad)
+            Bngg = 16
+            ths_ngg = jnp.broadcast_to(th_i, (Bngg, 3)) * \
+                (1 + 1e-6 * jnp.arange(Bngg, dtype=jnp.float32)[:, None])
+            inits_ngg = jnp.broadcast_to(
+                cfg_i["ode_init"], (Bngg,) + cfg_i["ode_init"].shape)
+            nggf = jax.jit(lambda ts, x0: daltonng_fused_batch_grad(
+                thetas=ts, ode_weight=cfg_i["ode_weight"], ode_inits=x0,
+                t_min=cfg_i["t_min"], t_max=cfg_i["t_max"],
+                n_steps=cfg_i["n_steps"],
+                prior_pars=cfg_i["prior_pars"],
+                obs_data=yobs_i, obs_times=obs_times_i,
+                obs_comp_flat=nn_comp_flat, obs_dims=(0,),
+                ode_flat=lorenz.lorenz_flat,
+                jac_flat=lorenz.lorenz_jac_flat))
+            t_ngg, out_ngg = _timeit(nggf, (ths_ngg, inits_ngg),
+                                     n_rep=3, per=Bngg)
+            details["daltonng_fused_grad_evals_per_sec"] = round(
+                1.0 / t_ngg, 2)
+            details["daltonng_fused_grad_finite"] = bool(
+                jnp.all(jnp.isfinite(out_ngg[1])))
+            if truth is not None:
+                details["daltonng_fused_grad_ll_abs_err"] = round(
+                    abs(float(out_ngg[0][0])
+                        - float(truth["daltonng_ll"])), 6)
 
         # fused basic: shares the fused solve_mv forward pass
         from rodeo_tpu.ops import pallas_kalman as pk_basic

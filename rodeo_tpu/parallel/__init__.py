@@ -6,7 +6,8 @@ the natural scale-out axes for this library, see SURVEY.md §5).
 from rodeo_tpu.parallel.mesh import (
     make_mesh, batch_sharding, replicated_sharding)
 from rodeo_tpu.parallel.chains import (
-    run_chains, run_chains_fused, sharded_loglik)
+    run_chains, run_chains_fused, make_mala_runner,
+    run_chains_mala_fused, sharded_loglik)
 from rodeo_tpu.parallel.fused import (
     sharded_solve_mv_fused_batch, sharded_fenrir_fused_batch,
     sharded_dalton_fused_batch, sharded_daltonng_fused_batch,

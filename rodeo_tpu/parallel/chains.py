@@ -16,7 +16,8 @@ import jax.numpy as jnp
 
 from rodeo_tpu.parallel.mesh import make_mesh, batch_sharding
 
-__all__ = ["run_chains", "run_chains_fused", "sharded_loglik"]
+__all__ = ["run_chains", "run_chains_fused", "make_mala_runner",
+           "run_chains_mala_fused", "sharded_loglik"]
 
 
 def run_chains(alg, init_positions, key, n_samples,
@@ -193,6 +194,127 @@ def make_chain_runner(loglik_fn, n_lane, n_samples, rw_scale,
 
     del n_theta
     return run
+
+
+def make_mala_runner(logpost_grad_fn, n_lane, n_samples, step_size):
+    r"""
+    Build a jitted lockstep MALA (Metropolis-adjusted Langevin) runner:
+    ``runner(init_positions, key) -> (positions, logdens, accept)``.
+
+    Gradient-based MCMC is where the tangent-augmented fused kernels pay
+    off: ONE ``*_fused_batch_grad`` call per step supplies the value and
+    gradient for every chain, so the Langevin drift costs the same kernel
+    pass a plain likelihood evaluation would (the reference needs
+    reverse-mode through the whole solver scan — ~50x slower — and its
+    f32 DALTON gradient is cancellation noise besides).
+
+    Proposal ``x' = x + (eps^2/2) grad(x) + eps xi`` with the exact
+    asymmetric-kernel Metropolis correction.
+
+    Args:
+        logpost_grad_fn (Callable): ``logpost_grad_fn(positions) ->
+            (logdens (n_lane,), grad (n_lane, n_theta))`` — e.g. a closure
+            over :func:`rodeo_tpu.ops.pallas_fenrir.fenrir_fused_batch_grad`
+            plus a log-prior.
+        n_lane (int): Number of chains.
+        n_samples (int): Number of MCMC steps.
+        step_size (float | ndarray(n_theta,)): Langevin step size
+            (runtime-overridable, traced — no re-compile when tuning).
+
+    Returns:
+        (Callable): ``runner(init_positions, key, step_size=None)``.
+    """
+
+    def log_q(to, frm, g_frm, eps):
+        mu = frm + 0.5 * eps * eps * g_frm
+        return -jnp.sum((to - mu) ** 2 / (2.0 * eps * eps), axis=-1)
+
+    def one_step(eps, carry, step_key):
+        pos, ll, g = carry
+        k_prop, k_acc = jax.random.split(step_key)
+        xi = jax.random.normal(k_prop, pos.shape, jnp.float32)
+        prop = pos + 0.5 * eps * eps * g + eps * xi
+        ll_prop, g_prop = logpost_grad_fn(prop)
+        log_ratio = (ll_prop - ll
+                     + log_q(pos, prop, g_prop, eps)
+                     - log_q(prop, pos, g, eps))
+        log_u = jnp.log(jax.random.uniform(k_acc, (n_lane,), jnp.float32))
+        accept = log_u < jnp.nan_to_num(log_ratio, nan=-jnp.inf)
+        pos = jnp.where(accept[:, None], prop, pos)
+        ll = jnp.where(accept, ll_prop, ll)
+        g = jnp.where(accept[:, None], g_prop, g)
+        return (pos, ll, g), (pos, accept)
+
+    @jax.jit
+    def _run(init_positions, key, eps):
+        pos0 = init_positions.astype(jnp.float32)
+        ll0, g0 = logpost_grad_fn(pos0)
+        keys = jax.random.split(key, n_samples)
+        (pos, ll, g), (positions, accepted) = jax.lax.scan(
+            lambda c, k: one_step(eps, c, k), (pos0, ll0, g0), keys)
+        return positions, ll, jnp.mean(accepted.astype(jnp.float32),
+                                       axis=0)
+
+    def run(init_positions, key, step_size_override=None):
+        eps = jnp.asarray(
+            step_size if step_size_override is None else step_size_override,
+            jnp.float32)
+        eps = jnp.broadcast_to(eps, init_positions.shape[-1:])
+        return _run(init_positions, key, eps)
+
+    return run
+
+
+def run_chains_mala_fused(init_positions, key, n_samples, step_size,
+                          ode_weight, ode_init, t_min, t_max, n_steps,
+                          prior_pars, obs_data, obs_times, obs_weight,
+                          obs_var, ode_flat, jac_flat=None,
+                          logprior_grad_fn=None, likelihood="fenrir",
+                          chunk=None, interpret="auto"):
+    r"""
+    Lockstep MALA over the FENRIR (or DALTON) marginal likelihood, every
+    chain riding ONE tangent-augmented fused kernel pipeline per step.
+
+    Args:
+        likelihood (str): ``"fenrir"`` or ``"dalton"``.
+        logprior_grad_fn (Callable | None): Optional
+            ``logprior_grad_fn(positions) -> (logp (n_lane,),
+            grad (n_lane, n_theta))`` added to the likelihood (flat prior
+            otherwise).
+        (other args as :func:`run_chains_fused` /
+        :func:`rodeo_tpu.ops.pallas_fenrir.fenrir_fused_batch_grad`)
+
+    Returns:
+        (tuple): ``positions (n_samples, n_lane, n_theta)``,
+        ``logdens (n_lane,)``, ``accept_rate (n_lane,)``.
+    """
+    from rodeo_tpu.ops.pallas_fenrir import fenrir_fused_batch_grad
+    from rodeo_tpu.ops.pallas_dalton import dalton_fused_batch_grad
+    grad_fns = {"fenrir": fenrir_fused_batch_grad,
+                "dalton": dalton_fused_batch_grad}
+    if likelihood not in grad_fns:
+        raise NotImplementedError(
+            f"unknown likelihood {likelihood!r}; expected one of "
+            f"{sorted(grad_fns)}")
+    fused_grad = grad_fns[likelihood]
+    n_lane = init_positions.shape[0]
+    inits = jnp.broadcast_to(ode_init, (n_lane,) + ode_init.shape)
+
+    def logpost_grad_fn(positions):
+        ll, g = fused_grad(
+            thetas=positions, ode_weight=ode_weight, ode_inits=inits,
+            t_min=t_min, t_max=t_max, n_steps=n_steps,
+            prior_pars=prior_pars, obs_data=obs_data, obs_times=obs_times,
+            obs_weight=obs_weight, obs_var=obs_var, ode_flat=ode_flat,
+            jac_flat=jac_flat, chunk=chunk, interpret=interpret)
+        if logprior_grad_fn is not None:
+            lp, gp = logprior_grad_fn(positions)
+            ll, g = ll + lp, g + gp
+        return ll, g
+
+    runner = make_mala_runner(logpost_grad_fn, n_lane, n_samples,
+                              step_size)
+    return runner(init_positions, key)
 
 
 def sharded_loglik(loglik_fn, thetas, keys=None, mesh=None,

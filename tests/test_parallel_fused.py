@@ -272,3 +272,58 @@ def test_sharded_grad_wrappers(mesh):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_1),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_mala_exact_on_gaussian():
+    """MALA correctness on an analytic Gaussian target: the asymmetric
+    proposal correction must make the chain exactly invariant — sampled
+    moments converge to the target's."""
+    from rodeo_tpu.parallel import make_mala_runner
+    mu = jnp.array([1.0, -2.0], jnp.float32)
+    var = jnp.array([0.5, 2.0], jnp.float32)
+
+    def logpost_grad(pos):
+        ll = -0.5 * jnp.sum((pos - mu) ** 2 / var, axis=-1)
+        g = -(pos - mu) / var
+        return ll, g
+
+    n_lane, n_samp = 64, 400
+    runner = make_mala_runner(logpost_grad, n_lane, n_samp, step_size=0.8)
+    init = jnp.zeros((n_lane, 2), jnp.float32)
+    positions, ll, acc = runner(init, jax.random.PRNGKey(0))
+    assert positions.shape == (n_samp, n_lane, 2)
+    a = float(jnp.mean(acc))
+    assert 0.3 < a < 0.99, a
+    draws = np.asarray(positions[n_samp // 2:]).reshape(-1, 2)
+    np.testing.assert_allclose(draws.mean(0), np.asarray(mu), atol=0.1)
+    np.testing.assert_allclose(draws.var(0), np.asarray(var), rtol=0.25)
+
+
+def test_mala_fused_fenrir():
+    """Lockstep MALA over the tangent-augmented fused fenrir kernels:
+    runs, accepts, and the chains move from a perturbed start toward
+    higher posterior density."""
+    from rodeo_tpu.parallel import run_chains_mala_fused
+    from rodeo_tpu.models import fitzhugh
+    cfg = fitzhugh.setup(n_steps=50, t_max=2.0, dtype=jnp.float32)
+    theta = cfg.pop("theta")
+    n_obs = 5
+    obs_times = jnp.linspace(0.0, 2.0, n_obs).astype(jnp.float32)
+    rng = np.random.default_rng(9)
+    yobs = jnp.asarray(rng.normal(size=(n_obs, 2, 1)) * 0.5, jnp.float32)
+    D = jnp.zeros((n_obs, 2, 1, 3), jnp.float32).at[:, :, :, 0].set(1.0)
+    Om = 0.04 * jnp.broadcast_to(jnp.eye(1, dtype=jnp.float32),
+                                 (n_obs, 2, 1, 1))
+    n_lane, n_samp = 8, 10
+    init = jnp.broadcast_to(theta * 1.2, (n_lane, 3)).astype(jnp.float32)
+    positions, ll, acc = run_chains_mala_fused(
+        init, jax.random.PRNGKey(1), n_samples=n_samp, step_size=0.005,
+        ode_weight=cfg["ode_weight"], ode_init=cfg["ode_init"],
+        t_min=cfg["t_min"], t_max=cfg["t_max"], n_steps=cfg["n_steps"],
+        prior_pars=cfg["prior_pars"], obs_data=yobs, obs_times=obs_times,
+        obs_weight=D, obs_var=Om, ode_flat=fitzhugh.fitzhugh_flat,
+        jac_flat=fitzhugh.fitzhugh_jac_flat)
+    assert positions.shape == (n_samp, n_lane, 3)
+    assert bool(jnp.all(jnp.isfinite(ll)))
+    assert float(jnp.mean(acc)) > 0.0
+    assert bool(jnp.any(positions[-1] != init))
