@@ -862,7 +862,7 @@ def main():
                                     step_size=0.01)
         init_g = jnp.broadcast_to(th_m, (n_lane_g, 3)).astype(jnp.float32)
         tuned_g, acc_g = None, None
-        for s_cand in (0.002, 0.005, 0.01, 0.02):
+        for s_cand in (0.005, 0.01, 0.02, 0.05, 0.1):
             _, _, acc_p = runner_g(init_g, jax.random.PRNGKey(31),
                                    step_size_override=s_cand)
             a = float(jnp.mean(acc_p))
