@@ -958,11 +958,10 @@ def main():
 
         with _row(details, "daltonng_fused_grad"):
             # fused daltonng value+grad (tangent-augmented Laplace filter;
-            # the (1+n_theta)x-wider kernel uses 16 lanes to stay inside
-            # the remote-compile envelope)
+            # the (1+n_theta)x-wider kernel compiles up to 64 lanes)
             from rodeo_tpu.ops.pallas_daltonng import (
                 daltonng_fused_batch_grad)
-            Bngg = 16
+            Bngg = 64
             ths_ngg = jnp.broadcast_to(th_i, (Bngg, 3)) * \
                 (1 + 1e-6 * jnp.arange(Bngg, dtype=jnp.float32)[:, None])
             inits_ngg = jnp.broadcast_to(
