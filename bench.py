@@ -1095,6 +1095,29 @@ def main():
                 prior_pars=cfg_i["prior_pars"], dt=T_MAX / 4000)))
             t_mv, out_mv = _timeit(mgv, (us,), n_rep=3)
             details["magi_vmapped16_evals_per_sec"] = round(nbm / t_mv, 2)
+
+        # fused lane-batched MAGI (Pallas kernel, lane 0 unperturbed for
+        # the accuracy audit against the f64 CPU magi_ll)
+        from rodeo_tpu.ops import pallas_magi
+        for Bmg in (128, 512):
+            with _row(details, f"magi_fused_batch{Bmg}"):
+                us_f = jnp.broadcast_to(
+                    mu_i[:, :, :2], (Bmg,) + mu_i[:, :, :2].shape)
+                us_f = us_f + 1e-4 * jnp.arange(
+                    Bmg, dtype=jnp.float32)[:, None, None, None]
+                mgf = jax.jit(lambda u: pallas_magi.magi_fused_batch(
+                    u, ode_expand, 2, cfg_i["prior_pars"], T_MAX / 4000))
+                t_mf, out_mf = _timeit(mgf, (us_f,), n_rep=3, per=Bmg)
+                details[f"magi_fused_batch{Bmg}_evals_per_sec"] = round(
+                    1.0 / t_mf, 2)
+                details[f"magi_fused_batch{Bmg}_finite"] = bool(
+                    jnp.all(jnp.isfinite(out_mf)))
+                if truth is not None:
+                    details[f"magi_fused_batch{Bmg}_abs_err"] = round(
+                        abs(float(out_mf[0]) - float(truth["magi_ll"])), 6)
+                    details[f"magi_fused_batch{Bmg}_rel_err"] = round(
+                        abs(float(out_mf[0]) - float(truth["magi_ll"]))
+                        / max(abs(float(truth["magi_ll"])), 1e-30), 9)
     except Exception as e:  # noqa: BLE001
         details["f32_inference_bench_error"] = repr(e)[:500]
 

@@ -29,6 +29,7 @@ __all__ = ["sharded_solve_mv_fused_batch", "sharded_fenrir_fused_batch",
            "sharded_fenrir_fused_batch_grad",
            "sharded_dalton_fused_batch_grad",
            "sharded_basic_fused_batch_grad",
+           "sharded_magi_fused_batch",
            "run_chains_fused_sharded"]
 
 
@@ -323,6 +324,32 @@ def sharded_solve_sim_fused_batch(key, thetas, ode_weight, ode_inits,
 
     return _lane_sharded(local, mesh, axis_name, 1, 3)(
         thetas, ode_inits, ode_weight)
+
+
+def sharded_magi_fused_batch(ode_data_subsets, ode_expand, n_active,
+                             prior_pars, dt, sig2_lanes=None,
+                             mesh=None, axis_name="batch",
+                             chunk=None, interpret="auto", **params):
+    r"""
+    :func:`rodeo_tpu.ops.pallas_magi.magi_fused_batch` with the lane axis
+    (candidate paths / MCMC chains over the subset state) sharded over a
+    device mesh.  Returns ``(n_lane,)`` log-densities, globally sharded.
+    """
+    from rodeo_tpu.ops import pallas_magi as pm
+    if mesh is None:
+        mesh = make_mesh(axis_name=axis_name)
+
+    def local(subsets, sig2):
+        return pm.magi_fused_batch(
+            subsets, ode_expand, n_active, prior_pars, dt,
+            sig2_lanes=sig2, chunk=chunk, interpret=interpret, **params)
+
+    if sig2_lanes is None:
+        sig2_lanes = jnp.ones(ode_data_subsets.shape[0], jnp.float32)
+    return shard_map(
+        local, mesh=mesh, in_specs=(P(axis_name), P(axis_name)),
+        out_specs=P(axis_name), check_vma=False,
+    )(ode_data_subsets, jnp.asarray(sig2_lanes, jnp.float32))
 
 
 def run_chains_fused_sharded(loglik_fn, init_positions, key, n_samples,

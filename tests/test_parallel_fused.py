@@ -327,3 +327,32 @@ def test_mala_fused_fenrir():
     assert bool(jnp.all(jnp.isfinite(ll)))
     assert float(jnp.mean(acc)) > 0.0
     assert bool(jnp.any(positions[-1] != init))
+
+
+def test_sharded_magi_fused_batch(mesh):
+    from rodeo_tpu.parallel.fused import sharded_magi_fused_batch
+    from rodeo_tpu.ops import pallas_magi
+    cfg = fitzhugh.setup(n_steps=64, t_max=2.0, dtype=jnp.float32)
+    cfg.pop("theta")
+    dt = 2.0 / 64
+    B = 16
+    rng = np.random.default_rng(5)
+    n_block = cfg["ode_init"].shape[0]
+    base = jnp.asarray(rng.normal(size=(65, n_block, 2)), jnp.float32)
+
+    def ode_expand(u, **p):
+        pad = jnp.zeros(u.shape[:-1] + (1,), u.dtype)
+        return jnp.concatenate([u, pad], axis=-1)
+
+    subsets = jnp.stack([
+        base + 0.1 * i * jnp.asarray(
+            rng.normal(size=base.shape), jnp.float32) for i in range(B)])
+    sig2 = jnp.linspace(0.5, 2.0, B)
+    ll_s = sharded_magi_fused_batch(
+        subsets, ode_expand, 2, cfg["prior_pars"], dt,
+        sig2_lanes=sig2, mesh=mesh)
+    ll_1 = pallas_magi.magi_fused_batch(
+        subsets, ode_expand, 2, cfg["prior_pars"], dt, sig2_lanes=sig2)
+    assert ll_s.shape == (B,)
+    np.testing.assert_allclose(np.asarray(ll_s), np.asarray(ll_1),
+                               rtol=1e-5)
