@@ -1099,7 +1099,7 @@ def main():
         # fused lane-batched MAGI (Pallas kernel, lane 0 unperturbed for
         # the accuracy audit against the f64 CPU magi_ll)
         from rodeo_tpu.ops import pallas_magi
-        for Bmg in (128, 512):
+        for Bmg in (128, 512, 2048):
             with _row(details, f"magi_fused_batch{Bmg}"):
                 us_f = jnp.broadcast_to(
                     mu_i[:, :, :2], (Bmg,) + mu_i[:, :, :2].shape)
