@@ -98,14 +98,16 @@ def drain(o):
 
 
 def measure(fn, arg, K=6):
+    # NOTE: inputs must be precomputed — an eager op inside the timed
+    # loop serializes the tunnel pipeline (measured: 24 -> 116 ms/pass)
     o = fn(arg)
     drain(o)
     t0 = time.perf_counter()
     drain(o)
     probe = time.perf_counter() - t0
     t0 = time.perf_counter()
-    for i in range(K):
-        o = fn(arg * (1 + 1e-7 * (i + 1)))
+    for _ in range(K):
+        o = fn(arg)
     drain(o)
     return (time.perf_counter() - t0 - probe) / K
 
