@@ -95,6 +95,13 @@ def magi_logdens(ode_data_subset,
         # near-singular directions of the tight IBM forecast variance.
         logdens = jax.vmap(jax.scipy.stats.multivariate_normal.logpdf)(
             x_meas, mean_state_fore, var_state_fore)
+        # joseph=True: with exact (zero-noise) pseudo-observations the
+        # subtractive covariance update loses PSD within ~20 steps and the
+        # recursion silently drifts (the reference implementation is ~3x
+        # off the closed-form joint-MVN value on non-ODE-consistent paths;
+        # ours NaNed).  The Joseph form is exact-arithmetic identical and
+        # tracks the dense oracle to ~1e-7 relative — see
+        # tests/test_inference_oracle.py::test_magi_dense_oracle.
         mean_state_next, var_state_next = kalman_funs.update(
             mean_state_pred=mean_state_pred,
             var_state_pred=var_state_pred,
@@ -102,6 +109,7 @@ def magi_logdens(ode_data_subset,
             mean_meas=mean_meas,
             wgt_meas=wgt_meas,
             var_meas=var_meas,
+            joseph=True,
         )
         carry["state"] = (mean_state_next, var_state_next)
         carry["logdens"] = carry["logdens"] + jnp.sum(logdens)

@@ -82,6 +82,7 @@ def update(mean_state_pred,
            mean_meas,
            wgt_meas,
            var_meas,
+           joseph=None,
            *args, **kwargs):
     r"""
     One update step of the Kalman filter.
@@ -96,6 +97,12 @@ def update(mean_state_pred,
         mean_meas (ndarray(..., n_meas)): Measurement offset :math:`d_n`.
         wgt_meas (ndarray(..., n_meas, n_state)): Measurement matrix :math:`W_n`.
         var_meas (ndarray(..., n_meas, n_meas)): Measurement noise :math:`V_n`.
+        joseph (bool | None): Force the Joseph-stabilized covariance update
+            on (True) or off (False); ``None`` defers to
+            ``fast_linalg_enabled()``.  Exact-arithmetic identical either
+            way; Joseph preserves PSD under cancellation (essential for
+            exact/zero-noise pseudo-measurements, where the subtractive
+            form drifts indefinite — see the MAGI oracle test).
 
     Returns:
         (tuple): ``mean_state_filt`` :math:`\mu_{n|n}` and
@@ -107,8 +114,10 @@ def update(mean_state_pred,
     # Kalman gain K = Sigma W' S^{-1} = (S^{-1} W Sigma)'
     gain = mtt(solve_var(var_meas_meas_pred, var_meas_state_pred))
     mean_state_filt = mean_state_pred + mvdot(gain, x_meas - mean_meas_pred)
-    from rodeo_tpu.ops.linalg import fast_linalg_enabled
-    if fast_linalg_enabled():
+    if joseph is None:
+        from rodeo_tpu.ops.linalg import fast_linalg_enabled
+        joseph = fast_linalg_enabled()
+    if joseph:
         # Joseph-stabilized covariance update: PSD-preserving under
         # float32 cancellation (essential for exact/zero-noise
         # pseudo-measurements on the TPU fast path)

@@ -156,3 +156,106 @@ def test_fenrir_dalton_agree_sqrt(linear_setup):
     ll_d = dalton_mod.dalton(prior_pars=prior_sqrt, obs_var=obs_var_sqrt,
                              kalman_type="square-root", **kw)
     np.testing.assert_allclose(float(ll_d), ll_oracle, rtol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# MAGI: the log-density p(U, Z=0 | theta) is itself a joint-MVN density of
+# the "observed" derivative rows under the IBM prior (Dirac init at X_0), so
+# it has a dense closed form.  This covers the regime the parity test cannot:
+# with exact (zero-noise) pseudo-observations, the subtractive covariance
+# update loses PSD within ~20 steps and any fp difference amplifies ~15x per
+# step.  On non-ODE-consistent paths (where every MCMC/optimization iterate
+# lives) the reference implementation silently returns values ~3x off this
+# oracle; the Joseph-form update used here tracks it to ~1e-7 relative.
+# ---------------------------------------------------------------------------
+
+magi_mod = importlib.import_module("rodeo_tpu.inference.magi")
+
+
+def _magi_dense_logdens(ode_state, prior_pars, n_active):
+    """Exact log p(x_meas_{1:N} | X_0) by the dense joint MVN, per block."""
+    Q, R = [np.asarray(a, dtype=np.float64) for a in prior_pars]
+    ode_state = np.asarray(ode_state, dtype=np.float64)
+    n_tot, n_block, q = ode_state.shape
+    N = n_tot - 1
+    na = n_active
+    total = 0.0
+    for b in range(n_block):
+        Qb, Rb = Q[b], R[b]
+        P = [np.zeros((q, q))]            # Var(X_n | X_0)
+        mu = [ode_state[0, b]]            # E[X_n | X_0]
+        for _ in range(N):
+            P.append(Qb @ P[-1] @ Qb.T + Rb)
+            mu.append(Qb @ mu[-1])
+        S = np.zeros((N * na, N * na))
+        for m in range(1, N + 1):
+            S[(m - 1) * na:m * na, (m - 1) * na:m * na] = P[m][:na, :na]
+            acc = P[m]
+            for n in range(m + 1, N + 1):
+                acc = acc @ Qb.T          # Cov(X_m, X_n) = P_m (Q^T)^{n-m}
+                S[(m - 1) * na:m * na, (n - 1) * na:n * na] = acc[:na, :na]
+                S[(n - 1) * na:n * na, (m - 1) * na:m * na] = acc[:na, :na].T
+        z = np.concatenate([ode_state[m, b, :na] - mu[m][:na]
+                            for m in range(1, N + 1)])
+        _, logdet = np.linalg.slogdet(S)
+        total += -0.5 * (z @ np.linalg.solve(S, z) + logdet
+                         + z.size * np.log(2 * np.pi))
+    return total
+
+
+@pytest.fixture(scope="module")
+def magi_setup():
+    """FitzHugh-style expand on a sinusoid path — deliberately NOT an ODE
+    solution, so the pseudo-observation residuals are large (the hard
+    regime)."""
+    n_vars, n_deriv, n_active = 2, 3, 2
+    theta = jnp.array([0.2, 0.2, 3.0])
+    t_min, t_max, n_steps = 0.0, 4.0, 40
+    dt = (t_max - t_min) / n_steps
+    times = jnp.linspace(t_min, t_max, n_steps + 1)
+    prior_pars = ibm_init(dt, n_deriv, jnp.array([30.0, 30.0]))
+
+    def fitz_fun(X, t, **params):
+        a, b, c = params["theta"]
+        V, R = X[:, 0]
+        return jnp.array([[c * (V - V ** 3 / 3 + R)],
+                          [-1 / c * (V - a + b * R)]])
+
+    def ode_expand(U, **params):
+        f = jax.vmap(lambda u: fitz_fun(u, 0.0, **params))(U)
+        return jnp.concatenate([U, f, jnp.zeros_like(f)], axis=-1)
+
+    U = jnp.stack([jnp.sin(times / 3), jnp.cos(times / 4)],
+                  axis=-1)[..., None]
+    return dict(U=U, ode_expand=ode_expand, n_active=n_active,
+                prior_pars=prior_pars, theta=theta, dt=dt)
+
+
+@pytest.mark.parametrize("kalman_type", ["standard", "square-root"])
+def test_magi_dense_oracle(magi_setup, kalman_type):
+    s = magi_setup
+    prior = s["prior_pars"]
+    if kalman_type == "square-root":
+        prior = (prior[0], jnp.linalg.cholesky(prior[1]))
+    ll = magi_mod.magi_logdens(
+        ode_data_subset=s["U"], ode_expand=s["ode_expand"],
+        n_active=s["n_active"], prior_pars=prior,
+        kalman_type=kalman_type, theta=s["theta"])
+    ll_oracle = _magi_dense_logdens(
+        s["ode_expand"](s["U"], theta=s["theta"]), s["prior_pars"],
+        s["n_active"])
+    np.testing.assert_allclose(float(ll), ll_oracle, rtol=1e-6)
+
+
+def test_magi_precond_dense_oracle(magi_setup):
+    """The f32-oriented preconditioned entry point hits the same oracle."""
+    precond = importlib.import_module("rodeo_tpu.ops.precond")
+    s = magi_setup
+    ll = precond.magi_logdens(
+        ode_data_subset=s["U"], ode_expand=s["ode_expand"],
+        n_active=s["n_active"], prior_pars=s["prior_pars"],
+        dt=s["dt"], theta=s["theta"])
+    ll_oracle = _magi_dense_logdens(
+        s["ode_expand"](s["U"], theta=s["theta"]), s["prior_pars"],
+        s["n_active"])
+    np.testing.assert_allclose(float(ll), ll_oracle, rtol=1e-6)
