@@ -82,8 +82,7 @@ def update(mean_state_pred,
            mean_meas,
            wgt_meas,
            var_meas,
-           joseph=None,
-           *args, **kwargs):
+           *args, joseph=None, **kwargs):
     r"""
     One update step of the Kalman filter.
 
