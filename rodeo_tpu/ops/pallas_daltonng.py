@@ -740,22 +740,18 @@ def _daltonng_fused_batch_impl(thetas, ode_weight, ode_inits,
         logy_x = logy_x + jnp.sum(contrib, axis=(0, 1))
 
     # --- filter 2: plain ODE filter (marginal p(Z)) ---------------------
-    mfz, pfz, mpz, ppz = fused_filter_batch(
+    # gains emitted straight from the kernel (entry 0 conditions onto the
+    # Dirac init — not needed); final filtered state seeds logx_zN
+    Az_k, bz_full, Cz_full, mz_last, pz_last = fused_filter_batch(
         ode_flat, jac_flat, n_steps, Qs, Rs, W_s, x0_lanes,
         theta_lanes, tgrid, t_vec, chunk=chunk, interpret=interpret,
-        raw_q_const=q_const, mode=mode)
-    mfz_full = jnp.concatenate([m0, mfz])
-    pfz_full = jnp.concatenate([p0, pfz])
-    mpz_full = jnp.concatenate([m0, mpz])
-    ppz_full = jnp.concatenate([p0, ppz])
-    Gz_k, bz_k, Cz = _cond_params_cols(q, n_tri, q_const, Rs,
-                                       mfz_full[1:], pfz_full[1:],
-                                       mpz_full[1:], ppz_full[1:])
+        raw_q_const=q_const, mode=mode, emit="gains")
+    Gz_k, bz_k, Cz = Az_k[1:], bz_full[1:], Cz_full[1:]
 
     # logx_z at the smoothed-mean path
     logx_zN = jnp.sum(_logpdf_packed(
-        mean_path[n_steps][None], mfz_full[n_steps][None],
-        pfz_full[n_steps][None], q), axis=(0, 1))
+        mean_path[n_steps][None], mz_last[None],
+        pz_last[None], q), axis=(0, 1))
     # mean_sim_i = b_i + sum_j Gz[i,j] path_j — elementwise column sums
     # (einsum on these layouts lowers to costly transposes; and the TPU
     # default dot precision is bfloat16)

@@ -385,26 +385,13 @@ def fenrir_fused_batch(thetas, ode_weight, ode_inits,
     tgrid = t_min + (t_max - t_min) * (jnp.arange(n_steps) + 1) / n_steps
     theta_lanes = jnp.transpose(thetas).astype(jnp.float32)
 
-    mf, pf, mp, pp = fused_filter_batch(
+    # forward filter emitting the backward-chain (A, b, C) for steps
+    # 0..N-1 directly from the kernel (the separate XLA gains stage over
+    # the stored filter states was 44% of the whole pass at 512 lanes)
+    A_k, b_k, C_k, m_last, p_last = fused_filter_batch(
         ode_flat, jac_flat, n_steps, Qs, Rs, W_s, x0_lanes,
         theta_lanes, tgrid, t_vec, chunk=chunk, interpret=interpret,
-        raw_q_const=q_const)
-
-    # backward-chain (A, b, C) for steps 0..N-1 in column layout
-    R_packed = _pack_tri(Rs, pairs)
-    R_cols_b = [R_packed[None, :, k, None] for k in range(n_tri)]
-    zero1 = jnp.zeros((1, n_block, n_lane), jnp.float32)
-    mf_full = [jnp.concatenate([x0_lanes[j][None], mf[:-1, j]])
-               for j in range(q)]
-    pf_full = [jnp.concatenate([zero1, pf[:-1, k]]) for k in range(n_tri)]
-    mpn = [mp[:, j] for j in range(q)]
-    ppn = [pp[:, k] for k in range(n_tri)]
-    A, b, C = _gain_cols_batched(q, n_tri, q_const, R_cols_b,
-                                 mf_full, pf_full, mpn, ppn)
-    A_k = jnp.stack([A[i][j] for i in range(q) for j in range(q)],
-                    axis=1).astype(jnp.float32)
-    b_k = jnp.stack(b, axis=1).astype(jnp.float32)
-    C_k = jnp.stack(C, axis=1).astype(jnp.float32)
+        raw_q_const=q_const, emit="gains")
 
     # observation model on the grid (shared across lanes)
     sim_times = jnp.linspace(t_min, t_max, n_steps + 1)
@@ -426,8 +413,8 @@ def fenrir_fused_batch(thetas, ode_weight, ode_inits,
     om_k = jnp.transpose(om_grid[:n_steps], (0, 2, 1))[..., None]
 
     # terminal masked update (column algebra, lane axis last)
-    mN = [mf[-1, j] for j in range(q)]                        # (nb, B)
-    pN = [pf[-1, k] for k in range(n_tri)]
+    mN = [m_last[j] for j in range(q)]                        # (nb, B)
+    pN = [p_last[k] for k in range(n_tri)]
     DN = [d_grid[n_steps, :, j, None] for j in range(q)]      # (nb, 1)
     omN = om_grid[n_steps, :, :1]
     yN = y_grid[n_steps, :, :1]

@@ -1003,7 +1003,7 @@ def fused_smoother_composed(n_steps, prior_weight, prior_var,
 
 
 def _filter_kernel_batch(ode_flat, jac_flat, mode, chunk, q, n_block,
-                         n_tri, n_lane, q_const,
+                         n_tri, n_lane, q_const, emit,
                          *refs):
     """Lane-batched forward filter: state columns are (n_block, n_lane).
 
@@ -1018,13 +1018,35 @@ def _filter_kernel_batch(ode_flat, jac_flat, mode, chunk, q, n_block,
       the standard normals :math:`\\epsilon` precomputed OUTSIDE the
       kernel and streamed in per chunk (the in-kernel work is one packed
       column Cholesky + triangular matvec per step).
+
+    ``emit`` selects the kernel outputs (compile-time):
+
+    - ``"states"``: per-step filtered/predicted mean+cov (4 streams) —
+      the raw-material layout, whose consumers then compute smoothing
+      gains in a separate batched XLA stage;
+    - ``"gains"``: per-step smoothing gains ``(G, g, L)`` computed
+      in-register off the carry (filtered n-1) and the fresh prediction
+      (n), plus the final filtered state.  Same total output traffic as
+      "states" (18 columns/step) but the HBM round-trip of the XLA
+      gains stage — measured at 44% of the fenrir fused-batch pass at
+      512 lanes — disappears entirely.
     """
     if mode == "chkrebtii":
-        (q_ref, r_ref, w_ref, x0_ref, th_ref, tgrid_ref, tv_ref, eps_ref,
-         mf_ref, pf_ref, mp_ref, pp_ref, m_scr, p_scr) = refs
+        if emit == "gains":
+            (q_ref, r_ref, w_ref, x0_ref, th_ref, tgrid_ref, tv_ref,
+             eps_ref, A_ref, b_ref, C_ref, mlast_ref, plast_ref,
+             m_scr, p_scr) = refs
+        else:
+            (q_ref, r_ref, w_ref, x0_ref, th_ref, tgrid_ref, tv_ref,
+             eps_ref, mf_ref, pf_ref, mp_ref, pp_ref, m_scr, p_scr) = refs
     else:
-        (q_ref, r_ref, w_ref, x0_ref, th_ref, tgrid_ref, tv_ref,
-         mf_ref, pf_ref, mp_ref, pp_ref, m_scr, p_scr) = refs
+        if emit == "gains":
+            (q_ref, r_ref, w_ref, x0_ref, th_ref, tgrid_ref, tv_ref,
+             A_ref, b_ref, C_ref, mlast_ref, plast_ref,
+             m_scr, p_scr) = refs
+        else:
+            (q_ref, r_ref, w_ref, x0_ref, th_ref, tgrid_ref, tv_ref,
+             mf_ref, pf_ref, mp_ref, pp_ref, m_scr, p_scr) = refs
         eps_ref = None
     pairs, where = _tri_idx(q)
     gi = pl.program_id(0)
@@ -1046,6 +1068,19 @@ def _filter_kernel_batch(ode_flat, jac_flat, mode, chunk, q, n_block,
         mp_cols = _matvec(q, Qm, m_cols)
         pp_cols = _sym_quadform(q, Qm, p_cols, where)
         pp_cols = [pp_cols[k] + R_cols[k] for k in range(n_tri)]
+        if emit == "gains":
+            # smoothing gain for the transition (n-1 -> n): everything it
+            # needs (filtered n-1 = the carry, predicted n = fresh) is in
+            # registers right now
+            G, g, L = _gain_cols_batched(q, n_tri, Qm, R_cols,
+                                         m_cols, p_cols, mp_cols, pp_cols)
+            for i in range(q):
+                for j in range(q):
+                    A_ref[r, i * q + j] = G[i][j]
+            for i in range(q):
+                b_ref[r, i] = g[i]
+            for k in range(n_tri):
+                C_ref[r, k] = L[k]
         if mode == "chkrebtii":
             # interrogate at a posterior-predictive draw (scaled coords)
             Lc = _chol_cols(q, pp_cols, where)
@@ -1093,12 +1128,13 @@ def _filter_kernel_batch(ode_flat, jac_flat, mode, chunk, q, n_block,
             V = S * 0.5
             pf_cols = [pf_cols[k] + gain[i] * gain[j] * V
                        for k, (i, j) in enumerate(pairs)]
-        for j in range(q):
-            mp_ref[r, j] = mp_cols[j]
-            mf_ref[r, j] = mf_cols[j]
-        for k in range(n_tri):
-            pp_ref[r, k] = pp_cols[k]
-            pf_ref[r, k] = pf_cols[k]
+        if emit != "gains":
+            for j in range(q):
+                mp_ref[r, j] = mp_cols[j]
+                mf_ref[r, j] = mf_cols[j]
+            for k in range(n_tri):
+                pp_ref[r, k] = pp_cols[k]
+                pf_ref[r, k] = pf_cols[k]
         return tuple(mf_cols) + tuple(pf_cols)
 
     m0 = [m_scr[j] for j in range(q)]
@@ -1108,6 +1144,14 @@ def _filter_kernel_batch(ode_flat, jac_flat, mode, chunk, q, n_block,
         m_scr[j] = out[j]
     for k in range(n_tri):
         p_scr[k] = out[q + k]
+    if emit == "gains":
+        # constant-index output blocks are revisited every grid step; the
+        # final grid step's write is what lands, i.e. the last filtered
+        # state — exactly the smoother/terminal-update seed
+        for j in range(q):
+            mlast_ref[j] = out[j]
+        for k in range(n_tri):
+            plast_ref[k] = out[q + k]
 
 
 def _pick_chunk_batch(n_steps, n_lane, budget_bytes=6 * 2 ** 20):
@@ -1123,7 +1167,7 @@ def fused_filter_batch(ode_flat, jac_flat, n_steps,
                        prior_weight, prior_var, ode_weight, x0_lanes,
                        theta_lanes, tgrid, t_vec, chunk=None,
                        interpret="auto", raw_q_const=None,
-                       mode=None, eps=None):
+                       mode=None, eps=None, emit="states"):
     """Lane-batched fused forward filter.
 
     Args:
@@ -1135,12 +1179,25 @@ def fused_filter_batch(ode_flat, jac_flat, n_steps,
             ``"kramer"`` when ``jac_flat`` is given, else ``"rodeo"``).
         eps (ndarray(n_steps, q, n_block, n_lane) | None): Standard
             normals for the ``"chkrebtii"`` interrogation draws.
+        emit (str): ``"states"`` (default) or ``"gains"`` — emit per-step
+            smoothing gains computed in-register instead of the raw
+            filter states, skipping the batched-XLA gains stage (and its
+            full HBM round-trip) in the smoothing/backward consumers.
         (other args as :func:`fused_filter`; prior/weights shared across
         lanes)
 
     Returns:
-        4 arrays of shape ``(n_steps, q | n_tri, n_block, n_lane)``:
-        filtered mean/cov, predicted mean/cov (covs packed).
+        ``emit="states"``: 4 arrays of shape
+        ``(n_steps, q | n_tri, n_block, n_lane)``: filtered mean/cov,
+        predicted mean/cov (covs packed).
+
+        ``emit="gains"``: 5 arrays — smoothing gains ``G``
+        ``(n_steps, q*q, n_block, n_lane)`` (row-major ``i*q+j``),
+        offsets ``g`` ``(n_steps, q, ...)``, Joseph covariances ``L``
+        ``(n_steps, n_tri, ...)`` (entry ``n`` maps filtered ``n`` onto
+        filtered ``n-1``, with entry 0 seeded by the initial state), and
+        the final filtered mean ``(q, n_block, n_lane)`` / packed cov
+        ``(n_tri, n_block, n_lane)``.
     """
     q, n_block, n_lane = x0_lanes.shape
     pairs, _ = _tri_idx(q)
@@ -1157,13 +1214,27 @@ def fused_filter_batch(ode_flat, jac_flat, n_steps,
         q_const = raw_q_const
     kern = functools.partial(_filter_kernel_batch, ode_flat, jac_flat,
                              mode, chunk, q, n_block, n_tri, n_lane,
-                             q_const)
-    outs = [
-        jax.ShapeDtypeStruct((n_steps, q, n_block, n_lane), jnp.float32),
-        jax.ShapeDtypeStruct((n_steps, n_tri, n_block, n_lane), jnp.float32),
-        jax.ShapeDtypeStruct((n_steps, q, n_block, n_lane), jnp.float32),
-        jax.ShapeDtypeStruct((n_steps, n_tri, n_block, n_lane), jnp.float32),
-    ]
+                             q_const, emit)
+    if emit == "gains":
+        outs = [
+            jax.ShapeDtypeStruct((n_steps, q * q, n_block, n_lane),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, q, n_block, n_lane),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, n_tri, n_block, n_lane),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((q, n_block, n_lane), jnp.float32),
+            jax.ShapeDtypeStruct((n_tri, n_block, n_lane), jnp.float32),
+        ]
+    else:
+        outs = [
+            jax.ShapeDtypeStruct((n_steps, q, n_block, n_lane), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, n_tri, n_block, n_lane),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, q, n_block, n_lane), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, n_tri, n_block, n_lane),
+                                 jnp.float32),
+        ]
     rep = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple([0] * len(shape)), memory_space=pltpu.VMEM)
     in_specs = [
@@ -1193,7 +1264,12 @@ def fused_filter_batch(ode_flat, jac_flat, n_steps,
     blk = lambda d: pl.BlockSpec((chunk, d, n_block, n_lane),
                                  lambda i: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
-    out_specs = [blk(q), blk(n_tri), blk(q), blk(n_tri)]
+    if emit == "gains":
+        out_specs = [blk(q * q), blk(q), blk(n_tri),
+                     rep((q, n_block, n_lane)),
+                     rep((n_tri, n_block, n_lane))]
+    else:
+        out_specs = [blk(q), blk(n_tri), blk(q), blk(n_tri)]
     return pl.pallas_call(
         kern, out_shape=outs, grid=(n_chunks,),
         in_specs=in_specs, out_specs=out_specs,
@@ -1415,27 +1491,15 @@ def solve_mv_fused_batch(thetas, ode_weight, ode_inits,
             raise ValueError("interrogation='chkrebtii' requires a key")
         eps = jax.random.normal(
             key, (n_steps, q, n_block, n_lane), jnp.float32)
-    mf, pf, mp, pp = fused_filter_batch(
+    # forward filter emitting the smoothing gains straight from the
+    # kernel; entry 0 (conditioning onto the Dirac initial state) is not
+    # needed by the smoother, whose seed is the final filtered state
+    A_k, b_k, C_k, m_last, p_last = fused_filter_batch(
         ode_flat, jac_flat, n_steps, Qs, Rs, W_s, x0_lanes,
         theta_lanes, tgrid, t_vec, chunk=chunk, interpret=interpret,
-        raw_q_const=q_const, mode=interrogation, eps=eps)
-
-    # smoothing gains in column layout (T-1, nb, B) — batched over time
-    # and lanes at once, no dense (q, q) trailing dims
-    R_packed = _pack_tri(Rs, pairs)                           # (nb, n_tri)
-    R_cols_b = [R_packed[None, :, k, None] for k in range(n_tri)]
-    mf_cols = [mf[:-1, j] for j in range(q)]
-    pf_cols = [pf[:-1, k] for k in range(n_tri)]
-    mpn_cols = [mp[1:, j] for j in range(q)]
-    ppn_cols = [pp[1:, k] for k in range(n_tri)]
-    G, g, L = _gain_cols_batched(q, n_tri, q_const, R_cols_b,
-                                 mf_cols, pf_cols, mpn_cols, ppn_cols)
-    G_k = jnp.stack([G[i][j] for i in range(q) for j in range(q)],
-                    axis=1).astype(jnp.float32)               # (T-1,q*q,nb,B)
-    g_k = jnp.stack(g, axis=1).astype(jnp.float32)
-    L_k = jnp.stack(L, axis=1).astype(jnp.float32)
-
-    ms, ps = smoother_recursion_batch(g_k, G_k, L_k, mf[-1], pf[-1],
+        raw_q_const=q_const, mode=interrogation, eps=eps, emit="gains")
+    ms, ps = smoother_recursion_batch(b_k[1:], A_k[1:], C_k[1:],
+                                      m_last, p_last,
                                       chunk=chunk, interpret=interpret)
 
     # assemble (N+1, nb, q | n_tri, B) in original coordinates, lanes last
@@ -1446,14 +1510,14 @@ def solve_mv_fused_batch(thetas, ode_weight, ode_inits,
     mean_rows = jnp.concatenate([
         jnp.transpose(x0_lanes, (1, 0, 2))[None],             # (1, nb, q, B)
         rows(ms),
-        rows(mf[-1][None]),
+        rows(m_last[None]),
     ], axis=0) * t_col
     tri_scale = jnp.stack(
         [t_vec[i] * t_vec[j] for (i, j) in pairs]).astype(jnp.float32)
     var_rows = jnp.concatenate([
         jnp.zeros((1, n_block, n_tri, n_lane), jnp.float32),
         rows(ps),
-        rows(pf[-1][None]),
+        rows(p_last[None]),
     ], axis=0) * tri_scale[:, None]
     return mean_rows, var_rows
 

@@ -147,20 +147,18 @@ def solve_sim_fused_batch(key, thetas, ode_weight, ode_inits,
         key, key_int = jax.random.split(key)
         eps_int = jax.random.normal(
             key_int, (n_steps, q, n_block, n_lane), jnp.float32)
-    mf, pf, mp, pp = fused_filter_batch(
+    # forward filter emitting the conditional-draw gains for steps
+    # 1..N-1 straight from the kernel (entry 0 conditions onto the Dirac
+    # init and is not sampled); the final filtered state seeds the
+    # terminal draw
+    A_k3, b_k3, C_k3, m_last, p_last = fused_filter_batch(
         ode_flat, jac_flat, n_steps, Qs, Rs, W_s, x0_lanes,
         theta_lanes, tgrid, t_vec, chunk=None, interpret=interpret,
-        raw_q_const=q_const, mode=interrogation, eps=eps_int)
-
-    # conditional-draw parameters for steps 1..N-1 in column layout
-    R_packed = _pack_tri(Rs, pairs)
-    R_cols_b = [R_packed[None, :, k, None] for k in range(n_tri)]
-    mf_cols = [mf[:-1, j] for j in range(q)]
-    pf_cols = [pf[:-1, k] for k in range(n_tri)]
-    mpn_cols = [mp[1:, j] for j in range(q)]
-    ppn_cols = [pp[1:, k] for k in range(n_tri)]
-    G, g, L = _gain_cols_batched(q, n_tri, q_const, R_cols_b,
-                                 mf_cols, pf_cols, mpn_cols, ppn_cols)
+        raw_q_const=q_const, mode=interrogation, eps=eps_int,
+        emit="gains")
+    G = [[A_k3[1:, i * q + j] for j in range(q)] for i in range(q)]
+    g = [b_k3[1:, i] for i in range(q)]
+    L = [C_k3[1:, k] for k in range(n_tri)]
 
     # correlated per-step noise + terminal draw, all outside the kernel
     n_len = n_steps - 1
@@ -172,10 +170,10 @@ def solve_sim_fused_batch(key, thetas, ode_weight, ode_inits,
     c_cols = [g[i] + eta[i] for i in range(q)]
 
     epsN = jax.random.normal(key_term, (q, n_block, n_lane), jnp.float32)
-    pN_cols = [pf[-1, k] for k in range(n_tri)]
+    pN_cols = [p_last[k] for k in range(n_tri)]
     LN = _chol_cols(q, pN_cols, where)
     etaN = _chol_matvec(q, LN, [epsN[j] for j in range(q)])
-    xN = jnp.stack([mf[-1, j] + etaN[j] for j in range(q)])   # (q, nb, B)
+    xN = jnp.stack([m_last[j] + etaN[j] for j in range(q)])   # (q, nb, B)
 
     # stream the affine recursion right to left (front-padded chunking)
     s_chunk, pad = _chunking(n_len, n_lane, chunk)

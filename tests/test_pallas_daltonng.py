@@ -132,7 +132,11 @@ def test_daltonng_fused_batch_grad():
                 jac_flat=lorenz.lorenz_jac_flat)
     ll, grad = daltonng_fused_batch_grad(thetas=thetas, **base)
     ll_ref = daltonng_fused_batch(thetas=thetas, **base)
-    np.testing.assert_array_equal(np.asarray(ll), np.asarray(ll_ref))
+    # primal emits marginal-filter gains in-kernel (emit="gains"); the
+    # tangent variant computes them in the batched-XLA stage — value
+    # parity, not bit parity
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref),
+                               rtol=1e-6)
     assert grad.shape == (B, 3)
     cfg64 = lorenz.setup(n_steps=200, t_max=2.0, dtype=jnp.float64)
     cfg64.pop("theta")

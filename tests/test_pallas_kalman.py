@@ -589,7 +589,12 @@ def test_solve_mv_fused_batch_grad_matches_jacfwd():
     mean, dmean = pallas_kalman.solve_mv_fused_batch_grad(
         thetas=thetas, **base)
     mean_ref, _ = pallas_kalman.solve_mv_fused_batch(thetas=thetas, **base)
-    np.testing.assert_array_equal(np.asarray(mean), np.asarray(mean_ref))
+    # the primal path emits smoothing gains in-kernel (emit="gains")
+    # while the tangent-augmented variant still computes them in the
+    # batched-XLA stage — same math, different fp association, so value
+    # parity rather than bit parity
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref),
+                               rtol=5e-3, atol=1e-3)
     # f64 truth for the sensitivities
     cfg64 = lorenz.setup(n_steps=50, t_max=0.5, dtype=jnp.float64)
     cfg64.pop("theta")
