@@ -16,6 +16,6 @@ DOCS = pathlib.Path(__file__).resolve().parent.parent / "docs"
 def test_tutorial_executes(name):
     out = subprocess.run(
         [sys.executable, str(DOCS / "run_tutorials.py"), name],
-        capture_output=True, text=True, timeout=900)
+        capture_output=True, text=True, timeout=1800)
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert f"OK: {name}.md" in out.stdout
