@@ -553,15 +553,24 @@ def _filter_step_pure(ode_flat, jac_flat, mode, q, where, pairs, q_const,
 
 
 def _filter_kernel_batch_tan(ode_flat, jac_flat, mode, n_tan, chunk, q,
-                             n_block, n_tri, n_lane, q_const,
-                             r_ref, w_ref, x0_ref, th_ref, tgrid_ref,
-                             tv_ref,
-                             mf_ref, pf_ref, mp_ref, pp_ref,
-                             m_scr, p_scr):
+                             n_block, n_tri, n_lane, q_const, emit,
+                             *refs):
     """Tangent-augmented lane-batched forward filter: carries the primal
     state plus ``n_tan`` tangent copies; per step, one `jax.jvp` of the
     pure update per tangent direction (basis vectors in theta-space).
-    Outputs stack primal + tangents on the d axis."""
+    Outputs stack primal + tangents on the d axis.
+
+    ``emit="gains"`` emits the smoothing-gain chain ``(A, b, C)`` and its
+    tangents in-register (one extra `jax.jvp` of the pure gains map per
+    tangent) plus the final augmented filtered state, replacing the
+    per-tangent batched-XLA gains passes of the grad pipelines (n_aug
+    full HBM round-trips over the stored tangent filter states)."""
+    if emit == "gains":
+        (r_ref, w_ref, x0_ref, th_ref, tgrid_ref, tv_ref,
+         A_ref, b_ref, C_ref, mlast_ref, plast_ref, m_scr, p_scr) = refs
+    else:
+        (r_ref, w_ref, x0_ref, th_ref, tgrid_ref, tv_ref,
+         mf_ref, pf_ref, mp_ref, pp_ref, m_scr, p_scr) = refs
     pairs, where = _tri_idx(q)
     gi = pl.program_id(0)
     R_cols = [r_ref[:, k:k + 1] for k in range(n_tri)]
@@ -586,6 +595,14 @@ def _filter_kernel_batch_tan(ode_flat, jac_flat, mode, n_tan, chunk, q,
         for k in range(n_aug * n_tri):
             p_scr[k] = jnp.zeros((n_block, n_lane), jnp.float32)
 
+    if emit == "gains":
+        from rodeo_tpu.ops.pallas_kalman import _gain_cols_batched
+
+        def gains_map(m_cols, p_cols, mp_cols, pp_cols):
+            return _gain_cols_batched(q, n_tri, q_const, R_cols,
+                                      list(m_cols), list(p_cols),
+                                      list(mp_cols), list(pp_cols))
+
     def body(r, carry):
         t_n = tgrid_ref[gi * chunk + r, 0]
         step = _filter_step_pure(ode_flat, jac_flat, mode, q, where,
@@ -595,6 +612,7 @@ def _filter_kernel_batch_tan(ode_flat, jac_flat, mode, n_tan, chunk, q,
         p_cols = tuple(carry[n_aug * q:n_aug * q + n_tri])
         prim = step(m_cols, p_cols, th_val)
         outs = [prim]
+        tans_in = []
         for k in range(n_tan):
             dm = tuple(carry[(1 + k) * q:(2 + k) * q])
             dp = tuple(carry[n_aug * q + (1 + k) * n_tri:
@@ -602,13 +620,31 @@ def _filter_kernel_batch_tan(ode_flat, jac_flat, mode, n_tan, chunk, q,
             _, tan = jax.jvp(step, (m_cols, p_cols, th_val),
                              (dm, dp, dths[k]))
             outs.append(tan)
-        for d, (mfc, pfc, mpc, ppc) in enumerate(outs):
-            for j in range(q):
-                mf_ref[r, d * q + j] = mfc[j]
-                mp_ref[r, d * q + j] = mpc[j]
-            for k in range(n_tri):
-                pf_ref[r, d * n_tri + k] = pfc[k]
-                pp_ref[r, d * n_tri + k] = ppc[k]
+            tans_in.append((dm, dp))
+        if emit == "gains":
+            gargs = (m_cols, p_cols, prim[2], prim[3])
+            gouts = [gains_map(*gargs)]
+            for k in range(n_tan):
+                dm, dp = tans_in[k]
+                _, dG = jax.jvp(gains_map, gargs,
+                                (dm, dp, outs[1 + k][2], outs[1 + k][3]))
+                gouts.append(dG)
+            for d, (G, g, L) in enumerate(gouts):
+                for i in range(q):
+                    for j in range(q):
+                        A_ref[r, d * q * q + i * q + j] = G[i][j]
+                for i in range(q):
+                    b_ref[r, d * q + i] = g[i]
+                for k in range(n_tri):
+                    C_ref[r, d * n_tri + k] = L[k]
+        else:
+            for d, (mfc, pfc, mpc, ppc) in enumerate(outs):
+                for j in range(q):
+                    mf_ref[r, d * q + j] = mfc[j]
+                    mp_ref[r, d * q + j] = mpc[j]
+                for k in range(n_tri):
+                    pf_ref[r, d * n_tri + k] = pfc[k]
+                    pp_ref[r, d * n_tri + k] = ppc[k]
         new_m = sum((list(o[0]) for o in outs), [])
         new_p = sum((list(o[1]) for o in outs), [])
         return tuple(new_m) + tuple(new_p)
@@ -620,6 +656,13 @@ def _filter_kernel_batch_tan(ode_flat, jac_flat, mode, n_tan, chunk, q,
         m_scr[d] = out[d]
     for k in range(n_aug * n_tri):
         p_scr[k] = out[n_aug * q + k]
+    if emit == "gains":
+        # constant-index blocks: the last grid step's write persists —
+        # the final augmented filtered state
+        for d in range(n_aug * q):
+            mlast_ref[d] = out[d]
+        for k in range(n_aug * n_tri):
+            plast_ref[k] = out[n_aug * q + k]
 
 
 def _fenrir_backward_step_pure(q, where, pairs, mask):
@@ -744,9 +787,13 @@ def _fenrir_backward_kernel_batch_tan(n_tan, chunk, q, n_block, n_tri,
 
 def fused_filter_batch_tan(ode_flat, jac_flat, mode, n_tan, n_steps,
                            Qs, Rs, W_s, x0_lanes, theta_lanes, tgrid,
-                           t_vec, q_const, chunk=None, interpret="auto"):
+                           t_vec, q_const, chunk=None, interpret="auto",
+                           emit="states"):
     """Invoke the tangent-augmented batch filter; outputs stack primal +
-    tangents on the d axis: (n_steps, (1+n_tan)*q | *n_tri, nb, B)."""
+    tangents on the d axis: (n_steps, (1+n_tan)*q | *n_tri, nb, B) for
+    ``emit="states"``; for ``emit="gains"`` the augmented smoothing-gain
+    chain (A (n_steps, (1+n_tan)*q*q, ...), b, C) plus the final
+    augmented filtered mean/cov (see `_filter_kernel_batch_tan`)."""
     from rodeo_tpu.ops.pallas_kalman import (
         _pick_chunk_batch, _pick_chunk, _pack_tri)
     q, n_block, n_lane = x0_lanes.shape
@@ -760,22 +807,40 @@ def fused_filter_batch_tan(ode_flat, jac_flat, mode, n_tan, n_steps,
     n_chunks = n_steps // chunk
     kern = functools.partial(
         _filter_kernel_batch_tan, ode_flat, jac_flat, mode, n_tan, chunk,
-        q, n_block, n_tri, n_lane, q_const)
-    outs = [
-        jax.ShapeDtypeStruct((n_steps, n_aug * q, n_block, n_lane),
-                             jnp.float32),
-        jax.ShapeDtypeStruct((n_steps, n_aug * n_tri, n_block, n_lane),
-                             jnp.float32),
-        jax.ShapeDtypeStruct((n_steps, n_aug * q, n_block, n_lane),
-                             jnp.float32),
-        jax.ShapeDtypeStruct((n_steps, n_aug * n_tri, n_block, n_lane),
-                             jnp.float32),
-    ]
+        q, n_block, n_tri, n_lane, q_const, emit)
     rep = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple([0] * len(shape)), memory_space=pltpu.VMEM)
     fwd4 = lambda i: (i, 0, 0, 0)
     blk = lambda d: pl.BlockSpec((chunk, d, n_block, n_lane), fwd4,
                                  memory_space=pltpu.VMEM)
+    if emit == "gains":
+        outs = [
+            jax.ShapeDtypeStruct((n_steps, n_aug * q * q, n_block, n_lane),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, n_aug * q, n_block, n_lane),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, n_aug * n_tri, n_block, n_lane),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_aug * q, n_block, n_lane), jnp.float32),
+            jax.ShapeDtypeStruct((n_aug * n_tri, n_block, n_lane),
+                                 jnp.float32),
+        ]
+        out_specs = [blk(n_aug * q * q), blk(n_aug * q), blk(n_aug * n_tri),
+                     rep((n_aug * q, n_block, n_lane)),
+                     rep((n_aug * n_tri, n_block, n_lane))]
+    else:
+        outs = [
+            jax.ShapeDtypeStruct((n_steps, n_aug * q, n_block, n_lane),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, n_aug * n_tri, n_block, n_lane),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, n_aug * q, n_block, n_lane),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, n_aug * n_tri, n_block, n_lane),
+                                 jnp.float32),
+        ]
+        out_specs = [blk(n_aug * q), blk(n_aug * n_tri),
+                     blk(n_aug * q), blk(n_aug * n_tri)]
     in_specs = [
         rep((n_block, n_tri)),
         rep((n_block, q)),
@@ -785,8 +850,6 @@ def fused_filter_batch_tan(ode_flat, jac_flat, mode, n_tan, n_steps,
                      memory_space=pltpu.VMEM),
         rep((1, q)),
     ]
-    out_specs = [blk(n_aug * q), blk(n_aug * n_tri),
-                 blk(n_aug * q), blk(n_aug * n_tri)]
     R_packed = _pack_tri(Rs, pairs)
     return pl.pallas_call(
         kern, out_shape=outs, grid=(n_chunks,),
@@ -801,34 +864,16 @@ def fused_filter_batch_tan(ode_flat, jac_flat, mode, n_tan, n_steps,
       t_vec[None, :].astype(jnp.float32))
 
 
-def _fenrir_stage2(q, n_tri, where, pairs, q_const, Rs, x0_lanes,
-                   d_grid, y_grid, om_grid, mask_grid, n_steps):
-    """Pure (jax-differentiable) stage between the two kernels: backward
-    chain parameters + terminal masked update, all in column form."""
-    from rodeo_tpu.ops.pallas_kalman import (
-        _gain_cols_batched, _pack_tri, _sym_quadform)
+def _fenrir_terminal(q, n_tri, where, pairs, d_grid, y_grid, om_grid,
+                     mask_grid, n_steps):
+    """Pure (jax-differentiable) terminal masked update on the final
+    filtered state — the backward-chain gains now come straight from the
+    forward kernel (emit="gains")."""
+    from rodeo_tpu.ops.pallas_kalman import _sym_quadform
 
-    n_block, n_lane = x0_lanes.shape[1], x0_lanes.shape[2]
-    R_packed = _pack_tri(Rs, pairs)
-    R_cols_b = [R_packed[None, :, k, None] for k in range(n_tri)]
-
-    def f(mf, pf, mp, pp):
-        zero1 = jnp.zeros((1, n_block, n_lane), jnp.float32)
-        mf_full = [jnp.concatenate([x0_lanes[j][None], mf[:-1, j]])
-                   for j in range(q)]
-        pf_full = [jnp.concatenate([zero1, pf[:-1, k]])
-                   for k in range(n_tri)]
-        mpn = [mp[:, j] for j in range(q)]
-        ppn = [pp[:, k] for k in range(n_tri)]
-        A, b, C = _gain_cols_batched(q, n_tri, q_const, R_cols_b,
-                                     mf_full, pf_full, mpn, ppn)
-        A_k = jnp.stack([A[i][j] for i in range(q) for j in range(q)],
-                        axis=1)
-        b_k = jnp.stack(b, axis=1)
-        C_k = jnp.stack(C, axis=1)
-
-        mN = [mf[-1, j] for j in range(q)]
-        pN = [pf[-1, k] for k in range(n_tri)]
+    def f(m_last, p_last):
+        mN = [m_last[j] for j in range(q)]
+        pN = [p_last[k] for k in range(n_tri)]
         DN = [d_grid[n_steps, :, j, None] for j in range(q)]
         omN = om_grid[n_steps, :, :1]
         yN = y_grid[n_steps, :, :1]
@@ -855,7 +900,7 @@ def _fenrir_stage2(q, n_tri, where, pairs, q_const, Rs, x0_lanes,
         pj = _sym_quadform(q, IKD, pN, where)
         p_seed = jnp.stack([pj[kk] + KN[i] * KN[j] * omN
                             for kk, (i, j) in enumerate(pairs)])
-        return A_k, b_k, C_k, m_seed, p_seed, ld0
+        return m_seed, p_seed, ld0
 
     return f
 
@@ -905,11 +950,13 @@ def fenrir_fused_batch_grad(thetas, ode_weight, ode_inits,
     theta_lanes = jnp.transpose(thetas).astype(jnp.float32)
     mode = "kramer" if jac_flat is not None else "rodeo"
 
-    # 1. tangent-augmented forward filter
-    mf_a, pf_a, mp_a, pp_a = fused_filter_batch_tan(
+    # 1. tangent-augmented forward filter, emitting the backward-chain
+    # gains (and their tangents) in-kernel — the previous XLA stage ran
+    # one full-array gains pass per tangent direction
+    A_aug, b_aug, C_aug, mlast_a, plast_a = fused_filter_batch_tan(
         ode_flat, jac_flat, mode, n_tan, n_steps, Qs, Rs, W_s, x0_lanes,
         theta_lanes, tgrid, t_vec, q_const, chunk=chunk,
-        interpret=interpret)
+        interpret=interpret, emit="gains")
 
     # 2. observation grids (theta-independent)
     sim_times = jnp.linspace(t_min, t_max, n_steps + 1)
@@ -929,24 +976,20 @@ def fenrir_fused_batch_grad(thetas, ode_weight, ode_inits,
     y_k = jnp.transpose(y_grid[:n_steps], (0, 2, 1))[..., None]
     om_k = jnp.transpose(om_grid[:n_steps], (0, 2, 1))[..., None]
 
-    # 3. stage 2 (XLA): primal + jvp per tangent
-    f2 = _fenrir_stage2(q, n_tri, where, pairs, q_const, Rs, x0_lanes,
-                        d_grid, y_grid, om_grid, mask_grid, n_steps)
-    prims = (mf_a[:, :q], pf_a[:, :n_tri], mp_a[:, :q], pp_a[:, :n_tri])
-    out2 = [f2(*prims)]
+    # 3. terminal masked update (tiny — final state only): primal + jvp
+    # per tangent
+    f2t = _fenrir_terminal(q, n_tri, where, pairs, d_grid, y_grid,
+                           om_grid, mask_grid, n_steps)
+    prims = (mlast_a[:q], plast_a[:n_tri])
+    out2 = [f2t(*prims)]
     for k in range(n_tan):
-        tans = (mf_a[:, (1 + k) * q:(2 + k) * q],
-                pf_a[:, (1 + k) * n_tri:(2 + k) * n_tri],
-                mp_a[:, (1 + k) * q:(2 + k) * q],
-                pp_a[:, (1 + k) * n_tri:(2 + k) * n_tri])
-        _, tan_out = jax.jvp(f2, prims, tans)
+        tans = (mlast_a[(1 + k) * q:(2 + k) * q],
+                plast_a[(1 + k) * n_tri:(2 + k) * n_tri])
+        _, tan_out = jax.jvp(f2t, prims, tans)
         out2.append(tan_out)
-    A_aug = jnp.concatenate([o[0] for o in out2], axis=1)
-    b_aug = jnp.concatenate([o[1] for o in out2], axis=1)
-    C_aug = jnp.concatenate([o[2] for o in out2], axis=1)
-    m_seed = jnp.concatenate([o[3] for o in out2], axis=0)
-    p_seed = jnp.concatenate([o[4] for o in out2], axis=0)
-    ld0 = jnp.concatenate([o[5] for o in out2], axis=0)
+    m_seed = jnp.concatenate([o[0] for o in out2], axis=0)
+    p_seed = jnp.concatenate([o[1] for o in out2], axis=0)
+    ld0 = jnp.concatenate([o[2] for o in out2], axis=0)
 
     # 4. tangent-augmented backward kernel
     if chunk is None:

@@ -1664,42 +1664,17 @@ def solve_mv_fused_batch_grad(thetas, ode_weight, ode_inits,
     theta_lanes = jnp.transpose(thetas).astype(jnp.float32)
     mode = "kramer" if jac_flat is not None else "rodeo"
 
-    mf_a, pf_a, mp_a, pp_a = fused_filter_batch_tan(
+    # tangent-augmented filter emitting the smoothing gains (and their
+    # tangents) in-kernel — drops the n_aug full-array XLA gains passes;
+    # entry 0 conditions onto the Dirac init and is not needed
+    from rodeo_tpu.ops.pallas_fenrir import fused_filter_batch_tan as _fbt
+    A_aug, b_aug, _, mlast_a, _ = _fbt(
         ode_flat, jac_flat, mode, n_tan, n_steps, Qs, Rs, W_s, x0_lanes,
         theta_lanes, tgrid, t_vec, q_const, chunk=chunk,
-        interpret=interpret)
-
-    # smoothing gains: primal via the shared column-layout helper, one
-    # jax.jvp per tangent direction (pure XLA stage — differentiable)
-    R_packed = _pack_tri(Rs, pairs)
-    R_cols_b = [R_packed[None, :, k, None] for k in range(n_tri)]
-
-    def gains(mf, pf, mp, pp):
-        mf_cols = [mf[:-1, j] for j in range(q)]
-        pf_cols = [pf[:-1, k] for k in range(n_tri)]
-        mpn_cols = [mp[1:, j] for j in range(q)]
-        ppn_cols = [pp[1:, k] for k in range(n_tri)]
-        G, g, _ = _gain_cols_batched(q, n_tri, q_const, R_cols_b,
-                                     mf_cols, pf_cols, mpn_cols, ppn_cols)
-        G_k = jnp.stack([G[i][j] for i in range(q) for j in range(q)],
-                        axis=1)
-        g_k = jnp.stack(g, axis=1)
-        return G_k, g_k
-
-    prims = (mf_a[:, :q], pf_a[:, :n_tri], mp_a[:, :q], pp_a[:, :n_tri])
-    outs = [gains(*prims)]
-    for k in range(n_tan):
-        tans = (mf_a[:, (1 + k) * q:(2 + k) * q],
-                pf_a[:, (1 + k) * n_tri:(2 + k) * n_tri],
-                mp_a[:, (1 + k) * q:(2 + k) * q],
-                pp_a[:, (1 + k) * n_tri:(2 + k) * n_tri])
-        _, tan_out = jax.jvp(gains, prims, tans)
-        outs.append(tan_out)
-    G_aug = jnp.concatenate([o[0] for o in outs], axis=1).astype(
-        jnp.float32)                                  # (T-1, n_aug*q*q, ...)
-    g_aug = jnp.concatenate([o[1] for o in outs], axis=1).astype(
-        jnp.float32)                                  # (T-1, n_aug*q, ...)
-    mN_aug = mf_a[-1]                                 # (n_aug*q, nb, B)
+        interpret=interpret, emit="gains")
+    G_aug = A_aug[1:]                                 # (T-1, n_aug*q*q, ...)
+    g_aug = b_aug[1:]                                 # (T-1, n_aug*q, ...)
+    mN_aug = mlast_a                                  # (n_aug*q, nb, B)
     ms_aug = smoother_mean_recursion_batch_tan(
         g_aug, G_aug, mN_aug, n_tan, chunk=chunk, interpret=interpret)
 
@@ -1710,7 +1685,7 @@ def solve_mv_fused_batch_grad(thetas, ode_weight, ode_inits,
     mean_rows = jnp.concatenate([
         jnp.transpose(x0_lanes, (1, 0, 2))[None],
         rows(ms_aug[:, :q]),
-        rows(mf_a[-1][None, :q]),
+        rows(mlast_a[None, :q]),
     ], axis=0) * t_col
     dmeans = []
     for k in range(n_tan):
@@ -1718,7 +1693,7 @@ def solve_mv_fused_batch_grad(thetas, ode_weight, ode_inits,
         dmeans.append(jnp.concatenate([
             jnp.zeros((1, n_block, q, n_lane), jnp.float32),  # x0: dtheta 0
             rows(ms_aug[:, sl]),
-            rows(mf_a[-1][None, sl]),
+            rows(mlast_a[None, sl]),
         ], axis=0) * t_col)
     return mean_rows, jnp.stack(dmeans)
 
