@@ -460,7 +460,7 @@ def main():
     # lanes are nearly free (the kernel is latency-bound on its serial
     # per-step chain), so per-solve cost keeps dropping to ~2048 lanes
     # (4096 exceeds the Mosaic compile envelope on v5e).
-    for Bl in (128, 512, 2048):
+    for Bl in (128, 512, 1024, 2048):
         try:
             from rodeo_tpu.ops import pallas_kalman as pk_mod
             ths_l = jnp.broadcast_to(theta, (Bl, 3)) * \
@@ -684,7 +684,7 @@ def main():
         for mod_name, fused_batch in (
                 ("fenrir", pallas_fenrir.fenrir_fused_batch),
                 ("dalton", pallas_dalton.dalton_fused_batch)):
-            for Blf in (128, 512):
+            for Blf in (128, 512, 1024):
                 with _row(details, f"{mod_name}_fused_batch{Blf}"):
                     ths_lf = jnp.broadcast_to(th_f, (Blf, 3)) * \
                         (1 + 1e-6 * jnp.arange(
