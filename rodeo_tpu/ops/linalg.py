@@ -369,15 +369,21 @@ def chol_small(a, floor=1e-12):
         jnp.diagonal(a, axis1=-2, axis2=-1), tiny))           # (..., n)
     corr = a / (d[..., :, None] * d[..., None, :])
     L = [[None] * n for _ in range(n)]
+    ok = [None] * n
     for i in range(n):
         for j in range(i + 1):
             s = corr[..., i, j]
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             if i == j:
+                ok[i] = s > floor
                 L[i][i] = jnp.sqrt(jnp.maximum(s, floor))
             else:
-                L[i][j] = s / L[j][j]
+                # zero below floored pivots: the rank-deficient factor has
+                # zeros there, and dividing cancellation noise by the
+                # floored pivot otherwise blows up later columns ~1/floor
+                L[i][j] = jnp.where(ok[j], s / L[j][j],
+                                    jnp.zeros_like(s))
     rows = [jnp.stack(
         [L[i][j] if j <= i else jnp.zeros_like(corr[..., 0, 0])
          for j in range(n)], axis=-1) for i in range(n)]

@@ -385,14 +385,22 @@ def dalton_fused_batch(thetas, ode_weight, ode_inits,
                        prior_pars,
                        obs_data, obs_times, obs_weight, obs_var,
                        ode_flat, jac_flat=None, chunk=None,
-                       interpret="auto"):
+                       interpret="auto", kalman_type="standard"):
     r"""
     Lane-batched fused DALTON log-likelihood
     :math:`\log p(Y \mid Z) = \log p(Z, Y) - \log p(Z)` — ``n_lane``
     evaluations per kernel pipeline.
 
-    Args and return as :func:`rodeo_tpu.ops.pallas_fenrir.fenrir_fused_batch`.
+    Args and return as :func:`rodeo_tpu.ops.pallas_fenrir.fenrir_fused_batch`
+    (``kalman_type``: the value is form-independent; both forms ride the
+    same Joseph-form kernels, see
+    :func:`rodeo_tpu.ops.pallas_kalman.resolve_kalman_type`).
     """
+    from rodeo_tpu.ops.pallas_kalman import (
+        resolve_kalman_type, normalize_prior_pars, normalize_meas_var)
+    kalman_type = resolve_kalman_type(kalman_type)
+    prior_pars = normalize_prior_pars(kalman_type, prior_pars)
+    obs_var = normalize_meas_var(kalman_type, obs_var)
     prep = _dalton_prepare(
         thetas, ode_weight, ode_inits, t_min, t_max, n_steps, prior_pars,
         obs_data, obs_times, obs_weight, obs_var, "dalton_fused_batch")
@@ -457,7 +465,7 @@ def dalton_fused_batch_grad(thetas, ode_weight, ode_inits,
                             prior_pars,
                             obs_data, obs_times, obs_weight, obs_var,
                             ode_flat, jac_flat=None, chunk=None,
-                            interpret="auto"):
+                            interpret="auto", kalman_type="standard"):
     r"""
     Lane-batched fused DALTON log-likelihood AND its theta-gradient via
     forward-mode tangent-augmented kernels (in-kernel `jax.jvp` of the
@@ -471,6 +479,11 @@ def dalton_fused_batch_grad(thetas, ode_weight, ode_inits,
     Returns:
         (tuple): ``loglik (n_lane,)``, ``grad (n_lane, n_theta)``.
     """
+    from rodeo_tpu.ops.pallas_kalman import (
+        resolve_kalman_type, normalize_prior_pars, normalize_meas_var)
+    kalman_type = resolve_kalman_type(kalman_type)
+    prior_pars = normalize_prior_pars(kalman_type, prior_pars)
+    obs_var = normalize_meas_var(kalman_type, obs_var)
     from rodeo_tpu.ops.pallas_kalman import _pick_chunk_batch as _pcb
 
     n_theta = thetas.shape[1]

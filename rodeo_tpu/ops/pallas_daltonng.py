@@ -607,7 +607,7 @@ def daltonng_fused_batch(thetas, ode_weight, ode_inits,
                          prior_pars,
                          obs_data, obs_times, obs_comp_flat, obs_dims,
                          ode_flat, jac_flat=None, chunk=None,
-                         interpret="auto"):
+                         interpret="auto", kalman_type="standard"):
     r"""
     Lane-batched fused non-Gaussian DALTON log-likelihood
     ``logy_x + logx_z - logx_yhat`` — ``n_lane`` evaluations per pipeline.
@@ -635,6 +635,10 @@ def daltonng_fused_batch(thetas, ode_weight, ode_inits,
         ``rodeo_tpu.inference.dalton.daltonng`` == upstream
         ``dalton.py:851-949``.
     """
+    from rodeo_tpu.ops.pallas_kalman import (resolve_kalman_type,
+                                             normalize_prior_pars)
+    kalman_type = resolve_kalman_type(kalman_type)
+    prior_pars = normalize_prior_pars(kalman_type, prior_pars)
     n_lane = thetas.shape[0]
     n_block, n_bmeas, q = ode_weight.shape
     if n_bmeas != 1:
@@ -770,7 +774,7 @@ def daltonng_fused_batch_grad(thetas, ode_weight, ode_inits,
                               prior_pars,
                               obs_data, obs_times, obs_comp_flat, obs_dims,
                               ode_flat, jac_flat=None, chunk=None,
-                              interpret="auto"):
+                              interpret="auto", kalman_type="standard"):
     r"""
     Lane-batched fused non-Gaussian DALTON log-likelihood AND its
     theta-gradient via forward-mode tangent augmentation:
@@ -791,6 +795,11 @@ def daltonng_fused_batch_grad(thetas, ode_weight, ode_inits,
     Returns:
         (tuple): ``loglik (n_lane,)``, ``grad (n_lane, n_theta)``.
     """
+    from rodeo_tpu.ops.pallas_kalman import resolve_kalman_type
+    from rodeo_tpu.ops.pallas_kalman import (resolve_kalman_type,
+                                             normalize_prior_pars)
+    kalman_type = resolve_kalman_type(kalman_type)
+    prior_pars = normalize_prior_pars(kalman_type, prior_pars)
     from rodeo_tpu.ops.pallas_fenrir import fused_filter_batch_tan
     from rodeo_tpu.ops.pallas_kalman import (
         smoother_mean_recursion_batch_tan)

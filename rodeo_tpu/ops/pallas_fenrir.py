@@ -22,8 +22,11 @@ recursion itself is precomputable:
    accumulation in scratch), streamed in reverse chunk order.
 
 Supported configuration (falls back to the XLA path otherwise):
-``n_bmeas == 1``, ``n_bobs == 1`` per block, ``q <= 5``, standard form,
-EK1/EK0 interrogations, observations on grid points.
+``n_bmeas == 1``, ``n_bobs == 1`` per block, ``q <= 5``, all four built-in
+interrogations, observations on grid points.  Both ``kalman_type`` forms
+are accepted — the likelihood value is form-independent and the Joseph
+covariance propagation is PSD-by-construction like the square-root form
+(:func:`rodeo_tpu.ops.pallas_kalman.resolve_kalman_type`).
 """
 import functools
 
@@ -50,16 +53,32 @@ def fenrir_fused(key, ode_fun, ode_weight, ode_init,
                  prior_pars,
                  obs_data, obs_times, obs_weight, obs_var,
                  ode_flat=None, jac_flat=None, chunk=None,
-                 interpret="auto", **params):
+                 interpret="auto", interrogation=None,
+                 kalman_type="standard", **params):
     r"""
     Fenrir log-likelihood via fused Pallas kernels (Taylor-preconditioned,
     float32).  Same value as :func:`rodeo_tpu.inference.fenrir.fenrir` up
     to float32 rounding; see the module docstring for supported configs.
 
+    The interrogation scheme follows the same validated contract as
+    :func:`rodeo_tpu.ops.pallas_kalman.solve_mv_fused` (explicit
+    ``interrogation=`` enum or a built-in ``interrogate=`` callable;
+    ``"chkrebtii"`` requires ``key``).  ``kalman_type`` accepts
+    ``"standard"`` and ``"sqrt"``/``"square-root"``: the likelihood value
+    is form-independent and both ride the same Joseph-form kernels (see
+    :func:`rodeo_tpu.ops.pallas_kalman.resolve_kalman_type`; parity vs
+    the f64 square-root reference is tested).
+
     Returns:
         (float): The log-likelihood value.
     """
-    del key, interrogate
+    from rodeo_tpu.ops.pallas_kalman import (
+        resolve_interrogation, resolve_kalman_type, normalize_prior_pars,
+        normalize_meas_var)
+    kalman_type = resolve_kalman_type(kalman_type)
+    prior_pars = normalize_prior_pars(kalman_type, prior_pars)
+    obs_var = normalize_meas_var(kalman_type, obs_var)
+    mode = resolve_interrogation(interrogate, interrogation, jac_flat)
     if ode_flat is None:
         raise ValueError("fenrir_fused requires a Mosaic-safe `ode_flat`")
     n_block, n_bmeas, q = ode_weight.shape
@@ -79,10 +98,16 @@ def fenrir_fused(key, ode_fun, ode_weight, ode_init,
     theta_col = jnp.zeros((1, 1), jnp.float32) if theta is None \
         else jnp.asarray(theta)[:, None]
 
+    eps = None
+    if mode == "chkrebtii":
+        if key is None:
+            raise ValueError("interrogation='chkrebtii' requires a key")
+        eps = jax.random.normal(key, (n_steps, n_block, q), jnp.float32)
     # 1. forward filter (scaled coordinates)
     mf, pf, mp, pp = fused_filter(
         ode_flat, jac_flat, n_steps, Qs, Rs, W_s, x0_s,
-        theta_col, tgrid, t_vec, chunk=chunk, interpret=interpret)
+        theta_col, tgrid, t_vec, chunk=chunk, interpret=interpret,
+        mode=mode, eps=eps)
 
     # 2. backward-chain parameters for n = 0..N-1 (batched):
     #    A_n = Pf_n Q' Pp_{n+1}^{-1}, b_n = mf_n - A_n mp_{n+1},
@@ -345,7 +370,8 @@ def fenrir_fused_batch(thetas, ode_weight, ode_inits,
                        prior_pars,
                        obs_data, obs_times, obs_weight, obs_var,
                        ode_flat, jac_flat=None, chunk=None,
-                       interpret="auto"):
+                       interpret="auto", interrogation=None, key=None,
+                       kalman_type="standard"):
     r"""
     Lane-batched fused fenrir: ``n_lane`` likelihood evaluations (parameter
     candidates against the same observations) in one kernel pipeline.
@@ -353,6 +379,12 @@ def fenrir_fused_batch(thetas, ode_weight, ode_inits,
     Args:
         thetas (ndarray(n_lane, n_theta)): Per-lane parameters.
         ode_inits (ndarray(n_lane, n_block, q)): Per-lane initial states.
+        interrogation (str | None): ``"kramer" | "rodeo" | "schober" |
+            "chkrebtii"`` (default kramer when ``jac_flat`` is given,
+            rodeo otherwise); ``"chkrebtii"`` requires ``key``.
+        kalman_type (str): ``"standard"`` or ``"sqrt"``/``"square-root"``
+            — the likelihood value is form-independent; see
+            :func:`rodeo_tpu.ops.pallas_kalman.resolve_kalman_type`.
         (other args as :func:`fenrir_fused`)
 
     Returns:
@@ -361,8 +393,13 @@ def fenrir_fused_batch(thetas, ode_weight, ode_inits,
     from rodeo_tpu.ops.pallas_kalman import (
         fused_filter_batch, _tri_idx, _pick_chunk, _pick_chunk_batch,
         _static_scaled_qconst, _gain_cols_batched, _interpret_mode,
-        p_cols_at, _pack_tri)
+        p_cols_at, _pack_tri, resolve_interrogation, resolve_kalman_type,
+        normalize_prior_pars, normalize_meas_var)
 
+    kalman_type = resolve_kalman_type(kalman_type)
+    prior_pars = normalize_prior_pars(kalman_type, prior_pars)
+    obs_var = normalize_meas_var(kalman_type, obs_var)
+    mode = resolve_interrogation(None, interrogation, jac_flat)
     n_lane = thetas.shape[0]
     n_block, n_bmeas, q = ode_weight.shape
     n_obs, _, n_bobs, _ = obs_weight.shape
@@ -385,13 +422,19 @@ def fenrir_fused_batch(thetas, ode_weight, ode_inits,
     tgrid = t_min + (t_max - t_min) * (jnp.arange(n_steps) + 1) / n_steps
     theta_lanes = jnp.transpose(thetas).astype(jnp.float32)
 
+    eps = None
+    if mode == "chkrebtii":
+        if key is None:
+            raise ValueError("interrogation='chkrebtii' requires a key")
+        eps = jax.random.normal(
+            key, (n_steps, q, n_block, n_lane), jnp.float32)
     # forward filter emitting the backward-chain (A, b, C) for steps
     # 0..N-1 directly from the kernel (the separate XLA gains stage over
     # the stored filter states was 44% of the whole pass at 512 lanes)
     A_k, b_k, C_k, m_last, p_last = fused_filter_batch(
         ode_flat, jac_flat, n_steps, Qs, Rs, W_s, x0_lanes,
         theta_lanes, tgrid, t_vec, chunk=chunk, interpret=interpret,
-        raw_q_const=q_const, emit="gains")
+        raw_q_const=q_const, mode=mode, eps=eps, emit="gains")
 
     # observation model on the grid (shared across lanes)
     sim_times = jnp.linspace(t_min, t_max, n_steps + 1)
@@ -910,7 +953,7 @@ def fenrir_fused_batch_grad(thetas, ode_weight, ode_inits,
                             prior_pars,
                             obs_data, obs_times, obs_weight, obs_var,
                             ode_flat, jac_flat=None, chunk=None,
-                            interpret="auto"):
+                            interpret="auto", kalman_type="standard"):
     r"""
     Lane-batched fenrir log-likelihood AND its theta-gradient via
     forward-mode tangent-augmented fused kernels (see the section
@@ -923,6 +966,11 @@ def fenrir_fused_batch_grad(thetas, ode_weight, ode_inits,
     Returns:
         (tuple): ``loglik (n_lane,)``, ``grad (n_lane, n_theta)``.
     """
+    from rodeo_tpu.ops.pallas_kalman import (
+        resolve_kalman_type, normalize_prior_pars, normalize_meas_var)
+    kalman_type = resolve_kalman_type(kalman_type)
+    prior_pars = normalize_prior_pars(kalman_type, prior_pars)
+    obs_var = normalize_meas_var(kalman_type, obs_var)
     from rodeo_tpu.ops.pallas_kalman import (
         _static_scaled_qconst, _pick_chunk_batch, _pick_chunk)
 

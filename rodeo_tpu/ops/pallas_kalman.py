@@ -47,7 +47,8 @@ from rodeo_tpu.ops.precond import taylor_scale, scale_prior
 __all__ = ["fused_filter", "fused_smoother", "solve_mv_fused",
            "solve_mv_fused_stationary", "basic_fused_batch",
            "solve_mv_fused_batch_grad", "basic_fused_batch_grad",
-           "jvp_jac_flat"]
+           "jvp_jac_flat", "chol_packed", "unpack_chol",
+           "resolve_kalman_type"]
 
 
 def _tri_idx(q):
@@ -221,15 +222,22 @@ def _chol_cols(q, p_cols, where, floor=1e-12):
          for i in range(q)]
     rd = [1.0 / di for di in d]
     L = [[None] * (i + 1) for i in range(q)]
+    ok = [None] * q     # pivot genuinely positive (not floored)?
     for i in range(q):
         for j in range(i + 1):
             s = p_cols[where[(i, j)]] * (rd[i] * rd[j])
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             if i == j:
+                ok[i] = s > floor
                 L[i][i] = jnp.sqrt(jnp.maximum(s, floor))
             else:
-                L[i][j] = s / L[j][j]
+                # a floored pivot marks a (numerically) null direction:
+                # the rank-deficient factor has ZEROS below it — dividing
+                # cancellation noise by the floored pivot would otherwise
+                # blow the remaining columns up by ~1/floor
+                L[i][j] = jnp.where(ok[j], s / L[j][j],
+                                    jnp.zeros_like(s))
     return [[L[i][j] * d[i] for j in range(i + 1)] for i in range(q)]
 
 
@@ -469,6 +477,108 @@ def _unpack_tri(packed, q, pairs):
         where[(j, i)] = k
     rows = [jnp.stack([packed[..., where[(i, j)]] for j in range(q)],
                       axis=-1) for i in range(q)]
+    return jnp.stack(rows, axis=-2)
+
+
+def resolve_kalman_type(kalman_type):
+    r"""
+    Normalize/validate the fused entries' ``kalman_type``.
+
+    The fused pipelines propagate covariances in Joseph form —
+    :math:`(I-KH)\Sigma(I-KH)' + KVK'`, a sum of congruences of PSD
+    matrices — which is PSD-by-construction exactly like the reference's
+    square-root (QR) form (``/root/reference/src/rodeo/kalmantv/
+    square_root.py``); combined with the Taylor preconditioning it covers
+    the f32-robustness role that form plays upstream.  The *likelihood
+    value* of fenrir/dalton/basic is determined by the propagated
+    covariances and is therefore form-independent: both ``"standard"``
+    and ``"sqrt"`` ride the same kernels (parity vs the f64 square-root
+    reference is tested).  Solution entries (``solve_mv_fused*``) honor
+    the square-root output contract by returning Cholesky factors of the
+    smoothed covariances (same Gram as the reference's QR factors, which
+    are only ever defined up to a right orthogonal transform).
+    """
+    valid = {"standard": "standard", "sqrt": "sqrt",
+             "square-root": "sqrt", "square_root": "sqrt"}
+    if kalman_type not in valid:
+        raise ValueError(
+            "kalman_type must be one of 'standard', 'sqrt'/'square-root'; "
+            f"got {kalman_type!r}")
+    return valid[kalman_type]
+
+
+def normalize_prior_pars(kalman_type, prior_pars):
+    """Covariance-form ``(prior_weight, prior_var)``: the square-root API
+    passes variances as factors (:mod:`rodeo_tpu.kalmantv.square_root`
+    ``predict`` contract, e.g. ``prior_pars=(W, cholesky(var))``), while
+    the fused pipelines propagate covariances — square the factor so the
+    sqrt caller's arguments are drop-in.  ``kalman_type`` must already be
+    normalized by :func:`resolve_kalman_type`."""
+    if kalman_type == "sqrt" and prior_pars is not None:
+        w, v = prior_pars
+        return (w, v @ jnp.swapaxes(v, -1, -2))
+    return prior_pars
+
+
+def normalize_meas_var(kalman_type, var_meas):
+    """Covariance-form Gaussian measurement variance (the square-root API
+    passes ``obs_var`` as a factor); see :func:`normalize_prior_pars`."""
+    if kalman_type == "sqrt" and var_meas is not None:
+        return var_meas @ jnp.swapaxes(var_meas, -1, -2)
+    return var_meas
+
+
+def chol_packed(packed, q, floor=1e-12, axis=-1):
+    r"""
+    Closed-form lower Cholesky of packed-symmetric covariances, staying in
+    the packed layout (no dense ``(q, q)`` materialization: one batched
+    elementwise recurrence over the whole array, unrolled at trace time).
+
+    ``packed`` carries the upper-triangle pairs ``(i, j), i <= j`` of
+    :func:`_tri_idx` along ``axis``; the returned array has the same shape
+    with entry ``k = (i, j)`` holding the *lower* factor element
+    ``L[j, i]`` (``sum_k L[i,k] L[j,k] = P[i,j]``); expand with
+    :func:`unpack_chol`.  Correlation-normalized with a relative pivot
+    floor (same f32 stabilization as :func:`_chol_cols`); exactly-zero
+    covariances (e.g. the Dirac initial state) factor to ~0.
+    """
+    pairs, where = _tri_idx(q)
+    axis = axis % packed.ndim
+    cols = [jnp.take(packed, k, axis=axis) for k in range(len(pairs))]
+    tiny = jnp.asarray(jnp.finfo(packed.dtype).tiny, packed.dtype)
+    d = [jnp.sqrt(jnp.maximum(cols[where[(i, i)]], tiny)) for i in range(q)]
+    L = [[None] * (i + 1) for i in range(q)]
+    ok = [None] * q
+    for i in range(q):
+        for j in range(i + 1):
+            s = cols[where[(j, i)]] / (d[i] * d[j])
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                ok[i] = s > floor
+                L[i][i] = jnp.sqrt(jnp.maximum(s, floor))
+            else:
+                # zero below floored pivots (rank-deficient factor) — see
+                # _chol_cols: dividing by the floored pivot blows the
+                # remaining columns up by ~1/floor
+                L[i][j] = jnp.where(ok[j], s / L[j][j],
+                                    jnp.zeros_like(s))
+    out = [L[j][i] * d[j] for (i, j) in pairs]
+    return jnp.stack(out, axis=axis)
+
+
+def unpack_chol(packed):
+    """Expand a packed lower-Cholesky factor (..., n_tri) as produced by
+    :func:`chol_packed` into a dense lower-triangular (..., q, q) matrix
+    (host-side convenience for lane slices of the square-root form's
+    ``solve_mv_fused_batch`` output)."""
+    n_tri = packed.shape[-1]
+    q = {1: 1, 3: 2, 6: 3, 10: 4, 15: 5}[n_tri]
+    pairs, _ = _tri_idx(q)
+    where = {(i, j): k for k, (i, j) in enumerate(pairs)}
+    zero = jnp.zeros_like(packed[..., 0])
+    rows = [jnp.stack([packed[..., where[(j, i)]] if j <= i else zero
+                       for j in range(q)], axis=-1) for i in range(q)]
     return jnp.stack(rows, axis=-2)
 
 
@@ -736,7 +846,7 @@ def solve_mv_fused(key, ode_fun, ode_weight, ode_init,
                    prior_pars=None,
                    ode_flat=None, jac_flat=None, interpret="auto",
                    chunk=None, k_compose=None, unroll=False,
-                   interrogation=None, **params):
+                   interrogation=None, kalman_type="standard", **params):
     r"""
     Posterior mean/variance of the ODE solve via fused Pallas kernels.
 
@@ -753,14 +863,24 @@ def solve_mv_fused(key, ode_fun, ode_weight, ode_init,
     rodeo otherwise.  ``"chkrebtii"`` requires ``key``.  Unrecognized
     custom interrogations raise (use the XLA paths for those).
 
+    With ``kalman_type="sqrt"`` (or ``"square-root"``) the returned
+    variances are lower-Cholesky *factors* of the smoothed covariances,
+    matching the square-root form's output contract
+    (:mod:`rodeo_tpu.kalmantv.square_root`); the propagation itself rides
+    the same Joseph-form kernels, which are PSD-by-construction — see
+    :func:`resolve_kalman_type`.
+
     Returns:
         (tuple): ``mean_state_smooth``, ``var_state_smooth`` with shapes
-        ``(n_steps+1, n_block, q[, q])``.
+        ``(n_steps+1, n_block, q[, q])`` (``var`` is a Cholesky factor
+        under the square-root form).
     """
     if ode_flat is None:
         raise ValueError(
             "solve_mv_fused requires a Mosaic-safe `ode_flat` callable "
             "(see rodeo_tpu.models.*_flat)")
+    kalman_type = resolve_kalman_type(kalman_type)
+    prior_pars = normalize_prior_pars(kalman_type, prior_pars)
     mode = resolve_interrogation(interrogate, interrogation, jac_flat)
     n_block, n_bmeas, q = ode_weight.shape
     if n_bmeas != 1:
@@ -817,6 +937,11 @@ def solve_mv_fused(key, ode_fun, ode_weight, ode_init,
     # unscale back to original coordinates
     t_v = t_vec.astype(ms_full.dtype)
     mean_out = ms_full * t_v
+    if kalman_type == "sqrt":
+        # factor in packed (scaled) coordinates, unscale rows: if
+        # F F' = P_scaled then (T F)(T F)' = T P_scaled T = P
+        f_packed = chol_packed(ps_full, q, axis=-1)
+        return mean_out, unpack_chol(f_packed) * t_v[:, None]
     var_out = _unpack_tri(ps_full, q, pairs) * (t_v[:, None] * t_v[None, :])
     return mean_out, var_out
 
@@ -1433,7 +1558,8 @@ def solve_mv_fused_batch(thetas, ode_weight, ode_inits,
                          prior_pars,
                          ode_flat, jac_flat=None,
                          chunk=None, interpret="auto",
-                         interrogation=None, key=None):
+                         interrogation=None, key=None,
+                         kalman_type="standard"):
     r"""
     Lane-batched fused solve: ``n_lane`` independent solves (parameter
     candidates / chains) in one pair of Pallas kernels, batched over the
@@ -1454,16 +1580,23 @@ def solve_mv_fused_batch(thetas, ode_weight, ode_inits,
             rodeo otherwise).  ``"chkrebtii"`` interrogates at an
             in-kernel posterior-predictive draw and requires ``key``.
         key (PRNGKey | None): PRNG key for stochastic interrogations.
+        kalman_type (str): ``"standard"`` (packed covariances) or
+            ``"sqrt"``/``"square-root"`` (packed lower-Cholesky factors,
+            :func:`chol_packed` layout — expand a lane slice with
+            :func:`unpack_chol`); see :func:`resolve_kalman_type`.
         (other args as :func:`solve_mv_fused`; requires a block-constant
         transition, i.e. the IBM prior)
 
     Returns:
         (tuple):
         - **mean** (ndarray(n_steps+1, n_block, q, n_lane)).
-        - **var_packed** (ndarray(n_steps+1, n_block, n_tri, n_lane)).
+        - **var_packed** (ndarray(n_steps+1, n_block, n_tri, n_lane)):
+          packed covariances (standard) or packed factors (square-root).
     """
     n_lane = thetas.shape[0]
     n_block, n_bmeas, q = ode_weight.shape
+    kalman_type = resolve_kalman_type(kalman_type)
+    prior_pars = normalize_prior_pars(kalman_type, prior_pars)
     if n_bmeas != 1:
         raise NotImplementedError("fused kernels require n_bmeas == 1")
     pairs, _ = _tri_idx(q)
@@ -1512,13 +1645,21 @@ def solve_mv_fused_batch(thetas, ode_weight, ode_inits,
         rows(ms),
         rows(m_last[None]),
     ], axis=0) * t_col
-    tri_scale = jnp.stack(
-        [t_vec[i] * t_vec[j] for (i, j) in pairs]).astype(jnp.float32)
-    var_rows = jnp.concatenate([
+    packed_rows = jnp.concatenate([
         jnp.zeros((1, n_block, n_tri, n_lane), jnp.float32),
         rows(ps),
         rows(p_last[None]),
-    ], axis=0) * tri_scale[:, None]
+    ], axis=0)
+    if kalman_type == "sqrt":
+        # factor the scaled covariances in packed layout, then unscale the
+        # factor rows (entry k=(i,j) is dense L[j][i], i.e. row j)
+        f_rows = chol_packed(packed_rows, q, axis=-2)
+        row_scale = jnp.stack(
+            [t_vec[j] for (_, j) in pairs]).astype(jnp.float32)
+        return mean_rows, f_rows * row_scale[:, None]
+    tri_scale = jnp.stack(
+        [t_vec[i] * t_vec[j] for (i, j) in pairs]).astype(jnp.float32)
+    var_rows = packed_rows * tri_scale[:, None]
     return mean_rows, var_rows
 
 
@@ -1619,7 +1760,8 @@ def solve_mv_fused_batch_grad(thetas, ode_weight, ode_inits,
                               t_min, t_max, n_steps,
                               prior_pars,
                               ode_flat, jac_flat=None,
-                              chunk=None, interpret="auto"):
+                              chunk=None, interpret="auto",
+                              kalman_type="standard"):
     r"""
     Lane-batched fused solve posterior mean AND its theta-sensitivities
     via forward-mode tangent-augmented kernels: the tangent filter of
@@ -1639,6 +1781,8 @@ def solve_mv_fused_batch_grad(thetas, ode_weight, ode_inits,
         - **dmean** (ndarray(n_theta, n_steps+1, n_block, q, n_lane)):
           per-parameter directional derivatives of **mean**.
     """
+    kalman_type = resolve_kalman_type(kalman_type)
+    prior_pars = normalize_prior_pars(kalman_type, prior_pars)
     from rodeo_tpu.ops.pallas_fenrir import fused_filter_batch_tan
 
     n_lane, n_theta = thetas.shape
@@ -1703,7 +1847,8 @@ def basic_fused_batch_grad(thetas, ode_weight, ode_inits,
                            prior_pars,
                            obs_data, obs_times, obs_loglik,
                            ode_flat, jac_flat=None,
-                           chunk=None, interpret="auto", **params):
+                           chunk=None, interpret="auto",
+                           kalman_type="standard", **params):
     r"""
     Lane-batched fused Basic likelihood AND its theta-gradient: the
     tangent-augmented fused solve (:func:`solve_mv_fused_batch_grad`)
@@ -1714,6 +1859,8 @@ def basic_fused_batch_grad(thetas, ode_weight, ode_inits,
         (tuple): ``loglik (n_lane,)``, ``grad (n_lane, n_theta)``,
         ``mean (n_steps+1, n_block, q, n_lane)``.
     """
+    kalman_type = resolve_kalman_type(kalman_type)
+    prior_pars = normalize_prior_pars(kalman_type, prior_pars)
     mean_rows, dmean = solve_mv_fused_batch_grad(
         thetas=thetas, ode_weight=ode_weight, ode_inits=ode_inits,
         t_min=t_min, t_max=t_max, n_steps=n_steps, prior_pars=prior_pars,
@@ -1861,7 +2008,8 @@ def solve_mv_fused_stationary(key, ode_fun, ode_weight, ode_init,
                               ode_flat=None, jac_flat=None,
                               interpret="auto", chunk=None,
                               n_warm=64, unroll=True, two_phase=True,
-                              interrogation=None, **params):
+                              interrogation=None, kalman_type="standard",
+                              **params):
     r"""
     :func:`solve_mv_fused` specialization for time-constant measurement
     matrices (see module comment above): exact ``n_warm``-step Riccati
@@ -1872,16 +2020,23 @@ def solve_mv_fused_stationary(key, ode_fun, ode_weight, ode_init,
     VALIDITY: EK0 (``interrogation="rodeo"``) for any model; EK1
     (``"kramer"``) only when ``jac_flat`` is state-independent (the
     caller asserts this — e.g. Lorenz63's in-block Jacobian).  Same
-    return contract as :func:`solve_mv_fused`.
+    return contract as :func:`solve_mv_fused` (including the square-root
+    form's Cholesky-factor variances under ``kalman_type="sqrt"``).
     """
     del key, ode_fun
+    kalman_type = resolve_kalman_type(kalman_type)
+    prior_pars = normalize_prior_pars(kalman_type, prior_pars)
     if ode_flat is None:
         raise ValueError(
             "solve_mv_fused_stationary requires a Mosaic-safe `ode_flat`")
-    return _solve_mv_fused_stationary_impl(
+    mean_out, var_out = _solve_mv_fused_stationary_impl(
         ode_weight, ode_init, t_min, t_max, n_steps, interrogate,
         prior_pars, ode_flat, jac_flat, interpret, chunk, n_warm,
         unroll, two_phase, interrogation, **params)
+    if kalman_type == "sqrt":
+        from rodeo_tpu.ops.linalg import chol_small
+        var_out = chol_small(var_out)
+    return mean_out, var_out
 
 
 def _solve_mv_fused_stationary_impl(ode_weight, ode_init, t_min, t_max,
@@ -2086,7 +2241,7 @@ def basic_fused_batch(thetas, ode_weight, ode_inits,
                       obs_data, obs_times, obs_loglik,
                       ode_flat, jac_flat=None,
                       chunk=None, interpret="auto", interrogation=None,
-                      key=None, **params):
+                      key=None, kalman_type="standard", **params):
     r"""
     Lane-batched fused Basic likelihood: ``n_lane`` plug-in likelihood
     evaluations per kernel pipeline — the fused ``solve_mv`` forward pass
@@ -2105,6 +2260,12 @@ def basic_fused_batch(thetas, ode_weight, ode_inits,
         - **mean** (ndarray(n_steps+1, n_block, q, n_lane)): solution
           posterior mean (all grid rows, lanes last).
     """
+    # the Basic likelihood plugs in the posterior MEAN only, which is
+    # identical under both filter forms (see resolve_kalman_type) —
+    # validate, accept the sqrt caller's factor-form prior, and ride the
+    # shared pipeline
+    kalman_type = resolve_kalman_type(kalman_type)
+    prior_pars = normalize_prior_pars(kalman_type, prior_pars)
     mean_rows, _ = solve_mv_fused_batch(
         thetas=thetas, ode_weight=ode_weight, ode_inits=ode_inits,
         t_min=t_min, t_max=t_max, n_steps=n_steps, prior_pars=prior_pars,

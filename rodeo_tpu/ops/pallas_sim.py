@@ -101,7 +101,7 @@ def solve_sim_fused_batch(key, thetas, ode_weight, ode_inits,
                           prior_pars,
                           ode_flat, jac_flat=None,
                           chunk=None, interpret="auto",
-                          interrogation=None):
+                          interrogation=None, kalman_type="standard"):
     r"""
     Lane-batched fused posterior path sampling: ``n_lane`` independent
     draws (one per parameter candidate / MCMC chain) in one kernel
@@ -122,6 +122,12 @@ def solve_sim_fused_batch(key, thetas, ode_weight, ode_inits,
         (ndarray(n_steps+1, n_block, q, n_lane)): Sampled solution paths,
         lane axis last (original coordinates).
     """
+    from rodeo_tpu.ops.pallas_kalman import (resolve_kalman_type,
+                                             normalize_prior_pars)
+    # draws are distribution-level, determined by the propagated
+    # covariances: form-independent
+    kalman_type = resolve_kalman_type(kalman_type)
+    prior_pars = normalize_prior_pars(kalman_type, prior_pars)
     n_lane = thetas.shape[0]
     n_block, n_bmeas, q = ode_weight.shape
     if n_bmeas != 1:

@@ -55,7 +55,8 @@ def sharded_solve_mv_fused_batch(thetas, ode_weight, ode_inits,
                                  t_min, t_max, n_steps, prior_pars,
                                  ode_flat, jac_flat=None,
                                  mesh=None, axis_name="batch",
-                                 chunk=None, interpret="auto"):
+                                 chunk=None, interpret="auto",
+                                 kalman_type="standard"):
     r"""
     :func:`rodeo_tpu.ops.pallas_kalman.solve_mv_fused_batch` with the lane
     axis sharded over a device mesh (lane groups per chip, no
@@ -73,7 +74,8 @@ def sharded_solve_mv_fused_batch(thetas, ode_weight, ode_inits,
             thetas=th, ode_weight=W, ode_inits=x0,
             t_min=t_min, t_max=t_max, n_steps=n_steps,
             prior_pars=prior_pars, ode_flat=ode_flat, jac_flat=jac_flat,
-            chunk=chunk, interpret=interpret)
+            chunk=chunk, interpret=interpret,
+            kalman_type=kalman_type)
 
     return _lane_sharded(local, mesh, axis_name, 2, 3)(
         thetas, ode_inits, ode_weight)
@@ -84,7 +86,8 @@ def sharded_fenrir_fused_batch(thetas, ode_weight, ode_inits,
                                obs_data, obs_times, obs_weight, obs_var,
                                ode_flat, jac_flat=None,
                                mesh=None, axis_name="batch",
-                               chunk=None, interpret="auto"):
+                               chunk=None, interpret="auto",
+                               kalman_type="standard"):
     r"""
     :func:`rodeo_tpu.ops.pallas_fenrir.fenrir_fused_batch` with the lane
     axis sharded over a device mesh.  Returns ``(n_lane,)`` log-likelihood
@@ -101,7 +104,8 @@ def sharded_fenrir_fused_batch(thetas, ode_weight, ode_inits,
             prior_pars=prior_pars,
             obs_data=yobs, obs_times=obs_times, obs_weight=D, obs_var=Om,
             ode_flat=ode_flat, jac_flat=jac_flat,
-            chunk=chunk, interpret=interpret)
+            chunk=chunk, interpret=interpret,
+            kalman_type=kalman_type)
 
     return _lane_sharded(local, mesh, axis_name, 1, 0)(
         thetas, ode_inits, ode_weight, obs_data, obs_weight, obs_var)
@@ -112,7 +116,8 @@ def sharded_dalton_fused_batch(thetas, ode_weight, ode_inits,
                                obs_data, obs_times, obs_weight, obs_var,
                                ode_flat, jac_flat=None,
                                mesh=None, axis_name="batch",
-                               chunk=None, interpret="auto"):
+                               chunk=None, interpret="auto",
+                               kalman_type="standard"):
     r"""
     :func:`rodeo_tpu.ops.pallas_dalton.dalton_fused_batch` with the lane
     axis sharded over a device mesh.  Returns ``(n_lane,)`` log-likelihood
@@ -129,7 +134,8 @@ def sharded_dalton_fused_batch(thetas, ode_weight, ode_inits,
             prior_pars=prior_pars,
             obs_data=yobs, obs_times=obs_times, obs_weight=D, obs_var=Om,
             ode_flat=ode_flat, jac_flat=jac_flat,
-            chunk=chunk, interpret=interpret)
+            chunk=chunk, interpret=interpret,
+            kalman_type=kalman_type)
 
     return _lane_sharded(local, mesh, axis_name, 1, 0)(
         thetas, ode_inits, ode_weight, obs_data, obs_weight, obs_var)
@@ -140,7 +146,8 @@ def sharded_daltonng_fused_batch(thetas, ode_weight, ode_inits,
                                  obs_data, obs_times, obs_comp_flat,
                                  obs_dims, ode_flat, jac_flat=None,
                                  mesh=None, axis_name="batch",
-                                 chunk=None, interpret="auto"):
+                                 chunk=None, interpret="auto",
+                                 kalman_type="standard"):
     r"""
     :func:`rodeo_tpu.ops.pallas_daltonng.daltonng_fused_batch` with the
     lane axis sharded over a device mesh.  Returns ``(n_lane,)``
@@ -158,7 +165,8 @@ def sharded_daltonng_fused_batch(thetas, ode_weight, ode_inits,
             obs_data=yobs, obs_times=obs_times,
             obs_comp_flat=obs_comp_flat, obs_dims=obs_dims,
             ode_flat=ode_flat, jac_flat=jac_flat,
-            chunk=chunk, interpret=interpret)
+            chunk=chunk, interpret=interpret,
+            kalman_type=kalman_type)
 
     return _lane_sharded(local, mesh, axis_name, 1, 0)(
         thetas, ode_inits, ode_weight, obs_data)
@@ -169,7 +177,8 @@ def sharded_basic_fused_batch(thetas, ode_weight, ode_inits,
                               obs_data, obs_times, obs_loglik,
                               ode_flat, jac_flat=None,
                               mesh=None, axis_name="batch",
-                              chunk=None, interpret="auto", **params):
+                              chunk=None, interpret="auto",
+                              kalman_type="standard", **params):
     r"""
     :func:`rodeo_tpu.ops.pallas_kalman.basic_fused_batch` with the lane
     axis sharded over a device mesh.  Returns ``(loglik (n_lane,),
@@ -186,7 +195,8 @@ def sharded_basic_fused_batch(thetas, ode_weight, ode_inits,
             prior_pars=prior_pars,
             obs_data=yobs, obs_times=obs_times, obs_loglik=obs_loglik,
             ode_flat=ode_flat, jac_flat=jac_flat,
-            chunk=chunk, interpret=interpret, **params)
+            chunk=chunk, interpret=interpret,
+            kalman_type=kalman_type, **params)
 
     def wrapped(thetas, ode_inits, *reps):
         in_specs = (P(axis_name), P(axis_name)) + (P(),) * len(reps)
@@ -302,7 +312,8 @@ def sharded_solve_sim_fused_batch(key, thetas, ode_weight, ode_inits,
                                   t_min, t_max, n_steps, prior_pars,
                                   ode_flat, jac_flat=None,
                                   mesh=None, axis_name="batch",
-                                  chunk=None, interpret="auto"):
+                                  chunk=None, interpret="auto",
+                                  kalman_type="standard"):
     r"""
     :func:`rodeo_tpu.ops.pallas_sim.solve_sim_fused_batch` with the lane
     axis sharded over a device mesh; each chip draws its lane group with
@@ -320,7 +331,8 @@ def sharded_solve_sim_fused_batch(key, thetas, ode_weight, ode_inits,
             key=k, thetas=th, ode_weight=W, ode_inits=x0,
             t_min=t_min, t_max=t_max, n_steps=n_steps,
             prior_pars=prior_pars, ode_flat=ode_flat, jac_flat=jac_flat,
-            chunk=chunk, interpret=interpret)
+            chunk=chunk, interpret=interpret,
+            kalman_type=kalman_type)
 
     return _lane_sharded(local, mesh, axis_name, 1, 3)(
         thetas, ode_inits, ode_weight)
