@@ -37,7 +37,7 @@ from rodeo_tpu.ops.pallas_kalman import (
     _tri_idx, _pack_tri, _pick_chunk, _pick_chunk_batch, _sym_quadform,
     _sym_inv, _matvec, _interpret_mode, _static_scaled_qconst)
 
-__all__ = ["magi_fused_batch"]
+__all__ = ["magi_fused_batch", "magi_fused_batch_grad"]
 
 _LOG2PI = 1.8378770664093453
 
@@ -58,14 +58,31 @@ def _sym_det(a, S_cols):
     raise NotImplementedError("magi_fused_batch supports n_active <= 3")
 
 
-def _magi_kernel_batch(chunk, q, act, n_block, n_tri, q_const,
+def _magi_kernel_batch(chunk, q, act, n_block, n_tri, q_const, emit,
                        x_ref, r_ref, m0_ref,
-                       ld_ref,
-                       m_scr, p_scr, ld_scr):
+                       ld_ref, *rest):
     """One grid step = ``chunk`` MAGI filter steps, state in VMEM scratch;
-    per-lane log-density row accumulates in scratch."""
+    per-lane log-density row accumulates in scratch.
+
+    ``emit`` (compile-time): ``"ld"`` emits the log-density only;
+    ``"adjoint"`` additionally streams the per-step innovation ``z``,
+    packed forecast inverse ``S^{-1}`` and conditioning gain ``G`` — the
+    (data-independent-coefficient) inputs of the exact adjoint recursion
+    run by :func:`_magi_adjoint_kernel_batch`.
+    """
     pairs, where = _tri_idx(q)
     pairs_a, where_a = _tri_idx(act)
+    n_tri_a = len(pairs_a)
+    if emit == "adjoint":
+        if q > act:
+            z_ref, s_ref, gG_ref = rest[:3]
+            m_scr, p_scr, ld_scr = rest[3:]
+        else:
+            z_ref, s_ref = rest[:2]
+            gG_ref = None
+            m_scr, p_scr, ld_scr = rest[2:]
+    else:
+        m_scr, p_scr, ld_scr = rest
     gi = pl.program_id(0)
     R_cols = [r_ref[k] for k in range(n_tri)]            # (nb, 1)
 
@@ -126,6 +143,15 @@ def _magi_kernel_batch(chunk, q, act, n_block, n_tri, q_const,
                 for a in range(act):
                     acc = acc - G[i][a] * pp[where[(a, j)]]
                 p_out.append(acc)
+        if emit == "adjoint":
+            for j in range(act):
+                z_ref[r, j] = z[j]
+            for k in range(n_tri_a):
+                s_ref[r, k] = invS[k]
+            if gG_ref is not None:
+                for i in range(act, q):
+                    for a in range(act):
+                        gG_ref[r, (i - act) * act + a] = G[i][a]
         return tuple(m_out) + tuple(p_out) + (ld,)
 
     m_in = [m_scr[j] for j in range(q)]
@@ -168,17 +194,45 @@ def magi_fused_batch(ode_data_subsets, ode_expand, n_active, prior_pars,
     Returns:
         (ndarray(n_lane,)): Log-density values.
     """
-    n_lane = ode_data_subsets.shape[0]
     expand = jax.vmap(lambda u: ode_expand(u, **params))
     paths = expand(ode_data_subsets)                 # (B, N+1, nb, q)
-    _, n_tot, n_block, q = paths.shape
+    ld, _ = _magi_forward(paths, int(n_active), prior_pars, dt,
+                          sig2_lanes, chunk, interpret, emit="ld")
+    return ld
+
+
+def _magi_jacobian(dt, t_vec, n_steps, n_block, q, act):
+    """Change-of-variables constant back from scaled coordinates (exact
+    trace-time constant when dt is static; matches
+    :func:`rodeo_tpu.ops.precond.magi_logdens`)."""
+    qd = q - 1
+    try:
+        dt_f = float(dt)
+        tv = [math.sqrt(dt_f) * dt_f ** (qd - i) / math.factorial(qd - i)
+              for i in range(q)]
+        return jnp.float32(
+            n_steps * n_block * sum(math.log(t) for t in tv[:act]))
+    except TypeError:  # traced dt
+        return (n_steps * n_block
+                * jnp.sum(jnp.log(t_vec[:act]))).astype(jnp.float32)
+
+
+def _magi_forward(paths, act, prior_pars, dt, sig2_lanes, chunk,
+                  interpret, emit):
+    """Shared fused-forward driver over pre-expanded paths.
+
+    Returns ``(ld, aux)`` where ``aux`` is ``None`` for ``emit="ld"`` and
+    ``(z_k, s_k, gG_k, t_vec, s_chunk)`` for ``emit="adjoint"``
+    (``gG_k`` is ``None`` when ``q == act``)."""
+    n_lane, n_tot, n_block, q = paths.shape
     n_steps = n_tot - 1
-    act = int(n_active)
     if act > min(3, q):
         raise NotImplementedError(
             "magi_fused_batch supports n_active <= 3 (and <= n_deriv)")
     pairs, _ = _tri_idx(q)
+    pairs_a, _ = _tri_idx(act)
     n_tri = len(pairs)
+    n_tri_a = len(pairs_a)
     q_const = _static_scaled_qconst(prior_pars[0], dt, q)
     if q_const is None:
         raise NotImplementedError(
@@ -203,21 +257,36 @@ def magi_fused_batch(ode_data_subsets, ode_expand, n_active, prior_pars,
     n_chunks = n_steps // s_chunk
     n_lane_r = R_k.shape[-1]
     kern = functools.partial(_magi_kernel_batch, s_chunk, q, act,
-                             n_block, n_tri, q_const)
+                             n_block, n_tri, q_const, emit)
     rep = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple([0] * len(shape)), memory_space=pltpu.VMEM)
-    ld = pl.pallas_call(
+    blk = lambda d: pl.BlockSpec((s_chunk, d, n_block, n_lane),
+                                 lambda i: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((1, n_lane), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, n_lane), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)]
+    if emit == "adjoint":
+        out_shape.append(jax.ShapeDtypeStruct(
+            (n_steps, act, n_block, n_lane), jnp.float32))
+        out_specs.append(blk(act))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (n_steps, n_tri_a, n_block, n_lane), jnp.float32))
+        out_specs.append(blk(n_tri_a))
+        if q > act:
+            out_shape.append(jax.ShapeDtypeStruct(
+                (n_steps, (q - act) * act, n_block, n_lane), jnp.float32))
+            out_specs.append(blk((q - act) * act))
+    outs = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((1, n_lane), jnp.float32),
+        out_shape=out_shape,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((s_chunk, act, n_block, n_lane),
-                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            blk(act),
             rep((n_tri, n_block, n_lane_r)),
             rep((q, n_block, n_lane)),
         ],
-        out_specs=pl.BlockSpec((1, n_lane), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((q, n_block, n_lane), jnp.float32),
             pltpu.VMEM((n_tri, n_block, n_lane), jnp.float32),
@@ -225,16 +294,177 @@ def magi_fused_batch(ode_data_subsets, ode_expand, n_active, prior_pars,
         ],
         interpret=_interpret_mode(interpret),
     )(x_k, R_k, m0)
-    # change-of-variables back from scaled coordinates (exact trace-time
-    # constant when dt is static; matches precond.magi_logdens)
-    qd = q - 1
-    try:
-        dt_f = float(dt)
-        tv = [math.sqrt(dt_f) * dt_f ** (qd - i) / math.factorial(qd - i)
-              for i in range(q)]
-        jacobian = jnp.float32(
-            n_steps * n_block * sum(math.log(t) for t in tv[:act]))
-    except TypeError:  # traced dt
-        jacobian = (n_steps * n_block
-                    * jnp.sum(jnp.log(t_vec[:act]))).astype(jnp.float32)
-    return ld[0] - jacobian
+    jacobian = _magi_jacobian(dt, t_vec, n_steps, n_block, q, act)
+    ld = outs[0][0] - jacobian
+    if emit != "adjoint":
+        return ld, None
+    z_k, s_k = outs[1], outs[2]
+    gG_k = outs[3] if q > act else None
+    return ld, (z_k, s_k, gG_k, t_vec, s_chunk)
+
+
+def _magi_adjoint_kernel_batch(chunk, q, act, n_block, q_const,
+                               *refs):
+    """Exact adjoint of the MAGI filter log-density w.r.t. the (scaled)
+    path data.
+
+    The filter's covariance recursion never sees the data, so the adjoint
+    is a linear backward recursion with the coefficients the forward pass
+    stored: per step ``r`` (with ``lam_r = dL/dm_r``, seeded ``lam_N = 0``)
+
+    .. code-block:: text
+
+        v = S^{-1} z                 (forecast-density term)
+        t_a = sum_{i>=act} G[i][a] lam[i]
+        dL/dx_r  = lam[:act] + t - v
+        lam_{r-1} = Q' [ v - t ; lam[act:] ]
+
+    and ``dL/dm_0 = lam_0`` covers the full ``q``-row seed state.
+    """
+    pairs_a, where_a = _tri_idx(act)
+    n_tri_a = len(pairs_a)
+    has_g = q > act
+    if has_g:
+        z_ref, s_ref, gG_ref = refs[:3]
+        gx_ref, lam0_ref = refs[3:5]
+        lam_scr = refs[5]
+    else:
+        z_ref, s_ref = refs[:2]
+        gx_ref, lam0_ref = refs[2:4]
+        lam_scr = refs[4]
+    gi = pl.program_id(0)
+
+    @pl.when(gi == 0)
+    def _seed():
+        for j in range(q):
+            lam_scr[j] = jnp.zeros_like(z_ref[0, 0])
+
+    qT = [[q_const[i][j] for i in range(q)] for j in range(q)]
+
+    def body(k, carry):
+        r = chunk - 1 - k
+        lam = list(carry)
+        z = [z_ref[r, j] for j in range(act)]
+        v = []
+        for a in range(act):
+            acc = None
+            for b in range(act):
+                term = s_ref[r, where_a[(a, b)]] * z[b]
+                acc = term if acc is None else acc + term
+            v.append(acc)
+        zero = jnp.zeros_like(z[0])
+        t = [zero] * act
+        if has_g:
+            for a in range(act):
+                acc = None
+                for i in range(act, q):
+                    term = gG_ref[r, (i - act) * act + a] * lam[i]
+                    acc = term if acc is None else acc + term
+                t[a] = acc
+        for a in range(act):
+            gx_ref[r, a] = lam[a] + t[a] - v[a]
+        u = [v[a] - t[a] for a in range(act)] + [lam[i]
+                                                 for i in range(act, q)]
+        lam_new = _matvec(q, qT, u)
+        return tuple(c if c is not None else zero for c in lam_new)
+
+    lam_in = tuple(lam_scr[j] for j in range(q))
+    out = jax.lax.fori_loop(0, chunk, body, lam_in)
+    for j in range(q):
+        lam_scr[j] = out[j]
+        lam0_ref[j] = out[j]
+
+
+def magi_fused_batch_grad(ode_data_subsets, ode_expand, n_active,
+                          prior_pars, dt, theta_lanes=None,
+                          sig2_lanes=None, chunk=None, interpret="auto",
+                          **params):
+    r"""
+    Fused MAGI log-density **and its exact gradient w.r.t. the path**
+    (and optionally per-lane parameters), lane-batched.
+
+    MAGI's MCMC/MAP state is the whole latent path :math:`U_{0:N}` —
+    thousands of dimensions — so the forward-mode tangent trick of the
+    other ``*_fused_batch_grad`` entries cannot scale here.  Instead this
+    runs reverse mode natively: the MAGI filter is linear-Gaussian in the
+    expanded path (covariances/gains never see the data), so its adjoint
+    is a constant-coefficient backward recursion.  The forward kernel
+    additionally streams per-step ``(z, S^{-1}, G)``; a second kernel
+    runs the adjoint; the chain rule through ``ode_expand`` (and the
+    Taylor scaling) is one ``jax.vjp``.  Cost: ~2x the value-only kernel.
+
+    Parity: matches ``jax.grad`` of
+    :func:`rodeo_tpu.ops.precond.magi_logdens` (reference semantics,
+    upstream ``src/rodeo/inference/magi.py:21-99``) to float32 accuracy.
+
+    Args:
+        theta_lanes (ndarray(n_lane, ...) pytree | None): Optional
+            per-lane parameters; when given, ``ode_expand`` is called as
+            ``ode_expand(subset, theta=theta_lane, **params)`` and the
+            gradient w.r.t. ``theta_lanes`` is returned as well.
+        sig2_lanes: As in :func:`magi_fused_batch`; supported in the
+            value and in the path/theta gradients, but **no gradient
+            w.r.t.** ``sig2_lanes`` is returned (its derivative flows
+            through the covariance recursion; use a Gibbs/marginal move
+            for :math:`\sigma^2`).
+        (other arguments as :func:`magi_fused_batch`)
+
+    Returns:
+        (tuple): ``(ld (n_lane,), grad_subsets)`` — plus
+        ``grad_theta`` when ``theta_lanes`` is given.
+    """
+    act = int(n_active)
+    if theta_lanes is None:
+        expand = lambda U: jax.vmap(
+            lambda u: ode_expand(u, **params))(U)
+        paths, vjp_fn = jax.vjp(expand, ode_data_subsets)
+    else:
+        expand = lambda U, TH: jax.vmap(
+            lambda u, th: ode_expand(u, theta=th, **params))(U, TH)
+        paths, vjp_fn = jax.vjp(expand, ode_data_subsets, theta_lanes)
+    n_lane, n_tot, n_block, q = paths.shape
+    n_steps = n_tot - 1
+    ld, aux = _magi_forward(paths, act, prior_pars, dt, sig2_lanes,
+                            chunk, interpret, emit="adjoint")
+    z_k, s_k, gG_k, t_vec, s_chunk = aux
+    n_chunks = n_steps // s_chunk
+    pairs_a, _ = _tri_idx(act)
+    n_tri_a = len(pairs_a)
+    kern = functools.partial(_magi_adjoint_kernel_batch, s_chunk, q, act,
+                             n_block,
+                             _static_scaled_qconst(prior_pars[0], dt, q))
+    rev = lambda i: (n_chunks - 1 - i, 0, 0, 0)
+    blk = lambda d: pl.BlockSpec((s_chunk, d, n_block, n_lane), rev,
+                                 memory_space=pltpu.VMEM)
+    in_specs = [blk(act), blk(n_tri_a)]
+    args = [z_k, s_k]
+    if gG_k is not None:
+        in_specs.append(blk((q - act) * act))
+        args.append(gG_k)
+    gx, lam0 = pl.pallas_call(
+        kern,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_steps, act, n_block, n_lane),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((q, n_block, n_lane), jnp.float32),
+        ],
+        grid=(n_chunks,),
+        in_specs=in_specs,
+        out_specs=[
+            blk(act),
+            pl.BlockSpec((q, n_block, n_lane), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((q, n_block, n_lane), jnp.float32)],
+        interpret=_interpret_mode(interpret),
+    )(*args)
+    # assemble d ld / d paths (original coordinates) and pull back
+    # through ode_expand;  paths_s = paths / t_vec  =>  divide again
+    g_s = jnp.zeros((n_lane, n_tot, n_block, q), jnp.float32)
+    g_s = g_s.at[:, 1:, :, :act].set(jnp.transpose(gx, (3, 0, 2, 1)))
+    g_s = g_s.at[:, 0].set(jnp.transpose(lam0, (2, 1, 0)))
+    g_paths = (g_s / t_vec).astype(paths.dtype)
+    grads = vjp_fn(g_paths)
+    if theta_lanes is None:
+        return ld, grads[0]
+    return ld, grads[0], grads[1]

@@ -30,6 +30,7 @@ __all__ = ["sharded_solve_mv_fused_batch", "sharded_fenrir_fused_batch",
            "sharded_dalton_fused_batch_grad",
            "sharded_basic_fused_batch_grad",
            "sharded_magi_fused_batch",
+           "sharded_magi_fused_batch_grad",
            "run_chains_fused_sharded"]
 
 
@@ -362,6 +363,49 @@ def sharded_magi_fused_batch(ode_data_subsets, ode_expand, n_active,
         local, mesh=mesh, in_specs=(P(axis_name), P(axis_name)),
         out_specs=P(axis_name), check_vma=False,
     )(ode_data_subsets, jnp.asarray(sig2_lanes, jnp.float32))
+
+
+def sharded_magi_fused_batch_grad(ode_data_subsets, ode_expand, n_active,
+                                  prior_pars, dt, theta_lanes=None,
+                                  sig2_lanes=None,
+                                  mesh=None, axis_name="batch",
+                                  chunk=None, interpret="auto", **params):
+    r"""
+    :func:`rodeo_tpu.ops.pallas_magi.magi_fused_batch_grad` with the lane
+    axis sharded over a device mesh — gradient MAP/MALA fleets over the
+    MAGI path state, lane groups per chip, zero collectives.  Returns
+    ``(ld (n_lane,), grad_subsets)`` (+ ``grad_theta`` when
+    ``theta_lanes`` is given), globally sharded on the lane axis.
+    """
+    from rodeo_tpu.ops import pallas_magi as pm
+    if mesh is None:
+        mesh = make_mesh(axis_name=axis_name)
+    if sig2_lanes is None:
+        sig2_lanes = jnp.ones(ode_data_subsets.shape[0], jnp.float32)
+    sig2_lanes = jnp.asarray(sig2_lanes, jnp.float32)
+
+    if theta_lanes is None:
+        def local(subsets, sig2):
+            return pm.magi_fused_batch_grad(
+                subsets, ode_expand, n_active, prior_pars, dt,
+                sig2_lanes=sig2, chunk=chunk, interpret=interpret,
+                **params)
+        return shard_map(
+            local, mesh=mesh, in_specs=(P(axis_name), P(axis_name)),
+            out_specs=(P(axis_name), P(axis_name)), check_vma=False,
+        )(ode_data_subsets, sig2_lanes)
+
+    def local(subsets, th, sig2):
+        return pm.magi_fused_batch_grad(
+            subsets, ode_expand, n_active, prior_pars, dt,
+            theta_lanes=th, sig2_lanes=sig2, chunk=chunk,
+            interpret=interpret, **params)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        check_vma=False,
+    )(ode_data_subsets, theta_lanes, sig2_lanes)
 
 
 def run_chains_fused_sharded(loglik_fn, init_positions, key, n_samples,

@@ -356,3 +356,32 @@ def test_sharded_magi_fused_batch(mesh):
     assert ll_s.shape == (B,)
     np.testing.assert_allclose(np.asarray(ll_s), np.asarray(ll_1),
                                rtol=1e-5)
+
+
+def test_sharded_magi_fused_batch_grad(mesh):
+    from rodeo_tpu.parallel.fused import sharded_magi_fused_batch_grad
+    from rodeo_tpu.ops import pallas_magi
+    cfg = fitzhugh.setup(n_steps=64, t_max=2.0, dtype=jnp.float32)
+    cfg.pop("theta")
+    dt = 2.0 / 64
+    B = 16
+    rng = np.random.default_rng(9)
+    n_block = cfg["ode_init"].shape[0]
+    base = jnp.asarray(rng.normal(size=(65, n_block, 2)), jnp.float32)
+
+    def ode_expand(u, **p):
+        pad = jnp.zeros(u.shape[:-1] + (1,), u.dtype)
+        return jnp.concatenate([u, pad], axis=-1)
+
+    subsets = jnp.stack([
+        base + 0.1 * i * jnp.asarray(
+            rng.normal(size=base.shape), jnp.float32) for i in range(B)])
+    ld_s, g_s = sharded_magi_fused_batch_grad(
+        subsets, ode_expand, 2, cfg["prior_pars"], dt, mesh=mesh)
+    ld_1, g_1 = pallas_magi.magi_fused_batch_grad(
+        subsets, ode_expand, 2, cfg["prior_pars"], dt)
+    assert ld_s.shape == (B,) and g_s.shape == subsets.shape
+    np.testing.assert_allclose(np.asarray(ld_s), np.asarray(ld_1),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_1),
+                               rtol=1e-4, atol=1e-5)
