@@ -710,6 +710,35 @@ def main():
                             round(abs(float(jnp.ravel(out_llb)[0])
                                       - float(truth[f"{mod_name}_ll"])), 6)
 
+        with _row(details, "fenrir_sqrt_fused_batch128"):
+            # square-root form on the fused entry (drop-in factor
+            # contract: factor-form prior/obs variances squared on the
+            # way in; the likelihood value is form-independent)
+            Bs = 128
+            pw_f, pv_f = cfg_f["prior_pars"]
+            prior_sq = (pw_f, jnp.linalg.cholesky(pv_f))
+            Om_sq = jnp.sqrt(Om)
+            ths_sq = jnp.broadcast_to(th_f, (Bs, 3)) * \
+                (1 + 1e-6 * jnp.arange(Bs, dtype=jnp.float32)[:, None])
+            inits_sq = jnp.broadcast_to(
+                cfg_f["ode_init"], (Bs,) + cfg_f["ode_init"].shape)
+            llsq_fn = jax.jit(lambda ts, x0: pallas_fenrir.fenrir_fused_batch(
+                thetas=ts, ode_weight=cfg_f["ode_weight"], ode_inits=x0,
+                t_min=cfg_f["t_min"], t_max=cfg_f["t_max"],
+                n_steps=cfg_f["n_steps"], prior_pars=prior_sq,
+                obs_data=yobs, obs_times=obs_times, obs_weight=D,
+                obs_var=Om_sq, ode_flat=lorenz.lorenz_flat,
+                jac_flat=lorenz.lorenz_jac_flat, kalman_type="sqrt"))
+            t_sq, out_sq = _timeit(llsq_fn, (ths_sq, inits_sq),
+                                   n_rep=3, per=Bs)
+            details["fenrir_sqrt_fused_batch128_evals_per_sec"] = round(
+                1.0 / t_sq, 2)
+            details["fenrir_sqrt_fused_batch128_finite"] = bool(
+                jnp.all(jnp.isfinite(out_sq)))
+            if truth is not None:
+                details["fenrir_sqrt_fused_batch128_abs_err"] = round(
+                    abs(float(out_sq[0]) - float(truth["fenrir_ll"])), 6)
+
     # pseudo-marginal MCMC chain throughput (BASELINE config #5) on a
     # REAL posterior: the reference parameter-inference workload
     # (docs/examples/parameter.md) — noisy observations of the FitzHugh
@@ -1118,6 +1147,26 @@ def main():
                     details[f"magi_fused_batch{Bmg}_rel_err"] = round(
                         abs(float(out_mf[0]) - float(truth["magi_ll"]))
                         / max(abs(float(truth["magi_ll"])), 1e-30), 9)
+
+        with _row(details, "magi_fused_grad_batch128"):
+            # value + FULL-PATH gradient via the adjoint kernel (MAGI's
+            # MCMC position is the path, so this is the MALA/MAP rate)
+            Bmgr = 128
+            us_g = jnp.broadcast_to(
+                mu_i[:, :, :2], (Bmgr,) + mu_i[:, :, :2].shape)
+            us_g = us_g + 1e-4 * jnp.arange(
+                Bmgr, dtype=jnp.float32)[:, None, None, None]
+            mgg = jax.jit(lambda u: pallas_magi.magi_fused_batch_grad(
+                u, ode_expand, 2, cfg_i["prior_pars"], T_MAX / 4000))
+            t_mg, out_mg = _timeit(mgg, (us_g,), n_rep=3, per=Bmgr)
+            details["magi_fused_grad_batch128_evals_per_sec"] = round(
+                1.0 / t_mg, 2)
+            details["magi_fused_grad_batch128_finite"] = bool(
+                jnp.all(jnp.isfinite(out_mg[0]))
+                and jnp.all(jnp.isfinite(out_mg[1])))
+            if truth is not None:
+                details["magi_fused_grad_ll_abs_err"] = round(
+                    abs(float(out_mg[0][0]) - float(truth["magi_ll"])), 6)
     except Exception as e:  # noqa: BLE001
         details["f32_inference_bench_error"] = repr(e)[:500]
 

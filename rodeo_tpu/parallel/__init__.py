@@ -7,10 +7,11 @@ from rodeo_tpu.parallel.mesh import (
     make_mesh, batch_sharding, replicated_sharding)
 from rodeo_tpu.parallel.chains import (
     run_chains, run_chains_fused, make_mala_runner,
-    run_chains_mala_fused, sharded_loglik)
+    run_chains_mala_fused, run_chains_mala_magi, sharded_loglik)
 from rodeo_tpu.parallel.fused import (
     sharded_solve_mv_fused_batch, sharded_fenrir_fused_batch,
     sharded_dalton_fused_batch, sharded_daltonng_fused_batch,
     sharded_basic_fused_batch, sharded_solve_sim_fused_batch,
     sharded_fenrir_fused_batch_grad, sharded_dalton_fused_batch_grad,
-    sharded_basic_fused_batch_grad, run_chains_fused_sharded)
+    sharded_basic_fused_batch_grad, sharded_magi_fused_batch,
+    sharded_magi_fused_batch_grad, run_chains_fused_sharded)

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from rodeo_tpu.parallel.mesh import make_mesh, batch_sharding
 
 __all__ = ["run_chains", "run_chains_fused", "make_mala_runner",
-           "run_chains_mala_fused", "sharded_loglik"]
+           "run_chains_mala_fused", "run_chains_mala_magi",
+           "sharded_loglik"]
 
 
 def run_chains(alg, init_positions, key, n_samples,
@@ -225,29 +226,48 @@ def make_mala_runner(logpost_grad_fn, n_lane, n_samples, step_size):
         (Callable): ``runner(init_positions, key, step_size=None)``.
     """
 
+    # positions may be any pytree of arrays with a leading lane axis
+    # (theta vectors, MAGI paths, (path, theta) tuples, ...); eps must
+    # broadcast against each leaf's trailing dims (scalar always works)
+    def _lane_bc(mask, leaf):
+        return mask.reshape((n_lane,) + (1,) * (leaf.ndim - 1))
+
     def log_q(to, frm, g_frm, eps):
-        mu = frm + 0.5 * eps * eps * g_frm
-        return -jnp.sum((to - mu) ** 2 / (2.0 * eps * eps), axis=-1)
+        def term(t, f, g):
+            mu = f + 0.5 * eps * eps * g
+            d = ((t - mu) ** 2 / (2.0 * eps * eps)).astype(jnp.float32)
+            return jnp.sum(d.reshape(d.shape[0], -1), axis=-1)
+        terms = jax.tree.leaves(jax.tree.map(term, to, frm, g_frm))
+        return -sum(terms)
 
     def one_step(eps, carry, step_key):
         pos, ll, g = carry
         k_prop, k_acc = jax.random.split(step_key)
-        xi = jax.random.normal(k_prop, pos.shape, jnp.float32)
-        prop = pos + 0.5 * eps * eps * g + eps * xi
+        leaves, treedef = jax.tree.flatten(pos)
+        p_keys = jax.random.split(k_prop, len(leaves))
+        xi = treedef.unflatten([
+            jax.random.normal(k, l.shape, jnp.float32)
+            for k, l in zip(p_keys, leaves)])
+        prop = jax.tree.map(
+            lambda p, gr, x: p + 0.5 * eps * eps * gr + eps * x,
+            pos, g, xi)
         ll_prop, g_prop = logpost_grad_fn(prop)
         log_ratio = (ll_prop - ll
                      + log_q(pos, prop, g_prop, eps)
                      - log_q(prop, pos, g, eps))
         log_u = jnp.log(jax.random.uniform(k_acc, (n_lane,), jnp.float32))
         accept = log_u < jnp.nan_to_num(log_ratio, nan=-jnp.inf)
-        pos = jnp.where(accept[:, None], prop, pos)
+        pos = jax.tree.map(
+            lambda p, q: jnp.where(_lane_bc(accept, p), q, p), pos, prop)
         ll = jnp.where(accept, ll_prop, ll)
-        g = jnp.where(accept[:, None], g_prop, g)
+        g = jax.tree.map(
+            lambda p, q: jnp.where(_lane_bc(accept, p), q, p), g, g_prop)
         return (pos, ll, g), (pos, accept)
 
     @jax.jit
     def _run(init_positions, key, eps):
-        pos0 = init_positions.astype(jnp.float32)
+        pos0 = jax.tree.map(lambda p: p.astype(jnp.float32),
+                            init_positions)
         ll0, g0 = logpost_grad_fn(pos0)
         keys = jax.random.split(key, n_samples)
         (pos, ll, g), (positions, accepted) = jax.lax.scan(
@@ -259,7 +279,9 @@ def make_mala_runner(logpost_grad_fn, n_lane, n_samples, step_size):
         eps = jnp.asarray(
             step_size if step_size_override is None else step_size_override,
             jnp.float32)
-        eps = jnp.broadcast_to(eps, init_positions.shape[-1:])
+        if hasattr(init_positions, "ndim") and init_positions.ndim == 2 \
+                and eps.ndim <= 1:
+            eps = jnp.broadcast_to(eps, init_positions.shape[-1:])
         return _run(init_positions, key, eps)
 
     return run
@@ -315,6 +337,74 @@ def run_chains_mala_fused(init_positions, key, n_samples, step_size,
     runner = make_mala_runner(logpost_grad_fn, n_lane, n_samples,
                               step_size)
     return runner(init_positions, key)
+
+
+def run_chains_mala_magi(init_subsets, key, n_samples, step_size,
+                         ode_expand, n_active, prior_pars, dt,
+                         theta_lanes=None, sig2_lanes=None,
+                         extra_grad_fn=None, chunk=None,
+                         interpret="auto", **params):
+    r"""
+    Lockstep MALA over the MAGI **path posterior**: the MCMC position is
+    the latent path subset ``U`` itself (optionally jointly with a
+    per-lane ``theta``), and every step's Langevin drift costs one fused
+    forward+adjoint kernel pipeline for all chains
+    (:func:`rodeo_tpu.ops.pallas_magi.magi_fused_batch_grad`).
+
+    This is the solver-free inference mode of the reference
+    (``src/rodeo/inference/magi.py``) driven at fused-kernel speed —
+    there is no per-step ODE solve at all, and reverse mode over the
+    thousands-dimensional path state comes from the filter's exact
+    adjoint rather than XLA autodiff.
+
+    Args:
+        init_subsets (ndarray(n_lane, n_steps+1, n_block, n_sub)):
+            Initial per-chain paths.
+        theta_lanes (ndarray(n_lane, ...) | None): When given, theta is
+            sampled JOINTLY with the path (position = ``(U, theta)``),
+            entering via ``ode_expand(subset, theta=..., **params)``.
+        extra_grad_fn (Callable | None): ``extra_grad_fn(position) ->
+            (logp (n_lane,), grad_like_position)`` for the rest of the
+            posterior — typically the observation log-likelihood of
+            ``Y | U`` plus parameter priors (MAGI's log-density alone is
+            only the ODE-prior factor).
+        step_size (float): Langevin step size (scalar; the position is a
+            pytree).
+        (other args as :func:`rodeo_tpu.ops.pallas_magi.magi_fused_batch`)
+
+    Returns:
+        (tuple): ``positions`` (pytree like the position with a leading
+        ``(n_samples,)`` axis), ``logdens (n_lane,)``,
+        ``accept_rate (n_lane,)``.
+    """
+    from rodeo_tpu.ops.pallas_magi import magi_fused_batch_grad
+    n_lane = init_subsets.shape[0]
+
+    def logpost_grad_fn(position):
+        if theta_lanes is None:
+            ld, g_u = magi_fused_batch_grad(
+                position, ode_expand, n_active, prior_pars, dt,
+                sig2_lanes=sig2_lanes, chunk=chunk, interpret=interpret,
+                **params)
+            grad = g_u
+        else:
+            u, th = position
+            ld, g_u, g_th = magi_fused_batch_grad(
+                u, ode_expand, n_active, prior_pars, dt,
+                theta_lanes=th, sig2_lanes=sig2_lanes, chunk=chunk,
+                interpret=interpret, **params)
+            grad = (g_u, g_th)
+        if extra_grad_fn is not None:
+            lp, gp = extra_grad_fn(position)
+            ld = ld + lp
+            grad = jax.tree.map(lambda a, b: a + b, grad, gp)
+        return ld, grad
+
+    position0 = (init_subsets if theta_lanes is None
+                 else (init_subsets, theta_lanes))
+    runner = make_mala_runner(logpost_grad_fn, n_lane, n_samples,
+                              step_size)
+    return runner(position0, key)
 
 
 def sharded_loglik(loglik_fn, thetas, keys=None, mesh=None,
