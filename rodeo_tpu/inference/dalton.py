@@ -14,7 +14,6 @@ private helpers).  Known reference bug fixed here: ``dalton.py:430`` passes
 ``var_State=`` (typo) to ``smooth_mv``, which breaks the square-root backend;
 this implementation passes ``var_state=`` correctly.
 """
-import math
 
 import jax
 import jax.numpy as jnp
@@ -225,21 +224,62 @@ def _dalton_dense(key, ode_fun, ode_weight, ode_init,
                   prior_weight, prior_var,
                   obs_data, obs_times, obs_weight, obs_var,
                   kalman_funs, **params):
+    """:func:`_dalton_dense_parts` difference — see there for the design."""
+    logdens_zy, logdens_z = _dalton_dense_parts(
+        key=key, ode_fun=ode_fun, ode_weight=ode_weight, ode_init=ode_init,
+        t_min=t_min, t_max=t_max, n_steps=n_steps, interrogate=interrogate,
+        prior_weight=prior_weight, prior_var=prior_var, obs_data=obs_data,
+        obs_times=obs_times, obs_weight=obs_weight, obs_var=obs_var,
+        kalman_funs=kalman_funs, **params)
+    return logdens_zy - logdens_z
+
+
+def _dalton_dense_parts(key, ode_fun, ode_weight, ode_init,
+                        t_min, t_max, n_steps,
+                        interrogate,
+                        prior_weight, prior_var,
+                        obs_data, obs_times, obs_weight, obs_var,
+                        kalman_funs, **params):
     r"""
-    Masked-dense DALTON likelihood (standard form): the observation model
+    Masked-dense DALTON joint/marginal log-densities ``(log p(Z, Y),
+    log p(Z))`` (standard form): the observation model
     is grid-scattered (:func:`rodeo_tpu.inference.fenrir._obs_grid`), so
-    every step of the single scan performs ONE stacked update per filter —
-    no ``lax.cond`` branches (which execute both sides under ``vmap``,
-    each with its own forecast eigendecomposition) and no observation
-    index carry.  All forecast log-densities evaluate in one batched
-    masked pass over the stacked forecast moments; at rows without an
-    observation the stacked update is exactly the plain ODE update (zero
-    observation rows give an exactly-zero gain) and the log-density
-    reduces to the ODE term plus an exactly-cancelled
-    :math:`-\tfrac12 n_{bobs}\log 2\pi` constant per block.
-    Values match the branched reference algorithm
-    (``/root/reference/src/rodeo/inference/dalton.py:39-235``) to fp
-    rounding.
+    the single scan has no ``lax.cond`` branches (which execute both
+    sides under ``vmap``) and no observation index carry.
+
+    The joint filter's *state update* processes its two measurement
+    groups **sequentially** (ODE pseudo-observation update, then the
+    observation update), which is algebraically identical to the
+    reference's stacked ``[W_meas; D]`` joint update because the joint
+    measurement noise is block-diagonal (chain rule) — but float32-robust
+    where the stacked form is not: the stacked innovation covariance
+    pairs the ODE row (variance :math:`W \Sigma W' \sim \sigma^2
+    \Delta t^{2q-1}`, huge under a diffuse prior) with a unit dead row
+    (or a small :math:`\Omega_m` at observation rows), a ~1e10-condition
+    2x2 system whose f32 closed-form solve injects noise into the joint
+    state *every step*.  Sequential processing makes the dead-row
+    observation update an exact bitwise identity (zero weight rows =>
+    exactly-zero gain, Joseph form multiplies by an exact identity).
+    This matches the fused Pallas kernel
+    (``rodeo_tpu/ops/pallas_dalton.py``), which processes measurements
+    sequentially for the same reason.
+
+    The *log-density* factor follows the reference's branch structure
+    exactly but without branches: at observation steps the stacked
+    eigen-masked logpdf of the joint forecast (upstream's obs branch,
+    ``dalton.py:137-163``), at the other steps the plain ODE forecast
+    logpdf (upstream's no-obs branch) — ``where``-selected per step.
+    See the in-function comment for why the earlier
+    dead-row-stacking + constant-cancellation trick was an f32 cliff.
+
+    Measured f32 drift vs the f64 reference on Lorenz63-4k (21 obs):
+    11,286 absolute with the stacked update + dead-row-stacked density;
+    21.7 (1.6e-4 relative) with this formulation plus the
+    determinant-significance eigen mask in
+    :func:`rodeo_tpu.utils.multivariate_normal_logpdf`; the marginal
+    filter alone sits at 1.6.  Values match the branched reference
+    algorithm (``/root/reference/src/rodeo/inference/dalton.py:39-235``)
+    to fp rounding (1e-8 in f64, pinned by tests/test_parity_reference.py).
     """
     n_block, n_bmeas, n_bstate = ode_weight.shape
     n_bobs = obs_weight.shape[2]
@@ -258,7 +298,9 @@ def _dalton_dense(key, ode_fun, ode_weight, ode_init,
         mean_filt_z, var_filt_z = carry["state_filt_marg"]
         ode_time = t_min + (t_max - t_min) * (xs["t"] + 1) / n_steps
 
-        # --- joint filter p(Z, Y): one stacked masked update ---
+        # --- joint filter p(Z, Y): sequential measurement processing ---
+        # (ODE pseudo-observation update, then the observation update;
+        # see the docstring for why this replaces the stacked update)
         mean_pred_zy, var_pred_zy = kalman_funs.predict(
             mean_state_past=mean_filt_zy,
             var_state_past=var_filt_zy,
@@ -275,19 +317,37 @@ def _dalton_dense(key, ode_fun, ode_weight, ode_init,
             var_state_pred=var_pred_zy,
             **params,
         )
-        wgt_stack = jnp.concatenate(
-            [ode_weight + wgt_meas, xs["D"]], axis=1)
+        wgt_ode = ode_weight + wgt_meas
+        mean_mid_zy, var_mid_zy = kalman_funs.update(
+            mean_state_pred=mean_pred_zy,
+            var_state_pred=var_pred_zy,
+            x_meas=x_meas,
+            mean_meas=mean_meas,
+            wgt_meas=wgt_ode,
+            var_meas=var_meas,
+        )
+        # masked observation update: zero weight rows at non-observation
+        # steps give an exactly-zero gain (bitwise identity update)
+        mean_next_zy, var_next_zy = kalman_funs.update(
+            mean_state_pred=mean_mid_zy,
+            var_state_pred=var_mid_zy,
+            x_meas=xs["y"],
+            mean_meas=obs_mean,
+            wgt_meas=xs["D"],
+            var_meas=xs["Om"],
+        )
+        # the log-density factor keeps the reference's STACKED forecast
+        # moments (eigen-masked logpdf over the joint forecast at
+        # observation steps — the sequential chain-rule factorization
+        # would not reproduce upstream's joint-spectrum masking; measured
+        # 8.5 absolute deviation on the FitzHugh parity fixture).  Only
+        # the state update runs sequentially — that is where the stacked
+        # form's ~1e10-condition solve poisons float32.  The per-step
+        # obs/no-obs density selection happens after the scan.
+        wgt_stack = jnp.concatenate([wgt_ode, xs["D"]], axis=1)
         mean_stack = jnp.concatenate([mean_meas, obs_mean], axis=1)
         var_stack = _block_diag2(var_meas, xs["Om"])
         x_stack = jnp.concatenate([x_meas, xs["y"]], axis=1)
-        mean_next_zy, var_next_zy = kalman_funs.update(
-            mean_state_pred=mean_pred_zy,
-            var_state_pred=var_pred_zy,
-            x_meas=x_stack,
-            mean_meas=mean_stack,
-            wgt_meas=wgt_stack,
-            var_meas=var_stack,
-        )
         fore_mean_zy = mvdot(wgt_stack, mean_pred_zy) + mean_stack
         fore_var_zy = quadform(wgt_stack, var_pred_zy) + var_stack
 
@@ -346,28 +406,45 @@ def _dalton_dense(key, ode_fun, ode_weight, ode_init,
     _, stack = _uscan(scan, scan_init, xs)
 
     # log-density of p(Y_0 | X_0) if an observation sits at t = 0.
-    # NB: keep the eigen-MASKED logpdf here (not the closed-form fast
-    # one): with zero-noise interrogations the ODE rows of the stacked
-    # forecast covariance are numerically degenerate, and upstream's
-    # semantic is to DROP those directions from both the joint and the
-    # marginal density; a closed-form logdet keeps them and shifts the
-    # assembled value.
+    # NB: keep the eigen-MASKED logpdf (not the closed-form fast one) on
+    # the density factors that can be degenerate: with zero-noise
+    # interrogations the ODE forecast covariance can be numerically
+    # singular, and upstream's semantic is to DROP those directions from
+    # both the joint and the marginal density; a closed-form logdet keeps
+    # them and shifts the assembled value.
     logpdf = multivariate_normal_logpdf
     logp0 = jnp.sum(logpdf(
         y_grid[0], mean=mvdot(d_grid[0], ode_init) + obs_mean,
         cov=om_grid[0]))
-    # joint: batched masked logpdf over the stacked forecasts; the
-    # no-obs rows' exact identity-block contribution is cancelled
-    logp_zy = logpdf(
+    # joint: at OBSERVATION steps the reference stacks the ODE and
+    # observation rows and takes the eigen-masked logpdf of the joint
+    # forecast (dalton.py:137-163) — keep that exactly.  At NO-obs steps
+    # the reference's `lax.cond` branch evaluates the plain ODE forecast
+    # logpdf (dalton.py:168-195 path); evaluate that directly instead of
+    # the earlier dead-row-stacking + constant-cancellation trick.  The
+    # trick is exact in real arithmetic but an f32 cliff: appending a
+    # unit dead row raises the stacked spectrum's scale to 1, so the
+    # logpdf's dtype-relative eigenvalue mask (100*eps*wmax,
+    # utils.py:_mvn_logpdf_pieces) drops the genuine ~1e-10 ODE direction
+    # that f64 keeps — measured 11,286 absolute drift on Lorenz63-4k from
+    # exactly this, vs 1.7 for the unstacked marginal filter.  The ODE
+    # top-left block of the stacked forecast equals the unstacked ODE
+    # forecast bitwise (zero obs weights contribute exact zeros), so
+    # slicing is exact.
+    logp_zy_stack = logpdf(
         stack["x_stack"], mean=stack["fore_mean_zy"],
         cov=stack["fore_var_zy"])                         # (N, nb)
-    corr = (1.0 - mask[1:]) * (0.5 * n_bobs * math.log(2.0 * math.pi))
-    logdens_zy = mask[0] * logp0 + jnp.sum(logp_zy + corr[:, None])
+    logp_zy_ode = logpdf(
+        stack["x_stack"][..., :n_bmeas],
+        mean=stack["fore_mean_zy"][..., :n_bmeas],
+        cov=stack["fore_var_zy"][..., :n_bmeas, :n_bmeas])
+    logp_zy = jnp.where(mask[1:, None] > 0.5, logp_zy_stack, logp_zy_ode)
+    logdens_zy = mask[0] * logp0 + jnp.sum(logp_zy)
     logp_z = logpdf(
         jnp.zeros_like(stack["fore_mean_z"]), mean=stack["fore_mean_z"],
         cov=stack["fore_var_z"])
     logdens_z = jnp.sum(logp_z)
-    return logdens_zy - logdens_z
+    return logdens_zy, logdens_z
 
 
 # --- ODE solver --------------------------------------------------------------
@@ -495,11 +572,17 @@ def _solve_filter_dense(key, ode_fun, ode_weight, ode_init,
                         obs_data, obs_times, obs_weight, obs_var,
                         kalman_funs, **params):
     r"""
-    Masked-dense data-conditioned forward filter (standard form): one
-    stacked update per step with the grid-scattered observation model
-    (zero observation rows at no-obs steps are exactly the plain ODE
-    update), instead of the reference's per-step branch + index carry
+    Masked-dense data-conditioned forward filter (standard form) with the
+    grid-scattered observation model, instead of the reference's per-step
+    branch + index carry
     (``/root/reference/src/rodeo/inference/dalton.py:242-371``).
+    Measurements are processed **sequentially** (ODE update, then the
+    masked observation update — exactly a bitwise identity at no-obs
+    steps): algebraically identical to the stacked ``[W_meas; D]`` update
+    for block-diagonal joint noise, but float32-robust where the stacked
+    2x2 system (ODE variance ~1e10 under a diffuse prior paired with a
+    unit dead row) is catastrophically ill-conditioned — see
+    :func:`_dalton_dense_parts`.
     """
     n_block, n_bmeas, n_bstate = ode_weight.shape
     n_bobs = obs_weight.shape[2]
@@ -532,14 +615,21 @@ def _solve_filter_dense(key, ode_fun, ode_weight, ode_init,
             var_state_pred=var_state_pred,
             **params,
         )
-        mean_state_next, var_state_next = kalman_funs.update(
+        mean_state_mid, var_state_mid = kalman_funs.update(
             mean_state_pred=mean_state_pred,
             var_state_pred=var_state_pred,
-            x_meas=jnp.concatenate([x_meas, xs["y"]], axis=1),
-            mean_meas=jnp.concatenate([mean_meas, obs_mean], axis=1),
-            wgt_meas=jnp.concatenate(
-                [ode_weight + wgt_meas, xs["D"]], axis=1),
-            var_meas=_block_diag2(var_meas, xs["Om"]),
+            x_meas=x_meas,
+            mean_meas=mean_meas,
+            wgt_meas=ode_weight + wgt_meas,
+            var_meas=var_meas,
+        )
+        mean_state_next, var_state_next = kalman_funs.update(
+            mean_state_pred=mean_state_mid,
+            var_state_pred=var_state_mid,
+            x_meas=xs["y"],
+            mean_meas=obs_mean,
+            wgt_meas=xs["D"],
+            var_meas=xs["Om"],
         )
         carry = (mean_state_next, var_state_next)
         stack = {
@@ -753,6 +843,22 @@ def _solve_filter_nn(key, ode_fun, ode_weight, ode_init,
             **params,
         )
         W_meas = ode_weight + wgt_meas
+        # ODE update, common to both branches; the observation branch
+        # conditions on its Laplace pseudo-observation *sequentially* on
+        # top of this (exactly the stacked joint update for the
+        # block-diagonal joint noise, but without the ~1e10-condition
+        # stacked innovation solve that poisons float32 — see
+        # :func:`_dalton_dense_parts`), and the branches no longer
+        # duplicate the update work that `vmap`-over-`cond` executes on
+        # every step.
+        mean_state_mid, var_state_mid = kalman_funs.update(
+            mean_state_pred=mean_state_pred,
+            var_state_pred=var_state_pred,
+            x_meas=x_meas,
+            mean_meas=mean_meas,
+            wgt_meas=W_meas,
+            var_meas=var_meas,
+        )
 
         def zy_update():
             # Laplace linearization of the observation log-likelihood
@@ -813,31 +919,21 @@ def _solve_filter_nn(key, ode_fun, ode_weight, ode_init,
                 * dead[..., None].astype(dtype))
             obs_hat = mvdot(obs_wgt_hat, mean_state_pred) + \
                 mvdot(obs_var_hat, obs_grad)
-            # stack interrogation and pseudo-observation rows
-            wgt_meas_obs = jnp.concatenate([W_meas, obs_wgt_hat], axis=1)
-            mean_meas_obs = jnp.concatenate([mean_meas, obs_mean], axis=1)
-            var_meas_obs = _block_diag2(var_meas, obs_var_hat)
-            x_meas_obs = jnp.concatenate([x_meas, obs_hat], axis=1)
+            # sequential pseudo-observation update on top of the ODE
+            # update (dead rows: zero weight + unit variance = exact
+            # identity)
             mean_state_next, var_state_next = kalman_funs.update(
-                mean_state_pred=mean_state_pred,
-                var_state_pred=var_state_pred,
-                x_meas=x_meas_obs,
-                mean_meas=mean_meas_obs,
-                wgt_meas=wgt_meas_obs,
-                var_meas=var_meas_obs,
+                mean_state_pred=mean_state_mid,
+                var_state_pred=var_state_mid,
+                x_meas=obs_hat,
+                mean_meas=obs_mean,
+                wgt_meas=obs_wgt_hat,
+                var_meas=obs_var_hat,
             )
             return mean_state_next, var_state_next, i + 1
 
         def z_update():
-            mean_state_next, var_state_next = kalman_funs.update(
-                mean_state_pred=mean_state_pred,
-                var_state_pred=var_state_pred,
-                x_meas=x_meas,
-                mean_meas=mean_meas,
-                wgt_meas=W_meas,
-                var_meas=var_meas,
-            )
-            return mean_state_next, var_state_next, i
+            return mean_state_mid, var_state_mid, i
 
         mean_state_next, var_state_next, i = jax.lax.cond(
             t + 1 == obs_ind[i], zy_update, z_update)

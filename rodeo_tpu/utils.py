@@ -130,15 +130,44 @@ def mvncond(mu, Sigma, icond):
 def _mvn_logpdf_pieces(x, mean, cov):
     """Shared primal quantities for the masked-eigen logpdf and its JVP."""
     w, v = jnp.linalg.eigh(cov)
+    rel_tol = 100.0 * jnp.finfo(cov.dtype).eps
+    rel_live = None
+    if cov.shape[-1] == 2:
+        # for a widely-split 2x2 spectrum eigh's small eigenvalue carries
+        # ~eps*lam_hi ABSOLUTE error (the eigenvectors are fine — their
+        # conditioning goes with the gap, which is large): a true 1e-10
+        # next to a 1.0 comes back as 0 +- 1e-7 in float32.  lam_lo =
+        # det/lam_hi recovers it to the relative accuracy of det itself,
+        # and `det > rel_tol * (v00*v11 + v01^2)` is a direct significance
+        # test of that computation — the direction is LIVE iff the
+        # determinant is resolvable above its own rounding noise.  This
+        # replaces the generic `w > rel_tol * wmax` screen, which in f32
+        # mis-masks genuine directions at spectral splits beyond ~1e5:
+        # stacked DALTON forecasts (diffuse ODE row + observation row,
+        # split ~2e5) lost half their live directions that way — measured
+        # +264 log-density drift on Lorenz63-4k from the masking alone,
+        # vs -31 from the f32 entry noise this test correctly keeps.
+        det = (cov[..., 0, 0] * cov[..., 1, 1]
+               - cov[..., 0, 1] * cov[..., 1, 0])
+        noise_mag = (cov[..., 0, 0] * cov[..., 1, 1]
+                     + cov[..., 0, 1] * cov[..., 1, 0])
+        hi = w[..., 1]
+        lo = jnp.where(hi != 0, det / jnp.where(hi == 0, 1.0, hi),
+                       w[..., 0])
+        w = jnp.stack([lo, hi], axis=-1)
+        wmax_2 = jnp.abs(hi)
+        rel_live = jnp.stack(
+            [det > rel_tol * noise_mag, hi > rel_tol * wmax_2], axis=-1)
     z = mvdot(mtt(v), x - mean)
     # degenerate-direction mask: absolute (reference semantics,
     # ``utils.py:71-77``) AND dtype-relative — eigh of a PSD-up-to-rounding
     # matrix returns eigenvalues negative at ~eps * ||cov||, which for
     # large-scale covariances (e.g. diffuse priors in float32) far exceeds
     # any absolute threshold and would NaN through log().
-    wmax = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
-    rel_tol = 100.0 * jnp.finfo(w.dtype).eps
-    live = (~jnp.isclose(w, 0.0, rtol=1e-300)) & (w > rel_tol * wmax)
+    if rel_live is None:
+        wmax = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+        rel_live = w > rel_tol * wmax
+    live = (~jnp.isclose(w, 0.0, rtol=1e-300)) & rel_live
     w_safe = jnp.where(live, w, 1.0)
     val = z * z / w_safe + jnp.log(w_safe)
     val = -0.5 * jnp.sum(jnp.where(live, val, 0.0), axis=-1)

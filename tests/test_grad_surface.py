@@ -137,3 +137,36 @@ def test_grad_precond_fenrir_f32(setup):
     _assert_grad_finite(lambda t: precond.fenrir(
         key=None, interrogate=interrogate_kramer, theta=t,
         **cfg32, **obs32), th32.astype(jnp.float32))
+
+
+def test_mvn_logpdf_wide_split_f32():
+    """Determinant-significance eigen mask (the DALTON stacked-forecast
+    shape): a genuine small direction at a spectral split beyond 1/eps_f32
+    must stay live in f32 and match the f64 value; a near-singular 2x2
+    whose determinant is below its own rounding noise must stay masked
+    (finite, reduced to the dominant direction's marginal)."""
+    from rodeo_tpu.utils import multivariate_normal_logpdf as lpdf
+    # split ~2e5 (w = {1e3, 2e8}), correlation 0.8 — the measured shape of
+    # the stacked DALTON forecast on Lorenz63-4k under Taylor precond
+    v00, v11, rho = 2.0e8, 1.18e3, 0.8
+    c = rho * np.sqrt(v00 * v11)
+    C64 = jnp.asarray([[v00, c], [c, v11]], jnp.float64)
+    x64 = jnp.asarray([40.0, -1.7], jnp.float64)
+    m64 = jnp.zeros(2, jnp.float64)
+    ref = float(lpdf(x64, m64, C64))
+    got = float(lpdf(x64.astype(jnp.float32), m64.astype(jnp.float32),
+                     C64.astype(jnp.float32)))
+    # both eigen-directions live in both dtypes; f32 entry rounding of the
+    # ~1e5-condition matrix bounds the achievable agreement
+    np.testing.assert_allclose(got, ref, rtol=1e-3)
+    # near-singular (rho = 1 up to one rounded entry): det is below its
+    # rounding noise, the small direction must be masked -> finite value
+    # equal to the dominant direction's 1-D marginal
+    c1 = np.float32(np.sqrt(v00 * v11))
+    Cs = jnp.asarray([[v00, c1], [c1, v11]], jnp.float32)
+    val = float(lpdf(x64.astype(jnp.float32), m64.astype(jnp.float32), Cs))
+    assert np.isfinite(val)
+    w_hi = v00 + v11  # trace; the masked matrix is rank one
+    z_hi = float(x64[0] * np.sqrt(v00 / w_hi) + x64[1] * np.sqrt(v11 / w_hi))
+    marg = -0.5 * (z_hi ** 2 / w_hi + np.log(w_hi) + np.log(2 * np.pi))
+    np.testing.assert_allclose(val, marg, rtol=1e-4)
