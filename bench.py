@@ -911,6 +911,36 @@ def main():
         details["mala_fused_finite"] = bool(jnp.all(jnp.isfinite(ll_g)))
         ess_g = _ess_total(np.asarray(pos_g[:, :, 0]))
         details["mala_fused_ess_per_sec"] = round(ess_g / dt_g, 2)
+
+        # lockstep HMC on the same fused gradient pipeline: n_leapfrog
+        # kernel passes per proposal, but coherent O(L*eps) trajectories
+        # — the ESS/s comparison against MALA is the honest metric
+        from rodeo_tpu.parallel.chains import make_hmc_runner
+        n_leap = 5
+        runner_h = make_hmc_runner(logpost_grad, n_lane_g, n_samp_g,
+                                   step_size=0.01, n_leapfrog=n_leap)
+        tuned_h, acc_h = None, None
+        for s_cand in (0.005, 0.01, 0.02, 0.05):
+            _, _, acc_p = runner_h(init_g, jax.random.PRNGKey(41),
+                                   step_size_override=s_cand)
+            a = float(jnp.mean(acc_p))
+            # HMC's optimal acceptance is ~0.8 (Beskos et al.)
+            if acc_h is None or abs(a - 0.8) < abs(acc_h - 0.8):
+                tuned_h, acc_h = s_cand, a
+        details["hmc_fused_tuned_step"] = tuned_h
+        details["hmc_fused_n_leapfrog"] = n_leap
+        t0 = time.perf_counter()
+        pos_h, ll_h, acc_hr = runner_h(init_g, jax.random.PRNGKey(42),
+                                       step_size_override=tuned_h)
+        _sync(pos_h)
+        dt_h = time.perf_counter() - t0
+        details["hmc_fused_chain_steps_per_sec"] = round(
+            n_lane_g * n_samp_g / dt_h, 2)
+        details["hmc_fused_mean_accept"] = round(float(jnp.mean(acc_hr)),
+                                                 3)
+        details["hmc_fused_finite"] = bool(jnp.all(jnp.isfinite(ll_h)))
+        ess_h = _ess_total(np.asarray(pos_h[:, :, 0]))
+        details["hmc_fused_ess_per_sec"] = round(ess_h / dt_h, 2)
     except Exception as e:  # noqa: BLE001
         details["mala_fused_bench_error"] = repr(e)[:500]
 

@@ -18,7 +18,8 @@ from rodeo_tpu.parallel.mesh import make_mesh, batch_sharding
 
 __all__ = ["run_chains", "run_chains_fused", "make_mala_runner",
            "run_chains_mala_fused", "run_chains_mala_magi",
-           "sharded_loglik"]
+           "make_hmc_runner", "run_chains_hmc_fused",
+           "run_chains_hmc_magi", "adapt_step_size", "sharded_loglik"]
 
 
 def run_chains(alg, init_positions, key, n_samples,
@@ -287,6 +288,162 @@ def make_mala_runner(logpost_grad_fn, n_lane, n_samples, step_size):
     return run
 
 
+def make_hmc_runner(logpost_grad_fn, n_lane, n_samples, step_size,
+                    n_leapfrog=10):
+    r"""
+    Build a jitted lockstep HMC (Hamiltonian Monte Carlo) runner:
+    ``runner(init_positions, key) -> (positions, logdens, accept)``.
+
+    Each proposal integrates ``n_leapfrog`` leapfrog steps, so it costs
+    ``n_leapfrog`` fused value+gradient kernel pipelines — but the
+    proposal moves :math:`O(L \epsilon)` along the posterior instead of
+    MALA's :math:`O(\epsilon)` diffusion, which is the better trade on
+    correlated posteriors (ESS per gradient evaluation).  With
+    ``n_leapfrog=1`` this is exactly MALA up to the identical-by-algebra
+    proposal bookkeeping.
+
+    A per-dimension ``step_size`` acts as a diagonal mass preconditioner:
+    the kick ``p += (eps/2) * grad`` and drift ``q += eps * p`` with unit
+    Gaussian momenta is leapfrog for the coordinate-rescaled target
+    ``u = q / eps``, so detailed balance holds with the standard
+    Metropolis correction on :math:`\Delta H`.
+
+    Args:
+        logpost_grad_fn (Callable): ``logpost_grad_fn(positions) ->
+            (logdens (n_lane,), grad)`` with ``grad`` shaped like the
+            (pytree) positions — e.g. a closure over
+            :func:`rodeo_tpu.ops.pallas_fenrir.fenrir_fused_batch_grad`.
+        n_lane (int): Number of chains.
+        n_samples (int): Number of MCMC steps (proposals).
+        step_size (float | ndarray(n_theta,)): Leapfrog step size
+            (runtime-overridable, traced — no re-compile when tuning).
+        n_leapfrog (int): Leapfrog steps per proposal (static).
+
+    Returns:
+        (Callable): ``runner(init_positions, key, step_size=None)``.
+    """
+
+    def _lane_bc(mask, leaf):
+        return mask.reshape((n_lane,) + (1,) * (leaf.ndim - 1))
+
+    def kinetic(p):
+        terms = jax.tree.leaves(jax.tree.map(
+            lambda l: jnp.sum((l * l).reshape(l.shape[0], -1), axis=-1),
+            p))
+        return 0.5 * sum(terms)
+
+    def one_step(eps, carry, step_key):
+        pos, ll, g = carry
+        k_mom, k_acc = jax.random.split(step_key)
+        leaves, treedef = jax.tree.flatten(pos)
+        m_keys = jax.random.split(k_mom, len(leaves))
+        mom = treedef.unflatten([
+            jax.random.normal(k, l.shape, jnp.float32)
+            for k, l in zip(m_keys, leaves)])
+        # leapfrog: the first half kick reuses the carried gradient; the
+        # scan body does drift -> eval -> full kick, and the trailing
+        # half kick is recovered by undoing half of the last full kick
+        p_half = jax.tree.map(lambda pp, gg: pp + 0.5 * eps * gg, mom, g)
+
+        def lf_body(c, _):
+            q, p, _ll, _g = c
+            q = jax.tree.map(lambda qq, pp: qq + eps * pp, q, p)
+            ll_q, g_q = logpost_grad_fn(q)
+            p = jax.tree.map(lambda pp, gg: pp + eps * gg, p, g_q)
+            return (q, p, ll_q, g_q), None
+
+        (q, p, ll_prop, g_prop), _ = jax.lax.scan(
+            lf_body, (pos, p_half, ll, g), None, length=n_leapfrog)
+        p = jax.tree.map(lambda pp, gg: pp - 0.5 * eps * gg, p, g_prop)
+        log_ratio = ll_prop - ll + kinetic(mom) - kinetic(p)
+        log_u = jnp.log(jax.random.uniform(k_acc, (n_lane,), jnp.float32))
+        # NaN-safe: a diverged trajectory never accepts
+        accept = log_u < jnp.nan_to_num(log_ratio, nan=-jnp.inf)
+        pos = jax.tree.map(
+            lambda a, b: jnp.where(_lane_bc(accept, a), b, a), pos, q)
+        ll = jnp.where(accept, ll_prop, ll)
+        g = jax.tree.map(
+            lambda a, b: jnp.where(_lane_bc(accept, a), b, a), g, g_prop)
+        return (pos, ll, g), (pos, accept)
+
+    @jax.jit
+    def _run(init_positions, key, eps):
+        pos0 = jax.tree.map(lambda p: p.astype(jnp.float32),
+                            init_positions)
+        ll0, g0 = logpost_grad_fn(pos0)
+        keys = jax.random.split(key, n_samples)
+        (pos, ll, g), (positions, accepted) = jax.lax.scan(
+            lambda c, k: one_step(eps, c, k), (pos0, ll0, g0), keys)
+        return positions, ll, jnp.mean(accepted.astype(jnp.float32),
+                                       axis=0)
+
+    def run(init_positions, key, step_size_override=None):
+        eps = jnp.asarray(
+            step_size if step_size_override is None else step_size_override,
+            jnp.float32)
+        if hasattr(init_positions, "ndim") and init_positions.ndim == 2 \
+                and eps.ndim <= 1:
+            eps = jnp.broadcast_to(eps, init_positions.shape[-1:])
+        return _run(init_positions, key, eps)
+
+    return run
+
+
+def adapt_step_size(runner, init_positions, key, init_step,
+                    target_accept=0.57, n_windows=15, decay=0.75,
+                    gamma=0.05, t0=10.0):
+    r"""
+    Dual-averaging step-size adaptation (Nesterov primal-dual as used by
+    Stan/NUTS, Hoffman & Gelman 2014 §3.2) for the lockstep
+    MALA/HMC runners: repeatedly runs short windows, drives the mean
+    acceptance toward ``target_accept`` by adapting a log step-size
+    multiplier, and warm-starts each window from the previous one's final
+    positions.  Because the runners take ``step_size_override`` as a
+    traced value, the whole adaptation re-uses ONE compiled program.
+
+    Args:
+        runner (Callable): From :func:`make_mala_runner` /
+            :func:`make_hmc_runner`; its build-time ``n_samples`` is the
+            adaptation window length (32-64 works well).
+        init_positions (pytree): Initial positions (leading lane axis).
+        key (PRNGKey): Base PRNG key.
+        init_step (float | ndarray): Initial step size; a per-dimension
+            vector is scaled by one shared adapted multiplier.
+        target_accept (float): ~0.57 for MALA, ~0.8 for HMC.
+        n_windows (int): Adaptation windows.
+        decay, gamma, t0: Dual-averaging constants (paper defaults).
+
+    Returns:
+        (tuple):
+        - **step_size** (ndarray): Adapted step size (averaged iterate).
+        - **positions** (pytree): Warmed-up positions for the main run.
+        - **accept** (float): Mean acceptance of a final evaluation
+          window run AT the returned step size (the adaptation windows
+          themselves run at the noisy non-averaged iterate).
+    """
+    import math
+    base = jnp.asarray(init_step, jnp.float32)
+    mu = math.log(10.0)        # shrink target: 10x the initial step
+    log_eps, log_eps_bar, h_bar = 0.0, 0.0, 0.0
+    pos = init_positions
+    for t in range(1, n_windows + 1):
+        key, sub = jax.random.split(key)
+        positions, _ll, acc = runner(
+            pos, sub, step_size_override=base * math.exp(log_eps))
+        a = float(jnp.mean(acc))
+        h_bar = (1.0 - 1.0 / (t + t0)) * h_bar \
+            + (target_accept - a) / (t + t0)
+        log_eps = mu - math.sqrt(t) / gamma * h_bar
+        eta = t ** (-decay)
+        log_eps_bar = eta * log_eps + (1.0 - eta) * log_eps_bar
+        pos = jax.tree.map(lambda p: p[-1], positions)
+    eps_final = base * math.exp(log_eps_bar)
+    key, sub = jax.random.split(key)
+    positions, _ll, acc = runner(pos, sub, step_size_override=eps_final)
+    pos = jax.tree.map(lambda p: p[-1], positions)
+    return eps_final, pos, float(jnp.mean(acc))
+
+
 def run_chains_mala_fused(init_positions, key, n_samples, step_size,
                           ode_weight, ode_init, t_min, t_max, n_steps,
                           prior_pars, obs_data, obs_times, obs_weight,
@@ -310,6 +467,47 @@ def run_chains_mala_fused(init_positions, key, n_samples, step_size,
         (tuple): ``positions (n_samples, n_lane, n_theta)``,
         ``logdens (n_lane,)``, ``accept_rate (n_lane,)``.
     """
+    logpost_grad_fn = _fused_theta_logpost_grad(
+        likelihood, init_positions.shape[0], ode_weight, ode_init,
+        t_min, t_max, n_steps, prior_pars, obs_data, obs_times,
+        obs_weight, obs_var, ode_flat, jac_flat, logprior_grad_fn,
+        chunk, interpret)
+    runner = make_mala_runner(logpost_grad_fn, init_positions.shape[0],
+                              n_samples, step_size)
+    return runner(init_positions, key)
+
+
+def run_chains_hmc_fused(init_positions, key, n_samples, step_size,
+                         ode_weight, ode_init, t_min, t_max, n_steps,
+                         prior_pars, obs_data, obs_times, obs_weight,
+                         obs_var, ode_flat, jac_flat=None,
+                         logprior_grad_fn=None, likelihood="fenrir",
+                         n_leapfrog=10, chunk=None, interpret="auto"):
+    r"""
+    Lockstep HMC over the FENRIR (or DALTON) marginal likelihood: each
+    of the ``n_leapfrog`` leapfrog steps per proposal costs ONE
+    tangent-augmented fused kernel pipeline for all chains.
+
+    Args as :func:`run_chains_mala_fused` plus ``n_leapfrog``; returns
+    ``(positions, logdens, accept_rate)``.
+    """
+    logpost_grad_fn = _fused_theta_logpost_grad(
+        likelihood, init_positions.shape[0], ode_weight, ode_init,
+        t_min, t_max, n_steps, prior_pars, obs_data, obs_times,
+        obs_weight, obs_var, ode_flat, jac_flat, logprior_grad_fn,
+        chunk, interpret)
+    runner = make_hmc_runner(logpost_grad_fn, init_positions.shape[0],
+                             n_samples, step_size, n_leapfrog=n_leapfrog)
+    return runner(init_positions, key)
+
+
+def _fused_theta_logpost_grad(likelihood, n_lane, ode_weight, ode_init,
+                              t_min, t_max, n_steps, prior_pars, obs_data,
+                              obs_times, obs_weight, obs_var, ode_flat,
+                              jac_flat, logprior_grad_fn, chunk,
+                              interpret):
+    """Shared ``logpost_grad_fn`` closure over the fused fenrir/dalton
+    value+gradient kernels (used by the MALA and HMC wrappers)."""
     from rodeo_tpu.ops.pallas_fenrir import fenrir_fused_batch_grad
     from rodeo_tpu.ops.pallas_dalton import dalton_fused_batch_grad
     grad_fns = {"fenrir": fenrir_fused_batch_grad,
@@ -319,7 +517,6 @@ def run_chains_mala_fused(init_positions, key, n_samples, step_size,
             f"unknown likelihood {likelihood!r}; expected one of "
             f"{sorted(grad_fns)}")
     fused_grad = grad_fns[likelihood]
-    n_lane = init_positions.shape[0]
     inits = jnp.broadcast_to(ode_init, (n_lane,) + ode_init.shape)
 
     def logpost_grad_fn(positions):
@@ -334,9 +531,7 @@ def run_chains_mala_fused(init_positions, key, n_samples, step_size,
             ll, g = ll + lp, g + gp
         return ll, g
 
-    runner = make_mala_runner(logpost_grad_fn, n_lane, n_samples,
-                              step_size)
-    return runner(init_positions, key)
+    return logpost_grad_fn
 
 
 def run_chains_mala_magi(init_subsets, key, n_samples, step_size,
@@ -377,11 +572,53 @@ def run_chains_mala_magi(init_subsets, key, n_samples, step_size,
         ``(n_samples,)`` axis), ``logdens (n_lane,)``,
         ``accept_rate (n_lane,)``.
     """
+    logpost_grad_fn = _magi_logpost_grad(
+        theta_lanes is not None, ode_expand, n_active, prior_pars, dt,
+        sig2_lanes, extra_grad_fn, chunk, interpret, params)
+    position0 = (init_subsets if theta_lanes is None
+                 else (init_subsets, theta_lanes))
+    runner = make_mala_runner(logpost_grad_fn, init_subsets.shape[0],
+                              n_samples, step_size)
+    return runner(position0, key)
+
+
+def run_chains_hmc_magi(init_subsets, key, n_samples, step_size,
+                        ode_expand, n_active, prior_pars, dt,
+                        theta_lanes=None, sig2_lanes=None,
+                        extra_grad_fn=None, n_leapfrog=10, chunk=None,
+                        interpret="auto", **params):
+    r"""
+    Lockstep HMC over the MAGI **path posterior** — the position is the
+    thousands-dimensional latent path subset ``U`` (optionally jointly
+    with a per-lane ``theta``), and each leapfrog step's gradient comes
+    from the filter's exact adjoint kernel
+    (:func:`rodeo_tpu.ops.pallas_magi.magi_fused_batch_grad`).  HMC is
+    the natural sampler at this dimensionality: its coherent
+    :math:`O(L\epsilon)` trajectories beat MALA's diffusive moves, at
+    ``n_leapfrog`` adjoint pipelines per proposal.
+
+    Args as :func:`run_chains_mala_magi` plus ``n_leapfrog``; returns
+    ``(positions, logdens, accept_rate)``.
+    """
+    logpost_grad_fn = _magi_logpost_grad(
+        theta_lanes is not None, ode_expand, n_active, prior_pars, dt,
+        sig2_lanes, extra_grad_fn, chunk, interpret, params)
+    position0 = (init_subsets if theta_lanes is None
+                 else (init_subsets, theta_lanes))
+    runner = make_hmc_runner(logpost_grad_fn, init_subsets.shape[0],
+                             n_samples, step_size, n_leapfrog=n_leapfrog)
+    return runner(position0, key)
+
+
+def _magi_logpost_grad(joint_theta, ode_expand, n_active, prior_pars, dt,
+                       sig2_lanes, extra_grad_fn, chunk, interpret,
+                       params):
+    """Shared path-posterior ``logpost_grad_fn`` closure over the MAGI
+    forward+adjoint kernels (used by the MALA and HMC wrappers)."""
     from rodeo_tpu.ops.pallas_magi import magi_fused_batch_grad
-    n_lane = init_subsets.shape[0]
 
     def logpost_grad_fn(position):
-        if theta_lanes is None:
+        if not joint_theta:
             ld, g_u = magi_fused_batch_grad(
                 position, ode_expand, n_active, prior_pars, dt,
                 sig2_lanes=sig2_lanes, chunk=chunk, interpret=interpret,
@@ -400,11 +637,7 @@ def run_chains_mala_magi(init_subsets, key, n_samples, step_size,
             grad = jax.tree.map(lambda a, b: a + b, grad, gp)
         return ld, grad
 
-    position0 = (init_subsets if theta_lanes is None
-                 else (init_subsets, theta_lanes))
-    runner = make_mala_runner(logpost_grad_fn, n_lane, n_samples,
-                              step_size)
-    return runner(position0, key)
+    return logpost_grad_fn
 
 
 def sharded_loglik(loglik_fn, thetas, keys=None, mesh=None,

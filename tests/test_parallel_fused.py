@@ -441,3 +441,134 @@ def test_run_chains_mala_magi():
     assert pos_u.shape == (5, B, 33, n_block, 2)
     assert pos_th.shape == (5, B)
     assert np.all(np.isfinite(np.asarray(ld2)))
+
+
+def test_hmc_exact_on_gaussian():
+    """HMC correctness on an analytic anisotropic Gaussian: leapfrog +
+    the Metropolis correction on Delta-H must leave the target exactly
+    invariant — sampled moments converge to the target's, and on a
+    smooth target acceptance should be near 1."""
+    from rodeo_tpu.parallel import make_hmc_runner
+    mu = jnp.array([1.0, -2.0], jnp.float32)
+    var = jnp.array([0.5, 2.0], jnp.float32)
+
+    def logpost_grad(pos):
+        ll = -0.5 * jnp.sum((pos - mu) ** 2 / var, axis=-1)
+        g = -(pos - mu) / var
+        return ll, g
+
+    n_lane, n_samp = 64, 200
+    runner = make_hmc_runner(logpost_grad, n_lane, n_samp,
+                             step_size=jnp.sqrt(var) * 0.5, n_leapfrog=8)
+    init = jnp.zeros((n_lane, 2), jnp.float32)
+    positions, ll, acc = runner(init, jax.random.PRNGKey(0))
+    assert positions.shape == (n_samp, n_lane, 2)
+    a = float(jnp.mean(acc))
+    assert a > 0.8, a
+    draws = np.asarray(positions[n_samp // 2:]).reshape(-1, 2)
+    np.testing.assert_allclose(draws.mean(0), np.asarray(mu), atol=0.1)
+    np.testing.assert_allclose(draws.var(0), np.asarray(var), rtol=0.25)
+
+
+def test_hmc_fused_fenrir():
+    """Lockstep HMC over the tangent-augmented fused fenrir kernels:
+    runs, accepts, and the chains move."""
+    from rodeo_tpu.parallel import run_chains_hmc_fused
+    cfg = fitzhugh.setup(n_steps=50, t_max=2.0, dtype=jnp.float32)
+    theta = cfg.pop("theta")
+    n_obs = 5
+    obs_times = jnp.linspace(0.0, 2.0, n_obs).astype(jnp.float32)
+    rng = np.random.default_rng(9)
+    yobs = jnp.asarray(rng.normal(size=(n_obs, 2, 1)) * 0.5, jnp.float32)
+    D = jnp.zeros((n_obs, 2, 1, 3), jnp.float32).at[:, :, :, 0].set(1.0)
+    Om = 0.04 * jnp.broadcast_to(jnp.eye(1, dtype=jnp.float32),
+                                 (n_obs, 2, 1, 1))
+    n_lane, n_samp = 8, 5
+    init = jnp.broadcast_to(theta * 1.2, (n_lane, 3)).astype(jnp.float32)
+    positions, ll, acc = run_chains_hmc_fused(
+        init, jax.random.PRNGKey(1), n_samples=n_samp, step_size=0.002,
+        n_leapfrog=3,
+        ode_weight=cfg["ode_weight"], ode_init=cfg["ode_init"],
+        t_min=cfg["t_min"], t_max=cfg["t_max"], n_steps=cfg["n_steps"],
+        prior_pars=cfg["prior_pars"], obs_data=yobs, obs_times=obs_times,
+        obs_weight=D, obs_var=Om, ode_flat=fitzhugh.fitzhugh_flat,
+        jac_flat=fitzhugh.fitzhugh_jac_flat)
+    assert positions.shape == (n_samp, n_lane, 3)
+    assert bool(jnp.all(jnp.isfinite(ll)))
+    assert float(jnp.mean(acc)) > 0.0
+    assert bool(jnp.any(positions[-1] != init))
+
+
+def test_hmc_magi_pathspace():
+    """Path-space HMC over the fused MAGI adjoint, including the joint
+    (U, theta) pytree position."""
+    from rodeo_tpu.parallel import run_chains_hmc_magi
+    cfg = fitzhugh.setup(n_steps=32, t_max=2.0, dtype=jnp.float32)
+    cfg.pop("theta")
+    dt = 2.0 / 32
+    B = 4
+    rng = np.random.default_rng(2)
+    n_block = cfg["ode_init"].shape[0]
+    base = jnp.asarray(rng.normal(size=(33, n_block, 2)), jnp.float32)
+
+    def ode_expand(u, **p):
+        pad = jnp.zeros(u.shape[:-1] + (1,), u.dtype)
+        return jnp.concatenate([u, pad], axis=-1)
+
+    subsets = jnp.stack([
+        base + 0.05 * i * jnp.asarray(
+            rng.normal(size=base.shape), jnp.float32) for i in range(B)])
+    positions, ld, acc = run_chains_hmc_magi(
+        subsets, jax.random.PRNGKey(0), n_samples=5, step_size=1e-6,
+        n_leapfrog=2, ode_expand=ode_expand, n_active=2,
+        prior_pars=cfg["prior_pars"], dt=dt)
+    assert positions.shape == (5, B, 33, n_block, 2)
+    assert ld.shape == (B,) and np.all(np.isfinite(np.asarray(ld)))
+
+    def expand_th(u, theta, **p):
+        return jnp.concatenate(
+            [u[..., :1], theta[..., None, None, None] * u[..., 1:2],
+             jnp.zeros_like(u[..., :1])], axis=-1)
+
+    thetas0 = jnp.ones((B,), jnp.float32)
+    (pos_u, pos_th), ld2, acc2 = run_chains_hmc_magi(
+        subsets, jax.random.PRNGKey(1), n_samples=3, step_size=1e-6,
+        n_leapfrog=2, ode_expand=expand_th, n_active=2,
+        prior_pars=cfg["prior_pars"], dt=dt, theta_lanes=thetas0)
+    assert pos_u.shape == (3, B, 33, n_block, 2)
+    assert pos_th.shape == (3, B)
+    assert np.all(np.isfinite(np.asarray(ld2)))
+
+
+def test_adapt_step_size():
+    """Dual-averaging adaptation drives MALA and HMC acceptance toward
+    their targets on an analytic Gaussian, starting from a badly
+    mis-scaled step."""
+    from rodeo_tpu.parallel import (make_mala_runner, make_hmc_runner,
+                                    adapt_step_size)
+    mu = jnp.array([0.0, 0.0], jnp.float32)
+    var = jnp.array([1.0, 1.0], jnp.float32)
+
+    def logpost_grad(pos):
+        ll = -0.5 * jnp.sum((pos - mu) ** 2 / var, axis=-1)
+        g = -(pos - mu) / var
+        return ll, g
+
+    n_lane = 64
+    init = jnp.zeros((n_lane, 2), jnp.float32)
+
+    runner_m = make_mala_runner(logpost_grad, n_lane, 48, step_size=1.0)
+    eps_m, pos_m, acc_m = adapt_step_size(
+        runner_m, init, jax.random.PRNGKey(0), init_step=20.0,
+        target_accept=0.57, n_windows=15)
+    assert 0.35 < acc_m < 0.8, (float(jnp.ravel(eps_m)[0]), acc_m)
+    assert jax.tree.leaves(pos_m)[0].shape == (n_lane, 2)
+
+    runner_h = make_hmc_runner(logpost_grad, n_lane, 48, step_size=1.0,
+                               n_leapfrog=5)
+    eps_h, pos_h, acc_h = adapt_step_size(
+        runner_h, init, jax.random.PRNGKey(1), init_step=0.001,
+        target_accept=0.8, n_windows=15)
+    assert 0.6 < acc_h <= 1.0, (float(jnp.ravel(eps_h)[0]), acc_h)
+    # from a 1000x-too-small start the tuner must have grown the step
+    assert float(jnp.ravel(eps_h)[0]) > 0.01
