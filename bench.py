@@ -180,9 +180,42 @@ mu_fh, _ = rodeo_tpu.solve_mv(
     key=None, interrogate=interrogate_kramer, theta=th_fh, **cfg_fh)
 out["solve_mu_fitz"] = np.asarray(mu_fh)
 
-# f32-on-CPU controls: the SAME f32 pipeline on reference-grade hardware,
-# to separate "what float32 can do at all" (chaotic amplification of
-# rounding) from TPU-specific numerics in the accuracy audit
+# f32-on-CPU likelihood controls: the SAME f32 pipelines on
+# reference-grade hardware, so each TPU likelihood row's audit
+# separates "what float32 can do at all" from TPU-specific numerics
+cfgl32 = lorenz.setup(n_steps=4000, t_max=%(t_max)f, dtype=jnp.float32)
+thl32 = cfgl32.pop("theta")
+obs_t32 = jnp.linspace(0.0, %(t_max)f, n_obs).astype(jnp.float32)
+D32 = jnp.zeros((n_obs, 3, 1, 3), jnp.float32).at[:, :, :, 0].set(1.0)
+Om32 = 0.005 * jnp.broadcast_to(jnp.eye(1, dtype=jnp.float32),
+                                (n_obs, 3, 1, 1))
+y32 = jnp.asarray(np.random.default_rng(0).normal(size=(n_obs, 3, 1)) * 5,
+                  jnp.float32)
+kw32 = dict(key=None, interrogate=interrogate_kramer, theta=thl32,
+            obs_data=y32, obs_times=obs_t32, obs_weight=D32,
+            obs_var=Om32, **cfgl32)
+out["fenrir_ll_f32cpu"] = float(precond.fenrir(**kw32))
+out["dalton_ll_f32cpu"] = float(precond.dalton(**kw32))
+yi32 = jnp.asarray(np.random.default_rng(1).normal(size=(n_obs, 3, 1)) * 5,
+                   jnp.float32)
+out["daltonng_ll_f32cpu"] = float(precond.daltonng(
+    key=None, interrogate=interrogate_kramer, theta=thl32,
+    obs_data=yi32, obs_times=obs_t32, obs_loglik_i=nn_loglik, **cfgl32))
+out["basic_ll_f32cpu"] = float(precond.basic(
+    key=None, interrogate=interrogate_kramer, theta=thl32,
+    obs_data=yi32, obs_times=obs_t32, obs_loglik=b_loglik, **cfgl32)[0])
+mu_l32, _ = precond.solve_mv(
+    key=None, interrogate=interrogate_kramer, theta=thl32, **cfgl32)
+
+def ode_expand32(u, **p):
+    pad = jnp.zeros(u.shape[:-1] + (1,), jnp.float32)
+    return jnp.concatenate([u, pad], axis=-1)
+
+out["magi_ll_f32cpu"] = float(precond.magi_logdens(
+    ode_data_subset=mu_l32[:, :, :2], ode_expand=ode_expand32,
+    n_active=2, prior_pars=cfgl32["prior_pars"], dt=%(t_max)f / 4000))
+
+# f32-on-CPU solve controls
 cfg32 = lorenz.setup(n_steps=%(n_steps)d, t_max=%(t_max)f,
                      dtype=jnp.float32)
 th32 = cfg32.pop("theta")
@@ -355,7 +388,7 @@ def main():
     # CPU f64 ground truth for the accuracy audit (cached; parity with the
     # upstream reference is pinned at 1e-8 by tests/test_parity_reference)
     truth = cpu_truth(os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".bench_ref_v2.npz"))
+        os.path.dirname(os.path.abspath(__file__)), ".bench_ref_v3.npz"))
     if truth is None:
         details["accuracy_audit_error"] = "cpu truth computation failed"
     # pointwise f32-vs-f64 audit over the t <= 4 prefix of the chaotic
@@ -371,6 +404,19 @@ def main():
             f32cpu_err, 6)
     else:
         f32cpu_err = None
+
+    # f32-on-CPU control errors for the likelihood rows: each TPU
+    # likelihood row's abs_err reads against the matching
+    # *_f32cpu_control_abs_err — at-or-below control means the TPU path
+    # is at the f32 floor for that pipeline (daltonng's plain path is
+    # f32-hopeless EVERYWHERE on this chaotic config; its fused in-kernel
+    # Laplace path is the accurate-in-f32 alternative)
+    if truth is not None:
+        for _nm in ("fenrir", "dalton", "daltonng", "basic", "magi"):
+            _k = f"{_nm}_ll_f32cpu"
+            if _k in truth:
+                details[f"{_nm}_f32cpu_control_abs_err"] = round(
+                    abs(float(truth[_k]) - float(truth[f"{_nm}_ll"])), 6)
 
     def audit_solve(label, mu, n_steps_run=N_STEPS):
         """Record max-abs-err fields for a solve row (vs f64 truth)."""

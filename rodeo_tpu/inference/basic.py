@@ -18,10 +18,12 @@ import jax
 import jax.numpy as jnp
 
 from rodeo_tpu.solve import solve_mv
+from rodeo_tpu.ops.linalg import full_matmul_precision
 
 __all__ = ["basic"]
 
 
+@full_matmul_precision
 def basic(key, ode_fun, ode_weight, ode_init,
           t_min, t_max, n_steps,
           interrogate,

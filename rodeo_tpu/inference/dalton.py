@@ -24,6 +24,7 @@ from rodeo_tpu.inference.fenrir import _forecast_update, _obs_grid
 from rodeo_tpu.utils import multivariate_normal_logpdf, mvdot, quadform
 from rodeo_tpu.solve import _solve_filter as _solve_filter_ode
 from rodeo_tpu.ops.scan import scan as _uscan
+from rodeo_tpu.ops.linalg import full_matmul_precision
 
 __all__ = ["dalton", "daltonng", "solve_mv", "solve_sim", "solve_mv_nn"]
 
@@ -36,6 +37,7 @@ def _block_diag2(var_a, var_b):
 # --- loglikelihood -----------------------------------------------------------
 
 
+@full_matmul_precision
 def dalton(key, ode_fun, ode_weight, ode_init,
            t_min, t_max, n_steps,
            interrogate,
@@ -700,6 +702,7 @@ def _smooth_mv_pass(ode_init, filt_out, prior_weight, prior_var, kalman_funs):
     return mean_state_smooth, var_state_smooth
 
 
+@full_matmul_precision
 def solve_mv(key, ode_fun, ode_weight, ode_init,
              t_min, t_max, n_steps,
              interrogate,
@@ -732,6 +735,7 @@ def solve_mv(key, ode_fun, ode_weight, ode_init,
         ode_init, filt_out, prior_weight, prior_var, kalman_funs)
 
 
+@full_matmul_precision
 def solve_sim(key, ode_fun, ode_weight, ode_init,
               t_min, t_max, n_steps,
               interrogate,
@@ -1124,6 +1128,7 @@ def _logx_z(uncond_mean,
     return scan_out
 
 
+@full_matmul_precision
 def daltonng(key, ode_fun, ode_weight, ode_init,
              t_min, t_max, n_steps,
              interrogate,
@@ -1201,6 +1206,7 @@ def daltonng(key, ode_fun, ode_weight, ode_init,
 # --- non-Gaussian ODE solver ---------------------------------------------------
 
 
+@full_matmul_precision
 def solve_mv_nn(key, ode_fun, ode_weight, ode_init,
                 t_min, t_max, n_steps,
                 interrogate,

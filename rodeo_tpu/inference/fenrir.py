@@ -25,6 +25,7 @@ from rodeo_tpu.solve import _solve_filter
 from rodeo_tpu.ops.scan import scan as _uscan
 from rodeo_tpu.utils import multivariate_normal_logpdf, mvdot
 from rodeo_tpu.ops import ptime as _ptime
+from rodeo_tpu.ops.linalg import full_matmul_precision
 
 __all__ = ["fenrir", "solve_mv"]
 
@@ -405,6 +406,7 @@ def _backward_dense(mean_state_filt, var_state_filt,
     return logdens, state_par
 
 
+@full_matmul_precision
 def fenrir(key, ode_fun, ode_weight, ode_init,
            t_min, t_max, n_steps,
            interrogate,
@@ -513,6 +515,7 @@ def _smooth_mv(state_par, kalman_funs):
     return mean_state_smooth, var_state_smooth
 
 
+@full_matmul_precision
 def solve_mv(key, ode_fun, ode_weight, ode_init,
              t_min, t_max, n_steps,
              interrogate,

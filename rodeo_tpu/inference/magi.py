@@ -14,10 +14,12 @@ import jax.numpy as jnp
 
 from rodeo_tpu.kalmantv import get_backend
 from rodeo_tpu.ops.scan import scan as _uscan
+from rodeo_tpu.ops.linalg import full_matmul_precision
 
 __all__ = ["magi_logdens"]
 
 
+@full_matmul_precision
 def magi_logdens(ode_data_subset,
                  ode_expand,
                  n_active,

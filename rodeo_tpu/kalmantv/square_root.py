@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from rodeo_tpu.utils import add_sqrt, mtt, mvdot
 from rodeo_tpu.ops.linalg import matmul_small as _mm
+from rodeo_tpu.ops.linalg import full_matmul_precision
 
 __all__ = [
     "predict",
@@ -56,6 +57,7 @@ def _tri_solve(chol, b, lower=True):
 # --- core functions -----------------------------------------------------------
 
 
+@full_matmul_precision
 def predict(mean_state_past,
             var_state_past,
             mean_state,
@@ -74,6 +76,7 @@ def predict(mean_state_past,
     return mean_state_pred, var_state_pred
 
 
+@full_matmul_precision
 def update(mean_state_pred,
            var_state_pred,
            x_meas,
@@ -103,6 +106,7 @@ def update(mean_state_pred,
     return mean_state_filt, var_state_filt
 
 
+@full_matmul_precision
 def filter(mean_state_past,
            var_state_past,
            mean_state,
@@ -160,6 +164,7 @@ def _joint_sqrt(gain, wgt_state, var_state_filt, extra_sqrt):
     return add_sqrt(_mm(gain, extra_sqrt), _mm(J, var_state_filt))
 
 
+@full_matmul_precision
 def smooth_mv(mean_state_next,
               var_state_next,
               mean_state_filt,
@@ -185,6 +190,7 @@ def smooth_mv(mean_state_next,
     return mean_state_smooth, var_state_smooth
 
 
+@full_matmul_precision
 def smooth_sim(x_state_next,
                mean_state_filt,
                var_state_filt,
@@ -205,6 +211,7 @@ def smooth_sim(x_state_next,
     return mean_state_sim, var_state_sim
 
 
+@full_matmul_precision
 def smooth(x_state_next,
            mean_state_next,
            var_state_next,
@@ -233,6 +240,7 @@ def smooth(x_state_next,
     return mean_state_sim, var_state_sim, mean_state_smooth, var_state_smooth
 
 
+@full_matmul_precision
 def forecast(mean_state_pred,
              var_state_pred,
              mean_meas,
@@ -252,6 +260,7 @@ def forecast(mean_state_pred,
     return mean_fore, var_fore
 
 
+@full_matmul_precision
 def smooth_cond(mean_state_filt,
                 var_state_filt,
                 mean_state_pred,

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from rodeo_tpu.utils import mtt, mvdot, quadform, solve_var
+from rodeo_tpu.ops.linalg import full_matmul_precision
 
 __all__ = [
     "predict",
@@ -48,6 +49,7 @@ __all__ = [
 # --- core functions -----------------------------------------------------------
 
 
+@full_matmul_precision
 def predict(mean_state_past,
             var_state_past,
             mean_state,
@@ -76,6 +78,7 @@ def predict(mean_state_past,
     return mean_state_pred, var_state_pred
 
 
+@full_matmul_precision
 def update(mean_state_pred,
            var_state_pred,
            x_meas,
@@ -131,6 +134,7 @@ def update(mean_state_pred,
     return mean_state_filt, var_state_filt
 
 
+@full_matmul_precision
 def filter(mean_state_past,
            var_state_past,
            mean_state,
@@ -180,6 +184,7 @@ def _smooth_gain(var_state_filt, var_state_pred, wgt_state):
     return var_state_temp, gain
 
 
+@full_matmul_precision
 def smooth_mv(mean_state_next,
               var_state_next,
               mean_state_filt,
@@ -206,6 +211,7 @@ def smooth_mv(mean_state_next,
     return mean_state_smooth, var_state_smooth
 
 
+@full_matmul_precision
 def smooth_sim(x_state_next,
                mean_state_filt,
                var_state_filt,
@@ -249,6 +255,7 @@ def _sim_var(gain, var_state_temp, var_state_filt, wgt_state, var_state):
     return var_state_filt - gain @ mtt(var_state_temp)
 
 
+@full_matmul_precision
 def smooth(x_state_next,
            mean_state_next,
            var_state_next,
@@ -280,6 +287,7 @@ def smooth(x_state_next,
     return mean_state_sim, var_state_sim, mean_state_smooth, var_state_smooth
 
 
+@full_matmul_precision
 def forecast(mean_state_pred,
              var_state_pred,
              mean_meas,
@@ -298,6 +306,7 @@ def forecast(mean_state_pred,
     return mean_fore, var_fore
 
 
+@full_matmul_precision
 def smooth_cond(mean_state_filt,
                 var_state_filt,
                 mean_state_pred,

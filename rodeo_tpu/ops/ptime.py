@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from rodeo_tpu.utils import mtt, mvdot, quadform
 from rodeo_tpu.ops.linalg import solve_small
+from rodeo_tpu.ops.linalg import full_matmul_precision
 
 __all__ = [
     "parallel_filter",
@@ -118,6 +119,7 @@ def _filter_elements(mean_init, var_init,
     return A, b, C, eta, J
 
 
+@full_matmul_precision
 def parallel_filter(mean_init, var_init,
                     prior_weight, prior_var,
                     wgt_meas, mean_meas, var_meas, x_meas):
@@ -204,6 +206,7 @@ def _filter_elements_tv(mean_init, var_init,
     return A, b, C, eta, J
 
 
+@full_matmul_precision
 def parallel_filter_tv(mean_init, var_init,
                        wgt_state, mean_state, var_state,
                        wgt_meas, mean_meas, var_meas, x_meas):
@@ -280,6 +283,7 @@ def _psd_sqrt(mat):
     return v * jnp.sqrt(w)[..., None, :]
 
 
+@full_matmul_precision
 def parallel_smooth_mv(ode_init,
                        mean_state_filt, var_state_filt,
                        mean_state_pred, var_state_pred,
@@ -370,6 +374,7 @@ def _compose_prior(prior_weight, prior_var, k):
     return Qc, Rc
 
 
+@full_matmul_precision
 def solve_mv_iterated(key, ode_fun, ode_weight, ode_init,
                       t_min, t_max, n_steps,
                       interrogate,

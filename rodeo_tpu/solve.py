@@ -39,10 +39,12 @@ import jax.numpy as jnp
 
 from rodeo_tpu.kalmantv import get_backend
 from rodeo_tpu.ops.scan import scan as _uscan
+from rodeo_tpu.ops.linalg import full_matmul_precision
 
 __all__ = ["solve_sim", "solve_mv"]
 
 
+@full_matmul_precision
 def _solve_filter(key, ode_fun, ode_weight, ode_init,
                   t_min, t_max, n_steps,
                   interrogate,
@@ -134,6 +136,7 @@ def _sample_mvn(key, mean, cov, method):
     return jax.random.multivariate_normal(key, mean, cov, method=method)
 
 
+@full_matmul_precision
 def solve_sim(key, ode_fun, ode_weight, ode_init,
               t_min, t_max, n_steps,
               interrogate,
@@ -235,6 +238,7 @@ def solve_sim(key, ode_fun, ode_weight, ode_init,
     return x_state_smooth
 
 
+@full_matmul_precision
 def solve_mv(key, ode_fun, ode_weight, ode_init,
              t_min, t_max, n_steps,
              interrogate,
