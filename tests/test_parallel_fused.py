@@ -572,3 +572,76 @@ def test_adapt_step_size():
     assert 0.6 < acc_h <= 1.0, (float(jnp.ravel(eps_h)[0]), acc_h)
     # from a 1000x-too-small start the tuner must have grown the step
     assert float(jnp.ravel(eps_h)[0]) > 0.01
+
+
+def test_magi_sig2_quadform_exact():
+    """The two-point (Q, D) recovery must reproduce the MAGI log-density
+    at ANY third sigma^2 — validating the exact -Q/2s - (D/2)ln s + C
+    functional form the Gibbs move relies on."""
+    from rodeo_tpu.ops.pallas_magi import magi_fused_batch
+    from rodeo_tpu.parallel import magi_sig2_quadform
+    cfg = fitzhugh.setup(n_steps=32, t_max=2.0, dtype=jnp.float32)
+    cfg.pop("theta")
+    dt = 2.0 / 32
+    B = 3
+    n_block = cfg["ode_init"].shape[0]
+    # near-ODE paths keep Q at O(D) so f32 resolves the log term
+    from rodeo_tpu.interrogate import interrogate_kramer
+    from rodeo_tpu.ops import precond
+    cfg64 = fitzhugh.setup(n_steps=32, t_max=2.0, dtype=jnp.float32)
+    th = cfg64.pop("theta")
+    mu, _ = precond.solve_mv(key=None, interrogate=interrogate_kramer,
+                             theta=th, **cfg64)
+
+    def ode_expand(u, **p):
+        pad = jnp.zeros(u.shape[:-1] + (1,), u.dtype)
+        return jnp.concatenate([u, pad], axis=-1)
+
+    subsets = jnp.stack([mu[:, :, :2] * (1.0 + 0.01 * i)
+                         for i in range(B)]).astype(jnp.float32)
+    s = jnp.full((B,), 1.5, jnp.float32)
+
+    def ld_at(mult):
+        return magi_fused_batch(subsets, ode_expand, 2,
+                                cfg["prior_pars"], dt,
+                                sig2_lanes=mult, interpret=True)
+
+    ld_s, ld_2s = ld_at(s), ld_at(2.0 * s)
+    q, d_dim = magi_sig2_quadform(ld_s, ld_2s, s, 32, n_block, 2)
+    assert d_dim == 32 * n_block * 2
+    # predict at s' = 3s from (Q, D, C) and compare to a real evaluation
+    c = ld_s + q / (2.0 * s) + 0.5 * d_dim * jnp.log(s)
+    sp = 3.0 * s
+    pred = -q / (2.0 * sp) - 0.5 * d_dim * jnp.log(sp) + c
+    real = ld_at(sp)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(real),
+                               rtol=1e-4, atol=0.5)
+
+
+def test_run_chains_magi_gibbs():
+    """Joint (U, sigma^2) MAGI sampler: runs, stays finite, sigma^2
+    draws vary lane-to-lane and sweep-to-sweep, and with a dominant
+    InvGamma prior the draws concentrate near the prior mean."""
+    from rodeo_tpu.parallel import run_chains_magi_gibbs
+    cfg = fitzhugh.setup(n_steps=32, t_max=2.0, dtype=jnp.float32)
+    cfg.pop("theta")
+    dt = 2.0 / 32
+    B = 4
+    rng = np.random.default_rng(4)
+    n_block = cfg["ode_init"].shape[0]
+    base = jnp.asarray(rng.normal(size=(33, n_block, 2)) * 0.1,
+                       jnp.float32)
+    subsets = jnp.stack([base + 0.02 * i for i in range(B)])
+    positions, sig2s, ld, acc = run_chains_magi_gibbs(
+        subsets, jax.random.PRNGKey(0), n_sweeps=4, step_size=1e-6,
+        ode_expand=lambda u, **p: jnp.concatenate(
+            [u, jnp.zeros(u.shape[:-1] + (1,), u.dtype)], axis=-1),
+        n_active=2, prior_pars=cfg["prior_pars"], dt=dt,
+        sig2_init=1.0, n_inner=2)
+    assert positions.shape == (4, B, 33, n_block, 2)
+    assert sig2s.shape == (4, B)
+    assert np.all(np.isfinite(np.asarray(sig2s)))
+    assert np.all(np.asarray(sig2s) > 0)
+    assert np.all(np.isfinite(np.asarray(ld)))
+    # draws actually move
+    assert float(jnp.std(sig2s)) > 0
