@@ -267,28 +267,13 @@ def _max_err_prefix(mu, mu_ref, n_prefix):
 
 
 def _ess_total(x):
-    """Total effective sample size across chains for one scalar parameter.
-
-    ``x``: (n_samples, n_chains).  Per chain: Geyer initial-positive-
-    sequence estimator on the empirical autocorrelation."""
-    import numpy as np
-    x = np.asarray(x, float).T            # (n_chains, n_samples)
-    n = x.shape[1]
-    total = 0.0
-    for c in range(x.shape[0]):
-        xc = x[c] - x[c].mean()
-        v = float(np.mean(xc * xc))
-        if v <= 0:
-            continue                       # stuck chain: ESS ~ 0
-        acf = np.correlate(xc, xc, "full")[n - 1:] / (v * n)
-        s = 1.0
-        for k in range(1, n // 2):
-            rho = acf[2 * k - 1] + acf[2 * k]
-            if rho <= 0:
-                break
-            s += 2.0 * rho
-        total += n / s
-    return total
+    """Multi-chain effective sample size for one scalar parameter
+    (``x``: (n_samples, n_chains)) — the library's combined estimator
+    (Geyer truncation + between-chain penalty,
+    :mod:`rodeo_tpu.parallel.diagnostics`); stricter than the
+    per-chain-summed version earlier rounds recorded."""
+    from rodeo_tpu.parallel.diagnostics import ess
+    return ess(x)
 
 
 def _sync(out):

@@ -340,7 +340,10 @@ def _dalton_prepare(thetas, ode_weight, ode_inits, t_min, t_max, n_steps,
     if q_const is None:
         raise NotImplementedError(
             f"{caller} requires a block-constant transition "
-            "available at trace time")
+            "available at trace time (a concrete block-constant "
+            "prior, e.g. ibm_init, built/cast OUTSIDE jit — an "
+            "astype/scale applied inside a jitted closure turns it "
+            "into a tracer)")
     W_s = (ode_weight * t_vec[None, None, :])[:, 0, :]
     x0_lanes = jnp.transpose(
         (ode_inits / t_vec).astype(jnp.float32), (2, 1, 0))

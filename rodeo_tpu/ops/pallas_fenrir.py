@@ -415,7 +415,10 @@ def fenrir_fused_batch(thetas, ode_weight, ode_inits,
     if q_const is None:
         raise NotImplementedError(
             "fenrir_fused_batch requires a block-constant transition "
-            "available at trace time")
+            "available at trace time (a concrete block-constant "
+            "prior, e.g. ibm_init, built/cast OUTSIDE jit — an "
+            "astype/scale applied inside a jitted closure turns it "
+            "into a tracer)")
     W_s = (ode_weight * t_vec[None, None, :])[:, 0, :]
     x0_lanes = jnp.transpose(
         (ode_inits / t_vec).astype(jnp.float32), (2, 1, 0))   # (q, nb, B)
@@ -990,7 +993,11 @@ def fenrir_fused_batch_grad(thetas, ode_weight, ode_inits,
     q_const = _static_scaled_qconst(prior_pars[0], dt, q)
     if q_const is None:
         raise NotImplementedError(
-            "fenrir_fused_batch_grad requires a block-constant transition")
+            "fenrir_fused_batch_grad requires a block-constant transition "
+            "available at trace time (a concrete block-constant "
+            "prior, e.g. ibm_init, built/cast OUTSIDE jit — an "
+            "astype/scale applied inside a jitted closure turns it "
+            "into a tracer)")
     W_s = (ode_weight * t_vec[None, None, :])[:, 0, :]
     x0_lanes = jnp.transpose(
         (ode_inits / t_vec).astype(jnp.float32), (2, 1, 0))

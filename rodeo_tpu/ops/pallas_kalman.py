@@ -996,7 +996,11 @@ def fused_smoother_composed(n_steps, prior_weight, prior_var,
         q_const = raw_q_const
     if q_const is None:
         raise NotImplementedError(
-            "fused_smoother_composed requires a block-constant transition")
+            "fused_smoother_composed requires a block-constant transition "
+            "available at trace time (a concrete block-constant "
+            "prior, e.g. ibm_init, built/cast OUTSIDE jit — an "
+            "astype/scale applied inside a jitted closure turns it "
+            "into a tracer)")
 
     # per-step (G, g, L) in column layout (T, nb)
     R_packed = _pack_tri(prior_var, pairs)
@@ -1610,8 +1614,10 @@ def solve_mv_fused_batch(thetas, ode_weight, ode_inits,
     if q_const is None:
         raise NotImplementedError(
             "solve_mv_fused_batch requires a block-constant transition "
-            "available at trace time (close over the prior rather than "
-            "passing it as a jit argument)")
+            "available at trace time (a concrete block-constant "
+            "prior, e.g. ibm_init, built/cast OUTSIDE jit — an "
+            "astype/scale applied inside a jitted closure turns it "
+            "into a tracer)")
     W_s = (ode_weight * t_vec[None, None, :])[:, 0, :]
     x0_lanes = jnp.transpose(
         (ode_inits / t_vec).astype(jnp.float32), (2, 1, 0))   # (q, nb, B)

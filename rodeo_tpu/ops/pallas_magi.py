@@ -237,7 +237,10 @@ def _magi_forward(paths, act, prior_pars, dt, sig2_lanes, chunk,
     if q_const is None:
         raise NotImplementedError(
             "magi_fused_batch requires a block-constant transition "
-            "available at trace time")
+            "available at trace time (a concrete block-constant "
+            "prior, e.g. ibm_init, built/cast OUTSIDE jit — an "
+            "astype/scale applied inside a jitted closure turns it "
+            "into a tracer)")
     t_vec = taylor_scale(dt, q, dtype=jnp.float32)
     _, Rs = scale_prior(tuple(jnp.asarray(a, jnp.float32)
                               for a in prior_pars), t_vec)

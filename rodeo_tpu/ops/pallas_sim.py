@@ -141,7 +141,10 @@ def solve_sim_fused_batch(key, thetas, ode_weight, ode_inits,
     if q_const is None:
         raise NotImplementedError(
             "solve_sim_fused_batch requires a block-constant transition "
-            "available at trace time")
+            "available at trace time (a concrete block-constant "
+            "prior, e.g. ibm_init, built/cast OUTSIDE jit — an "
+            "astype/scale applied inside a jitted closure turns it "
+            "into a tracer)")
     W_s = (ode_weight * t_vec[None, None, :])[:, 0, :]
     x0_lanes = jnp.transpose(
         (ode_inits / t_vec).astype(jnp.float32), (2, 1, 0))   # (q, nb, B)
