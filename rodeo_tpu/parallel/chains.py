@@ -324,6 +324,8 @@ def make_hmc_runner(logpost_grad_fn, n_lane, n_samples, step_size,
     Returns:
         (Callable): ``runner(init_positions, key, step_size=None)``.
     """
+    if n_leapfrog < 1:
+        raise ValueError(f"n_leapfrog must be >= 1, got {n_leapfrog}")
 
     def _lane_bc(mask, leaf):
         return mask.reshape((n_lane,) + (1,) * (leaf.ndim - 1))
@@ -694,6 +696,8 @@ def run_chains_magi_gibbs(init_subsets, key, n_sweeps, step_size,
         - **logdens** (ndarray(n_lane,)): Final log-densities.
         - **accept_rate** (ndarray(n_lane,)): MALA acceptance on ``U``.
     """
+    if n_inner < 1:
+        raise ValueError(f"n_inner must be >= 1, got {n_inner}")
     from rodeo_tpu.ops.pallas_magi import magi_fused_batch, \
         magi_fused_batch_grad
     n_lane, n_grid = init_subsets.shape[0], init_subsets.shape[1]

@@ -645,3 +645,19 @@ def test_run_chains_magi_gibbs():
     assert np.all(np.isfinite(np.asarray(ld)))
     # draws actually move
     assert float(jnp.std(sig2s)) > 0
+
+
+def test_runner_validation():
+    from rodeo_tpu.parallel import make_hmc_runner, run_chains_magi_gibbs
+
+    def lp(pos):
+        return -0.5 * jnp.sum(pos ** 2, -1), -pos
+
+    with pytest.raises(ValueError, match="n_leapfrog"):
+        make_hmc_runner(lp, 4, 10, 0.1, n_leapfrog=0)
+    with pytest.raises(ValueError, match="n_inner"):
+        run_chains_magi_gibbs(
+            jnp.zeros((2, 9, 1, 2)), jax.random.PRNGKey(0), 2, 1e-6,
+            ode_expand=lambda u, **p: u, n_active=2,
+            prior_pars=(jnp.zeros((1, 2, 2)), jnp.eye(2)[None]),
+            dt=0.1, sig2_init=1.0, n_inner=0)
