@@ -818,14 +818,23 @@ def main():
         details["mcmc_xla_tuned_scale"] = tuned_scale
         alg = pm.normal_random_walk(
             logpost, tuned_scale * jnp.ones(3, jnp.float32))
-        positions, state, accept = run_chains(
-            alg, init, jax.random.PRNGKey(3), n_samples=n_samp)  # warm-up
+        # build the jitted runner ONCE: each run_chains() call makes
+        # fresh jitted closures, so timing its second call would time a
+        # recompile, not the sampler
+        from rodeo_tpu.parallel import make_run_chains
+        xla_runner = make_run_chains(alg, n_samples=n_samp)
+        positions, state, accept = xla_runner(
+            init, jax.random.PRNGKey(3))                 # warm-up
         _sync(positions)
-        t0 = time.perf_counter()
-        positions, state, accept = run_chains(
-            alg, init, jax.random.PRNGKey(4), n_samples=n_samp)
-        _sync(positions)
-        dt_run = time.perf_counter() - t0
+        best = None
+        for r in range(3):
+            t0 = time.perf_counter()
+            out_r = xla_runner(init, jax.random.PRNGKey(4 + r))
+            _sync(out_r[0])
+            dt = time.perf_counter() - t0
+            if best is None or dt < best[0]:
+                best = (dt, out_r)
+        dt_run, (positions, state, accept) = best
         details["mcmc_xla_chain_steps_per_sec"] = round(
             n_chains * n_samp / dt_run, 2)
         details["mcmc_xla_mean_accept"] = round(float(jnp.mean(accept)), 3)
@@ -870,11 +879,16 @@ def main():
             if acc_f is None or abs(a - 0.3) < abs(acc_f - 0.3):
                 tuned_f, acc_f = s_cand, a
         details["mcmc_fused_tuned_scale"] = tuned_f
-        t0 = time.perf_counter()
-        positions_f, ll_f, accept_f = runner(init_f, jax.random.PRNGKey(6),
-                                             scale=tuned_f)
-        _sync(positions_f)
-        dt_f = time.perf_counter() - t0
+        best_f = None
+        for r in range(3):
+            t0 = time.perf_counter()
+            out_r = runner(init_f, jax.random.PRNGKey(6 + r),
+                           scale=tuned_f)
+            _sync(out_r[0])
+            dt = time.perf_counter() - t0
+            if best_f is None or dt < best_f[0]:
+                best_f = (dt, out_r)
+        dt_f, (positions_f, ll_f, accept_f) = best_f
         details["mcmc_chain_steps_per_sec"] = round(
             n_chains_f * n_samp_f / dt_f, 2)
         details["mcmc_mean_accept"] = round(float(jnp.mean(accept_f)), 3)
@@ -930,11 +944,24 @@ def main():
             if acc_g is None or abs(a - 0.57) < abs(acc_g - 0.57):
                 tuned_g, acc_g = s_cand, a
         details["mala_fused_tuned_step"] = tuned_g
-        t0 = time.perf_counter()
-        pos_g, ll_g, acc_gr = runner_g(init_g, jax.random.PRNGKey(32),
-                                       step_size_override=tuned_g)
-        _sync(pos_g)
-        dt_g = time.perf_counter() - t0
+
+        def _timed_chain_run(runner, tuned, key0):
+            """Best-of-3 timed runs (a single reading is vulnerable to
+            one-off host/tunnel stalls — a 2026-08-19 bench recorded a
+            MALA run 8x its reproducible isolated cost)."""
+            best = None
+            for r in range(3):
+                t0 = time.perf_counter()
+                out = runner(init_g, jax.random.PRNGKey(key0 + r),
+                             step_size_override=tuned)
+                _sync(out[0])
+                dt = time.perf_counter() - t0
+                if best is None or dt < best[0]:
+                    best = (dt, out)
+            return best
+
+        dt_g, (pos_g, ll_g, acc_gr) = _timed_chain_run(
+            runner_g, tuned_g, 32)
         details["mala_fused_chain_steps_per_sec"] = round(
             n_lane_g * n_samp_g / dt_g, 2)
         details["mala_fused_mean_accept"] = round(float(jnp.mean(acc_gr)),
@@ -960,11 +987,8 @@ def main():
                 tuned_h, acc_h = s_cand, a
         details["hmc_fused_tuned_step"] = tuned_h
         details["hmc_fused_n_leapfrog"] = n_leap
-        t0 = time.perf_counter()
-        pos_h, ll_h, acc_hr = runner_h(init_g, jax.random.PRNGKey(42),
-                                       step_size_override=tuned_h)
-        _sync(pos_h)
-        dt_h = time.perf_counter() - t0
+        dt_h, (pos_h, ll_h, acc_hr) = _timed_chain_run(
+            runner_h, tuned_h, 42)
         details["hmc_fused_chain_steps_per_sec"] = round(
             n_lane_g * n_samp_g / dt_h, 2)
         details["hmc_fused_mean_accept"] = round(float(jnp.mean(acc_hr)),

@@ -6,7 +6,7 @@ the natural scale-out axes for this library, see SURVEY.md §5).
 from rodeo_tpu.parallel.mesh import (
     make_mesh, batch_sharding, replicated_sharding)
 from rodeo_tpu.parallel.chains import (
-    run_chains, run_chains_fused, make_mala_runner,
+    run_chains, make_run_chains, run_chains_fused, make_mala_runner,
     run_chains_mala_fused, run_chains_mala_magi, make_hmc_runner,
     run_chains_hmc_fused, run_chains_hmc_magi, adapt_step_size,
     magi_sig2_quadform, run_chains_magi_gibbs, sharded_loglik)

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 
 from rodeo_tpu.parallel.mesh import make_mesh, batch_sharding
 
-__all__ = ["run_chains", "run_chains_fused", "make_mala_runner",
+__all__ = ["run_chains", "make_run_chains", "run_chains_fused",
+           "make_mala_runner",
            "run_chains_mala_fused", "run_chains_mala_magi",
            "make_hmc_runner", "run_chains_hmc_fused",
            "run_chains_hmc_magi", "adapt_step_size",
@@ -49,36 +50,54 @@ def run_chains(alg, init_positions, key, n_samples,
         - **final_state** (RWAState): Final vmapped chain state.
         - **accept_rate** (ndarray(n_chains,)): Mean acceptance rate.
     """
+    runner = make_run_chains(alg, n_samples, mesh=mesh,
+                             axis_name=axis_name)
+    return runner(init_positions, key)
+
+
+def make_run_chains(alg, n_samples, mesh=None, axis_name="chain"):
+    r"""
+    Build the jitted multi-chain runner used by :func:`run_chains`
+    (``runner(init_positions, key) -> (positions, final_state,
+    accept_rate)``).
+
+    Production loops (and anything that *times* the sampler) should
+    create the runner ONCE and call it repeatedly — each
+    :func:`run_chains` call builds fresh jitted closures, so its
+    second invocation re-traces and re-compiles the whole scan.
+    """
     if mesh is None:
         mesh = make_mesh(axis_name=axis_name)
-    n_chains = jax.tree_util.tree_leaves(init_positions)[0].shape[0]
     shard = batch_sharding(mesh, axis_name)
-
-    init_keys = jax.random.split(key, n_chains + 1)
-    key, chain_keys = init_keys[0], init_keys[1:]
 
     @jax.jit
     def init_all(positions, chain_keys):
         return jax.vmap(alg.init)(positions, chain_keys)
 
-    state = init_all(
-        jax.device_put(init_positions, shard),
-        jax.device_put(chain_keys, shard))
-
     def one_step(state, step_key):
+        n_chains = jax.tree_util.tree_leaves(state.position)[0].shape[0]
         step_keys = jax.random.split(step_key, n_chains)
         state, info = jax.vmap(alg.step)(step_keys, state)
         return state, (state.position, info.is_accepted)
 
     @jax.jit
-    def run(state, key):
+    def _scan(state, key):
         step_keys = jax.random.split(key, n_samples)
         state, (positions, accepted) = jax.lax.scan(
             one_step, state, step_keys)
         return state, positions, jnp.mean(accepted, axis=0)
 
-    final_state, positions, accept_rate = run(state, key)
-    return positions, final_state, accept_rate
+    def run(init_positions, key):
+        n_chains = jax.tree_util.tree_leaves(init_positions)[0].shape[0]
+        init_keys = jax.random.split(key, n_chains + 1)
+        key, chain_keys = init_keys[0], init_keys[1:]
+        state = init_all(
+            jax.device_put(init_positions, shard),
+            jax.device_put(chain_keys, shard))
+        final_state, positions, accept_rate = _scan(state, key)
+        return positions, final_state, accept_rate
+
+    return run
 
 
 def run_chains_fused(loglik_fn, init_positions, key, n_samples, rw_scale,
