@@ -273,6 +273,34 @@ def _smooth_combine(elem_i, elem_j):
     return E, g, L
 
 
+def _smooth_elements(mean_state_filt, var_state_filt,
+                     mean_state_pred, var_state_pred, prior_weight):
+    r"""
+    Per-step RTS smoothing elements :math:`(E_k, g_k, L_k)` for the suffix
+    associative scan, built from stored forward-filter outputs (covariance
+    form).  Elements cover steps :math:`k = 1..N`; the terminal element
+    pins the filtered terminal state (:math:`E_N = 0`).  Everything is
+    elementwise over the time axis except one unit shift (``filt[k]``
+    pairs with ``pred[k+1]``), so the construction shards cleanly over a
+    time-partitioned device mesh.
+    """
+    n_steps = mean_state_filt.shape[0] - 1
+    # smoothing elements for k = 1..N-1 : gain G_k = P_k Q' P_{k+1|k}^{-1}
+    P_filt = var_state_filt[1:n_steps]          # (N-1, nb, s, s)
+    m_filt = mean_state_filt[1:n_steps]
+    P_pred = var_state_pred[2:n_steps + 1]
+    m_pred = mean_state_pred[2:n_steps + 1]
+    PQt = P_filt @ mtt(prior_weight)
+    gain = mtt(solve_small(P_pred, mtt(PQt)))
+    g = m_filt - mvdot(gain, m_pred)
+    L = _sym(P_filt - gain @ P_pred @ mtt(gain))
+    # terminal element: the filtered terminal state
+    E = jnp.concatenate([gain, jnp.zeros_like(gain[:1])])
+    g = jnp.concatenate([g, mean_state_filt[n_steps][None]])
+    L = jnp.concatenate([L, var_state_filt[n_steps][None]])
+    return E, g, L
+
+
 def _psd_sqrt(mat):
     """Symmetric PSD square root via eigendecomposition (clamped at zero).
 
@@ -322,20 +350,9 @@ def parallel_smooth_mv(ode_init,
         raise NotImplementedError(
             f"unknown kalman_type {kalman_type!r}")
 
-    n_steps = mean_state_filt.shape[0] - 1
-    # smoothing elements for k = 1..N-1 : gain G_k = P_k Q' P_{k+1|k}^{-1}
-    P_filt = var_state_filt[1:n_steps]          # (N-1, nb, s, s)
-    m_filt = mean_state_filt[1:n_steps]
-    P_pred = var_state_pred[2:n_steps + 1]
-    m_pred = mean_state_pred[2:n_steps + 1]
-    PQt = P_filt @ mtt(prior_weight)
-    gain = mtt(solve_small(P_pred, mtt(PQt)))
-    g = m_filt - mvdot(gain, m_pred)
-    L = _sym(P_filt - gain @ P_pred @ mtt(gain))
-    # terminal element: the filtered terminal state
-    E = jnp.concatenate([gain, jnp.zeros_like(gain[:1])])
-    g = jnp.concatenate([g, mean_state_filt[n_steps][None]])
-    L = jnp.concatenate([L, var_state_filt[n_steps][None]])
+    E, g, L = _smooth_elements(
+        mean_state_filt, var_state_filt,
+        mean_state_pred, var_state_pred, prior_weight)
     # NB: with reverse=True, associative_scan feeds the operator its
     # arguments in (later, earlier) order; swap so that the suffix combine
     # composes earlier-first as _smooth_combine expects.

@@ -11,6 +11,9 @@ from rodeo_tpu.parallel.chains import (
     run_chains_hmc_fused, run_chains_hmc_magi, adapt_step_size,
     magi_sig2_quadform, run_chains_magi_gibbs, sharded_loglik)
 from rodeo_tpu.parallel.diagnostics import ess, rhat
+from rodeo_tpu.parallel.ptime_sharded import (
+    sharded_parallel_filter, sharded_parallel_smooth_mv,
+    sharded_solve_mv_iterated)
 from rodeo_tpu.parallel.fused import (
     sharded_solve_mv_fused_batch, sharded_fenrir_fused_batch,
     sharded_dalton_fused_batch, sharded_daltonng_fused_batch,
