@@ -661,3 +661,32 @@ def test_runner_validation():
             ode_expand=lambda u, **p: u, n_active=2,
             prior_pars=(jnp.zeros((1, 2, 2)), jnp.eye(2)[None]),
             dt=0.1, sig2_init=1.0, n_inner=0)
+
+
+def test_nuts_fused_fenrir():
+    """Lockstep NUTS over the tangent-augmented fused fenrir kernels:
+    runs, stays finite, and the chains move."""
+    from rodeo_tpu.parallel import run_chains_nuts_fused
+    cfg = fitzhugh.setup(n_steps=50, t_max=2.0, dtype=jnp.float32)
+    theta = cfg.pop("theta")
+    n_obs = 5
+    obs_times = jnp.linspace(0.0, 2.0, n_obs).astype(jnp.float32)
+    rng = np.random.default_rng(10)
+    yobs = jnp.asarray(rng.normal(size=(n_obs, 2, 1)) * 0.5, jnp.float32)
+    D = jnp.zeros((n_obs, 2, 1, 3), jnp.float32).at[:, :, :, 0].set(1.0)
+    Om = 0.04 * jnp.broadcast_to(jnp.eye(1, dtype=jnp.float32),
+                                 (n_obs, 2, 1, 1))
+    n_lane, n_samp = 8, 3
+    init = jnp.broadcast_to(theta * 1.2, (n_lane, 3)).astype(jnp.float32)
+    positions, ll, acc = run_chains_nuts_fused(
+        init, jax.random.PRNGKey(1), n_samples=n_samp, step_size=0.002,
+        max_depth=2,
+        ode_weight=cfg["ode_weight"], ode_init=cfg["ode_init"],
+        t_min=cfg["t_min"], t_max=cfg["t_max"], n_steps=cfg["n_steps"],
+        prior_pars=cfg["prior_pars"], obs_data=yobs, obs_times=obs_times,
+        obs_weight=D, obs_var=Om, ode_flat=fitzhugh.fitzhugh_flat,
+        jac_flat=fitzhugh.fitzhugh_jac_flat)
+    assert positions.shape == (n_samp, n_lane, 3)
+    assert bool(jnp.all(jnp.isfinite(ll)))
+    assert bool(jnp.all(jnp.isfinite(positions)))
+    assert bool(jnp.any(positions[-1] != init))
