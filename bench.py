@@ -996,6 +996,42 @@ def main():
         details["hmc_fused_finite"] = bool(jnp.all(jnp.isfinite(ll_h)))
         ess_h = _ess_total(np.asarray(pos_h[:, :, 0]))
         details["hmc_fused_ess_per_sec"] = round(ess_h / dt_h, 2)
+
+        # lockstep NUTS on the same pipeline: fixed 2^max_depth - 1
+        # leapfrog budget per proposal (iterative tree building under
+        # per-lane masks) — self-tuning trajectory lengths, judged like
+        # MALA/HMC on ESS/s
+        from rodeo_tpu.parallel.nuts import make_nuts_runner
+        max_depth_n = 4                      # 15 gradient passes/proposal
+        n_samp_n = 40
+        runner_n = make_nuts_runner(logpost_grad, n_lane_g, n_samp_n,
+                                    step_size=0.01, max_depth=max_depth_n)
+        tuned_n, acc_n = None, None
+        for s_cand in (0.005, 0.01, 0.02, 0.05):
+            _, _, acc_p = runner_n(init_g, jax.random.PRNGKey(51),
+                                   step_size_override=s_cand)
+            a = float(jnp.mean(acc_p))
+            if acc_n is None or abs(a - 0.8) < abs(acc_n - 0.8):
+                tuned_n, acc_n = s_cand, a
+        details["nuts_fused_tuned_step"] = tuned_n
+        details["nuts_fused_max_depth"] = max_depth_n
+        best_n = None
+        for r in range(3):
+            t0 = time.perf_counter()
+            out_n = runner_n(init_g, jax.random.PRNGKey(52 + r),
+                             step_size_override=tuned_n)
+            _sync(out_n[0])
+            dtr = time.perf_counter() - t0
+            if best_n is None or dtr < best_n[0]:
+                best_n = (dtr, out_n)
+        dt_n, (pos_n, ll_n, acc_nr) = best_n
+        details["nuts_fused_chain_steps_per_sec"] = round(
+            n_lane_g * n_samp_n / dt_n, 2)
+        details["nuts_fused_mean_accept"] = round(float(jnp.mean(acc_nr)),
+                                                  3)
+        details["nuts_fused_finite"] = bool(jnp.all(jnp.isfinite(ll_n)))
+        ess_n = _ess_total(np.asarray(pos_n[:, :, 0]))
+        details["nuts_fused_ess_per_sec"] = round(ess_n / dt_n, 2)
     except Exception as e:  # noqa: BLE001
         details["mala_fused_bench_error"] = repr(e)[:500]
 

@@ -9,6 +9,7 @@ from rodeo_tpu.parallel.chains import (
     run_chains, make_run_chains, run_chains_fused, make_mala_runner,
     run_chains_mala_fused, run_chains_mala_magi, make_hmc_runner,
     run_chains_hmc_fused, run_chains_hmc_magi, adapt_step_size,
+    adapt_warmup,
     magi_sig2_quadform, run_chains_magi_gibbs, sharded_loglik)
 from rodeo_tpu.parallel.diagnostics import ess, rhat
 from rodeo_tpu.parallel.nuts import make_nuts_runner, run_chains_nuts_fused

@@ -467,6 +467,66 @@ def adapt_step_size(runner, init_positions, key, init_step,
     return eps_final, pos, float(jnp.mean(acc))
 
 
+def adapt_warmup(runner, init_positions, key, init_step,
+                 target_accept=0.8, n_windows=8, n_var_windows=3):
+    r"""
+    Stan-style two-phase warmup for the lockstep MALA/HMC/NUTS runners:
+    dual-averaging step-size adaptation *plus* diagonal mass-matrix
+    estimation.
+
+    Phase 1 dual-averages a scalar step size at identity mass
+    (:func:`adapt_step_size`).  Phase 2 samples ``n_var_windows`` windows
+    at that step, estimates the per-dimension posterior standard
+    deviation across (samples x lanes), and sets the per-dimension step
+    ``eps_d \propto std_d`` — for these runners a per-dimension step IS a
+    diagonal mass preconditioner (the kick/drift with unit momenta is
+    leapfrog for the ``u = q/eps`` rescaled target).  The std vector is
+    geometric-mean normalized so its overall magnitude stays comparable
+    to the phase-1 scalar, then phase 3 re-runs dual averaging on the
+    shared multiplier of the new base vector.
+
+    Args:
+        runner (Callable): From :func:`make_mala_runner` /
+            :func:`make_hmc_runner` /
+            :func:`rodeo_tpu.parallel.nuts.make_nuts_runner`; positions
+            must be plain ``(n_lane, n_dim)`` arrays (the per-dimension
+            step plumbing is array-only).
+        init_positions (ndarray(n_lane, n_dim)): Initial positions.
+        key (PRNGKey): Base PRNG key.
+        init_step (float): Initial scalar step size.
+        target_accept (float): ~0.57 for MALA, ~0.8 for HMC/NUTS.
+        n_windows (int): Dual-averaging windows per phase (phase 3 uses
+            ``max(4, n_windows // 2)``).
+        n_var_windows (int): Sampling windows for the variance estimate.
+
+    Returns:
+        (tuple): adapted per-dimension ``step_size (n_dim,)``, warmed-up
+        ``positions``, and the final-window mean acceptance.
+    """
+    if getattr(init_positions, "ndim", None) != 2:
+        raise ValueError(
+            "adapt_warmup requires plain (n_lane, n_dim) positions; "
+            "use adapt_step_size for pytree positions")
+    k1, k2, k3 = jax.random.split(key, 3)
+    eps1, pos, _ = adapt_step_size(
+        runner, init_positions, k1, init_step,
+        target_accept=target_accept, n_windows=n_windows)
+    draws = []
+    for _ in range(n_var_windows):
+        k2, sub = jax.random.split(k2)
+        positions, _ll, _acc = runner(pos, sub, step_size_override=eps1)
+        pos = positions[-1]
+        draws.append(positions)
+    samples = jnp.concatenate(draws, axis=0)          # (W*n, n_lane, d)
+    std = jnp.std(samples.reshape(-1, samples.shape[-1]), axis=0)
+    std = jnp.maximum(std, 1e-6 * jnp.max(std))
+    scale = std / jnp.exp(jnp.mean(jnp.log(std)))
+    base = jnp.asarray(eps1, jnp.float32) * scale
+    return adapt_step_size(
+        runner, pos, k3, base, target_accept=target_accept,
+        n_windows=max(4, n_windows // 2))
+
+
 def run_chains_mala_fused(init_positions, key, n_samples, step_size,
                           ode_weight, ode_init, t_min, t_max, n_steps,
                           prior_pars, obs_data, obs_times, obs_weight,

@@ -123,3 +123,41 @@ def test_nuts_adapt_step_size(corr_gauss):
         target_accept=0.8, n_windows=8)
     assert 0.6 < acc < 0.95
     assert float(jnp.min(eps)) > 0.0
+
+
+def test_adapt_warmup_mass_matrix():
+    """Diagonal-mass warmup on a badly anisotropic Gaussian: the adapted
+    per-dimension step must track the posterior scales and the warmed
+    sampler must recover the moments a scalar step cannot mix across."""
+    from rodeo_tpu.parallel import adapt_warmup
+    var = np.array([0.01, 1.0, 100.0])
+
+    def fn(pos):
+        v = jnp.asarray(var, jnp.float32)
+        return -0.5 * jnp.sum(pos * pos / v, axis=-1), -pos / v
+
+    n_lane = 32
+    runner = make_nuts_runner(fn, n_lane, 32, 0.1, max_depth=5)
+    init = jnp.zeros((n_lane, 3), jnp.float32)
+    eps, pos, acc = adapt_warmup(
+        runner, init, jax.random.PRNGKey(0), init_step=0.1,
+        target_accept=0.8, n_windows=6, n_var_windows=3)
+    assert acc > 0.6
+    e = np.asarray(eps)
+    # adapted steps ordered like the posterior stds (0.1, 1, 10)
+    assert e[0] < e[1] < e[2]
+    assert 3.0 < e[2] / e[1] < 30.0
+    main = make_nuts_runner(fn, n_lane, 200, eps, max_depth=6)
+    positions, ll, _ = main(pos, jax.random.PRNGKey(1))
+    d = np.asarray(positions[50:]).reshape(-1, 3)
+    assert np.all(np.abs(d.mean(axis=0)) < 0.5 * np.sqrt(var))
+    np.testing.assert_allclose(d.var(axis=0), var, rtol=0.3)
+
+
+def test_adapt_warmup_rejects_pytree():
+    from rodeo_tpu.parallel import adapt_warmup
+    fn = _gauss_logpost_grad(np.zeros(2), np.eye(2))
+    runner = make_nuts_runner(fn, 4, 5, 0.3, max_depth=2)
+    with pytest.raises(ValueError, match="n_lane, n_dim"):
+        adapt_warmup(runner, {"a": jnp.zeros((4, 2))},
+                     jax.random.PRNGKey(0), 0.3)
