@@ -12,7 +12,8 @@ from rodeo_tpu.parallel.chains import (
     adapt_warmup,
     magi_sig2_quadform, run_chains_magi_gibbs, sharded_loglik)
 from rodeo_tpu.parallel.diagnostics import ess, rhat
-from rodeo_tpu.parallel.nuts import make_nuts_runner, run_chains_nuts_fused
+from rodeo_tpu.parallel.nuts import (
+    make_nuts_runner, run_chains_nuts_fused, run_chains_nuts_magi)
 from rodeo_tpu.parallel.ptime_sharded import (
     sharded_parallel_filter, sharded_parallel_smooth_mv,
     sharded_solve_mv_iterated)

@@ -42,7 +42,8 @@ import math
 import jax
 import jax.numpy as jnp
 
-__all__ = ["make_nuts_runner", "run_chains_nuts_fused"]
+__all__ = ["make_nuts_runner", "run_chains_nuts_fused",
+           "run_chains_nuts_magi"]
 
 _DIVERGENCE = 1000.0          # |delta energy| beyond this = divergent leaf
 
@@ -334,3 +335,32 @@ def run_chains_nuts_fused(init_positions, key, n_samples, step_size,
     runner = make_nuts_runner(logpost_grad_fn, init_positions.shape[0],
                               n_samples, step_size, max_depth=max_depth)
     return runner(init_positions, key)
+
+
+def run_chains_nuts_magi(init_subsets, key, n_samples, step_size,
+                         ode_expand, n_active, prior_pars, dt,
+                         theta_lanes=None, sig2_lanes=None,
+                         extra_grad_fn=None, max_depth=6, chunk=None,
+                         interpret="auto", **params):
+    r"""
+    Lockstep NUTS over the MAGI **path posterior** — the position is the
+    thousands-dimensional latent path subset ``U`` (optionally jointly
+    with a per-lane ``theta``), each leapfrog leaf one exact-adjoint
+    kernel pipeline (:func:`rodeo_tpu.ops.pallas_magi.magi_fused_batch_grad`).
+    At this dimensionality self-tuning trajectory lengths matter most:
+    the no-U-turn criterion finds the integration horizon per lane that
+    hand-picking ``n_leapfrog`` can only guess.
+
+    Args as :func:`rodeo_tpu.parallel.chains.run_chains_mala_magi` plus
+    ``max_depth`` (each proposal costs ``2**max_depth - 1`` adjoint
+    pipelines); returns ``(positions, logdens, accept)``.
+    """
+    from rodeo_tpu.parallel.chains import _magi_logpost_grad
+    logpost_grad_fn = _magi_logpost_grad(
+        theta_lanes is not None, ode_expand, n_active, prior_pars, dt,
+        sig2_lanes, extra_grad_fn, chunk, interpret, params)
+    position0 = (init_subsets if theta_lanes is None
+                 else (init_subsets, theta_lanes))
+    runner = make_nuts_runner(logpost_grad_fn, init_subsets.shape[0],
+                              n_samples, step_size, max_depth=max_depth)
+    return runner(position0, key)

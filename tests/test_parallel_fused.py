@@ -690,3 +690,45 @@ def test_nuts_fused_fenrir():
     assert bool(jnp.all(jnp.isfinite(ll)))
     assert bool(jnp.all(jnp.isfinite(positions)))
     assert bool(jnp.any(positions[-1] != init))
+
+
+def test_nuts_magi_pathspace():
+    """Path-space NUTS over the fused MAGI adjoint, including the joint
+    (U, theta) pytree position."""
+    from rodeo_tpu.parallel import run_chains_nuts_magi
+    cfg = fitzhugh.setup(n_steps=32, t_max=2.0, dtype=jnp.float32)
+    cfg.pop("theta")
+    dt = 2.0 / 32
+    B = 4
+    rng = np.random.default_rng(3)
+    n_block = cfg["ode_init"].shape[0]
+    base = jnp.asarray(rng.normal(size=(33, n_block, 2)), jnp.float32)
+
+    def ode_expand(u, **p):
+        pad = jnp.zeros(u.shape[:-1] + (1,), u.dtype)
+        return jnp.concatenate([u, pad], axis=-1)
+
+    subsets = jnp.stack([
+        base + 0.05 * i * jnp.asarray(
+            rng.normal(size=base.shape), jnp.float32) for i in range(B)])
+    positions, ld, acc = run_chains_nuts_magi(
+        subsets, jax.random.PRNGKey(0), n_samples=3, step_size=1e-6,
+        max_depth=2, ode_expand=ode_expand, n_active=2,
+        prior_pars=cfg["prior_pars"], dt=dt)
+    assert positions.shape == (3, B, 33, n_block, 2)
+    assert ld.shape == (B,) and np.all(np.isfinite(np.asarray(ld)))
+
+    thetas0 = jnp.ones((B,), jnp.float32)
+
+    def expand_th(u, theta, **p):
+        return jnp.concatenate(
+            [u[..., :1], theta[..., None, None, None] * u[..., 1:2],
+             jnp.zeros_like(u[..., :1])], axis=-1)
+
+    (pos_u, pos_th), ld2, acc2 = run_chains_nuts_magi(
+        subsets, jax.random.PRNGKey(1), n_samples=2, step_size=1e-6,
+        max_depth=2, ode_expand=expand_th, n_active=2,
+        prior_pars=cfg["prior_pars"], dt=dt, theta_lanes=thetas0)
+    assert pos_u.shape == (2, B, 33, n_block, 2)
+    assert pos_th.shape == (2, B)
+    assert np.all(np.isfinite(np.asarray(ld2)))
