@@ -15,7 +15,8 @@ from rodeo_tpu.parallel.diagnostics import ess, rhat
 from rodeo_tpu.parallel.nuts import (
     make_nuts_runner, run_chains_nuts_fused, run_chains_nuts_magi)
 from rodeo_tpu.parallel.ptime_sharded import (
-    sharded_parallel_filter, sharded_parallel_smooth_mv,
+    sharded_parallel_filter, sharded_parallel_filter_tv,
+    sharded_parallel_smooth_mv,
     sharded_solve_mv_iterated)
 from rodeo_tpu.parallel.fused import (
     sharded_solve_mv_fused_batch, sharded_fenrir_fused_batch,

@@ -57,12 +57,13 @@ except ImportError:                                # pragma: no cover
 from rodeo_tpu.utils import mtt, mvdot, quadform
 from rodeo_tpu.ops.linalg import full_matmul_precision
 from rodeo_tpu.ops.ptime import (
-    _filter_combine, _filter_elements, _smooth_combine, _smooth_elements,
-    _psd_sqrt, _compose_prior)
+    _filter_combine, _filter_elements, _filter_elements_tv,
+    _smooth_combine, _smooth_elements, _psd_sqrt, _compose_prior)
 from rodeo_tpu.parallel.mesh import make_mesh
 
 __all__ = [
     "sharded_parallel_filter",
+    "sharded_parallel_filter_tv",
     "sharded_parallel_smooth_mv",
     "sharded_solve_mv_iterated",
 ]
@@ -194,6 +195,75 @@ def sharded_parallel_filter(mean_init, var_init,
         jnp.concatenate([var_init[None], var_pred]),
     )
     return {"state_filt": out_filt, "state_pred": out_pred}
+
+
+def _filter_local_tv(axis_name, mean_init, var_init,
+                     wgt_state, mean_state, var_state,
+                     A, b, C, eta, J):
+    """Per-chip body of the time-varying sharded filter: as
+    :func:`_filter_local`, but predictions use this chip's per-step
+    transition shards."""
+    loc = jax.lax.associative_scan(_filter_combine, (A, b, C, eta, J))
+    totals = jax.tree.map(lambda x: x[-1], loc)
+    prefix = _axis_exclusive(
+        totals, _filter_identity(totals), _filter_combine, axis_name)
+    prefix_b = jax.tree.map(lambda x: x[None], prefix)
+    _, mean_filt, var_filt, _, _ = _filter_combine(prefix_b, loc)
+    idx = jax.lax.axis_index(axis_name)
+    m_edge = jnp.where(idx == 0, mean_init, prefix[1])
+    v_edge = jnp.where(idx == 0, var_init, prefix[2])
+    mean_prev = jnp.concatenate([m_edge[None], mean_filt[:-1]])
+    var_prev = jnp.concatenate([v_edge[None], var_filt[:-1]])
+    mean_pred = mvdot(wgt_state, mean_prev) + mean_state
+    var_pred = quadform(wgt_state, var_prev) + var_state
+    return mean_filt, var_filt, mean_pred, var_pred
+
+
+@full_matmul_precision
+def sharded_parallel_filter_tv(mean_init, var_init,
+                               wgt_state, mean_state, var_state,
+                               wgt_meas, mean_meas, var_meas, x_meas,
+                               mesh=None, axis_name="time"):
+    r"""
+    Time-sharded exact parallel Kalman filter for a fully *time-varying*
+    affine state-space model: :func:`rodeo_tpu.ops.ptime.parallel_filter_tv`
+    with the time axis split over a device mesh (same three-phase
+    distributed prefix scan as :func:`sharded_parallel_filter`).  This is
+    the multi-chip engine for linear conditional chains such as the
+    fenrir backward pass, whose per-step transitions come from
+    ``smooth_cond`` (elementwise over time — they shard for free).
+
+    Args: as :func:`rodeo_tpu.ops.ptime.parallel_filter_tv`, plus
+    ``mesh`` / ``axis_name`` as in :func:`sharded_parallel_filter`.
+
+    Returns:
+        (dict): ``state_filt`` / ``state_pred`` stacked
+        ``(n_steps+1, n_block, ...)`` pytrees, identical (up to fp
+        reordering) to the single-chip variant.
+    """
+    n_steps = wgt_meas.shape[0]
+    mesh = _check_mesh(mesh, axis_name, n_steps)
+    elems = _filter_elements_tv(
+        mean_init, var_init, wgt_state, mean_state, var_state,
+        wgt_meas, mean_meas, var_meas, x_meas)
+    local = functools.partial(_filter_local_tv, axis_name)
+    t_spec = P(axis_name)
+    mean_filt, var_filt, mean_pred, var_pred = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P()) + (t_spec,) * 8,
+        out_specs=(t_spec,) * 4,
+        check_vma=False,
+    )(mean_init, var_init, wgt_state, mean_state, var_state, *elems)
+    return {
+        "state_filt": (
+            jnp.concatenate([mean_init[None], mean_filt]),
+            jnp.concatenate([var_init[None], var_filt]),
+        ),
+        "state_pred": (
+            jnp.concatenate([mean_init[None], mean_pred]),
+            jnp.concatenate([var_init[None], var_pred]),
+        ),
+    }
 
 
 def _smooth_local(axis_name, E, g, L):

@@ -131,3 +131,32 @@ def test_sharded_iterated_solve_fitz(mesh):
         kwargs["prior_pars"], kwargs["theta"])
     np.testing.assert_allclose(mu_s, mu_1, rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(var_s, var_1, rtol=1e-7, atol=1e-10)
+
+
+def test_sharded_filter_tv_matches_single_chip(mesh):
+    """Time-varying sharded filter == single-chip tv parallel filter."""
+    from rodeo_tpu.ops.ptime import parallel_filter_tv
+    from rodeo_tpu.parallel import sharded_parallel_filter_tv
+    rng = np.random.default_rng(21)
+    n_steps, n_block, s, m = 48, 2, 3, 1
+    Q = jnp.asarray(0.4 * rng.standard_normal((n_steps, n_block, s, s)))
+    c = jnp.asarray(rng.standard_normal((n_steps, n_block, s)))
+    a = rng.standard_normal((n_steps, n_block, s, s))
+    R = jnp.asarray(np.einsum("nbij,nbkj->nbik", a, a) + 0.5 * np.eye(s))
+    H = jnp.asarray(rng.standard_normal((n_steps, n_block, m, s)))
+    d = jnp.asarray(rng.standard_normal((n_steps, n_block, m)))
+    cc = rng.standard_normal((n_steps, n_block, m, m))
+    V = jnp.asarray(np.einsum("nbij,nbkj->nbik", cc, cc) + 0.1 * np.eye(m))
+    y = jnp.asarray(rng.standard_normal((n_steps, n_block, m)))
+    m0 = jnp.asarray(rng.standard_normal((n_block, s)))
+    a0 = rng.standard_normal((n_block, s, s))
+    P0 = jnp.asarray(0.2 * np.einsum("bij,bkj->bik", a0, a0))
+    args = dict(mean_init=m0, var_init=P0, wgt_state=Q, mean_state=c,
+                var_state=R, wgt_meas=H, mean_meas=d, var_meas=V,
+                x_meas=y)
+    out_s = jax.jit(lambda: sharded_parallel_filter_tv(mesh=mesh, **args))()
+    out_1 = parallel_filter_tv(**args)
+    for k in ("state_filt", "state_pred"):
+        for i in range(2):
+            np.testing.assert_allclose(out_s[k][i], out_1[k][i],
+                                       rtol=1e-9, atol=1e-11)
