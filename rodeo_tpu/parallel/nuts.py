@@ -134,132 +134,159 @@ def make_nuts_runner(logpost_grad_fn, n_lane, n_samples, step_size,
         acc_cnt = jnp.zeros((n_lane,), jnp.float32)
 
         key = k_loop
-        for j in range(max_depth):
-            key, k_dir, k_merge = jax.random.split(key, 3)
-            direction = jnp.where(
-                jax.random.bernoulli(k_dir, shape=(n_lane,)), 1.0, -1.0)
-            fwd = direction > 0
-            h = (direction[:, None] * eps[None, :]).astype(jnp.float32)
 
-            def pick(a, b):          # per-lane end selection
-                return jnp.where(fwd[:, None], a, b)
+        def make_doubling(j, k_dir, k_merge, leaf_keys):
+            """Doubling j as a state -> state map, so each doubling can
+            sit behind a ``lax.cond``: once EVERY lane has terminated,
+            the remaining (largest!) doublings are skipped entirely —
+            typical trees stop well short of ``max_depth``, and the
+            skipped subtrees are where most of the fixed leapfrog budget
+            lives."""
 
-            edge = (pick(ends["zr"], ends["zl"]),
-                    pick(ends["rr"], ends["rl"]),
-                    pick(ends["gr"], ends["gl"]))
-            sub = dict(
-                edge=edge,
-                r_sum=jnp.zeros_like(r0),
-                log_w=jnp.full((n_lane,), -jnp.inf, jnp.float32),
-                prop=(edge[0], jnp.zeros_like(ll0), jnp.zeros_like(g0)),
-                turning=jnp.zeros((n_lane,), bool),
-                diverged=jnp.zeros((n_lane,), bool),
-                ckpt_r=jnp.zeros((max_depth, n_lane, D), jnp.float32),
-                ckpt_rs=jnp.zeros((max_depth, n_lane, D), jnp.float32),
-            )
+            def run_doubling(state):
+                ends, r_sum, prop, log_w, done, acc_sum, acc_cnt = state
+                direction = jnp.where(
+                    jax.random.bernoulli(k_dir, shape=(n_lane,)),
+                    1.0, -1.0)
+                fwd = direction > 0
+                h = (direction[:, None] * eps[None, :]).astype(jnp.float32)
 
-            def leaf_body(state, xs):
-                sub, acc_sum, acc_cnt = state
-                n, k_n = xs
-                active = ~(done | sub["turning"] | sub["diverged"])
-                z_e, r_e, g_e = sub["edge"]
-                z1, r1, ll1, g1 = _leapfrog(flat_grad_fn, z_e, r_e, g_e, h)
-                lw = jnp.nan_to_num(
-                    ll1 - 0.5 * jnp.sum(r1 * r1, axis=-1) - H0,
-                    nan=-jnp.inf, posinf=-jnp.inf, neginf=-jnp.inf)
-                diverged = active & (lw < -_DIVERGENCE)
-                # accept statistic (dual-averaging control signal)
-                acc_sum = acc_sum + jnp.where(
-                    active, jnp.exp(jnp.minimum(lw, 0.0)), 0.0)
-                acc_cnt = acc_cnt + active.astype(jnp.float32)
-                # streaming multinomial over the subtree's leaves
-                new_log_w = jnp.logaddexp(sub["log_w"], lw)
-                take_p = jnp.exp(lw - jnp.where(
-                    jnp.isfinite(new_log_w), new_log_w, 0.0))
-                u = jax.random.uniform(k_n, (n_lane,), jnp.float32)
-                take = active & (u < take_p)
+                def pick(a, b):          # per-lane end selection
+                    return jnp.where(fwd[:, None], a, b)
+
+                edge = (pick(ends["zr"], ends["zl"]),
+                        pick(ends["rr"], ends["rl"]),
+                        pick(ends["gr"], ends["gl"]))
+                sub = dict(
+                    edge=edge,
+                    r_sum=jnp.zeros_like(r_sum),
+                    log_w=jnp.full((n_lane,), -jnp.inf, jnp.float32),
+                    prop=(edge[0], jnp.zeros_like(prop[1]),
+                          jnp.zeros_like(prop[2])),
+                    turning=jnp.zeros((n_lane,), bool),
+                    diverged=jnp.zeros((n_lane,), bool),
+                    ckpt_r=jnp.zeros((max_depth, n_lane, D), jnp.float32),
+                    ckpt_rs=jnp.zeros((max_depth, n_lane, D),
+                                      jnp.float32),
+                )
+
+                def leaf_body(state, xs):
+                    sub, acc_sum, acc_cnt = state
+                    n, k_n = xs
+                    active = ~(done | sub["turning"] | sub["diverged"])
+                    z_e, r_e, g_e = sub["edge"]
+                    z1, r1, ll1, g1 = _leapfrog(
+                        flat_grad_fn, z_e, r_e, g_e, h)
+                    lw = jnp.nan_to_num(
+                        ll1 - 0.5 * jnp.sum(r1 * r1, axis=-1) - H0,
+                        nan=-jnp.inf, posinf=-jnp.inf, neginf=-jnp.inf)
+                    diverged = active & (lw < -_DIVERGENCE)
+                    # accept statistic (dual-averaging control signal)
+                    acc_sum = acc_sum + jnp.where(
+                        active, jnp.exp(jnp.minimum(lw, 0.0)), 0.0)
+                    acc_cnt = acc_cnt + active.astype(jnp.float32)
+                    # streaming multinomial over the subtree's leaves
+                    new_log_w = jnp.logaddexp(sub["log_w"], lw)
+                    take_p = jnp.exp(lw - jnp.where(
+                        jnp.isfinite(new_log_w), new_log_w, 0.0))
+                    u = jax.random.uniform(k_n, (n_lane,), jnp.float32)
+                    take = active & (u < take_p)
+
+                    def sel(mask, a, b):
+                        return jnp.where(
+                            mask.reshape((n_lane,) + (1,) * (a.ndim - 1)),
+                            a, b)
+
+                    prop_z = sel(take, z1, sub["prop"][0])
+                    prop_ll = jnp.where(take, ll1, sub["prop"][1])
+                    prop_g = sel(take, g1, sub["prop"][2])
+                    r_sum_sub = sub["r_sum"] + sel(active, r1,
+                                                   jnp.zeros_like(r1))
+                    # balanced-subtree U-turn bookkeeping (trailing-bit
+                    # trick): even leaves open spans -> checkpoint
+                    # (r, running sum); odd leaves close spans -> check
+                    # against each open ckpt
+                    idx_max = jax.lax.population_count(n >> 1)
+                    n_close = jax.lax.population_count(n & ~(n + 1))
+                    idx_min = idx_max - n_close + 1
+                    is_even = (n & 1) == 0
+                    old_r = jax.lax.dynamic_index_in_dim(
+                        sub["ckpt_r"], idx_max, 0, keepdims=False)
+                    old_rs = jax.lax.dynamic_index_in_dim(
+                        sub["ckpt_rs"], idx_max, 0, keepdims=False)
+                    store = is_even & active
+                    ckpt_r = jax.lax.dynamic_update_index_in_dim(
+                        sub["ckpt_r"], sel(store, r1, old_r), idx_max, 0)
+                    ckpt_rs = jax.lax.dynamic_update_index_in_dim(
+                        sub["ckpt_rs"], sel(store, r_sum_sub, old_rs),
+                        idx_max, 0)
+                    turning = sub["turning"]
+                    for i in range(max_depth):
+                        in_range = (~is_even) & (i >= idx_min) \
+                            & (i <= idx_max)
+                        span_sum = r_sum_sub - ckpt_rs[i] + ckpt_r[i]
+                        t_i = _is_turning(ckpt_r[i], r1, span_sum)
+                        turning = turning | (active & in_range & t_i)
+                    new_sub = dict(
+                        edge=(sel(active, z1, z_e), sel(active, r1, r_e),
+                              sel(active, g1, g_e)),
+                        r_sum=r_sum_sub,
+                        log_w=jnp.where(active, new_log_w, sub["log_w"]),
+                        prop=(prop_z, prop_ll, prop_g),
+                        turning=turning,
+                        diverged=sub["diverged"] | diverged,
+                        ckpt_r=ckpt_r, ckpt_rs=ckpt_rs,
+                    )
+                    return (new_sub, acc_sum, acc_cnt), None
+
+                n_leaf = 1 << j
+                (sub, acc_sum, acc_cnt), _ = jax.lax.scan(
+                    leaf_body, (sub, acc_sum, acc_cnt),
+                    (jnp.arange(n_leaf, dtype=jnp.int32), leaf_keys))
+
+                # merge the completed subtree into the trajectory
+                ok = ~(done | sub["turning"] | sub["diverged"])
 
                 def sel(mask, a, b):
                     return jnp.where(
                         mask.reshape((n_lane,) + (1,) * (a.ndim - 1)),
                         a, b)
 
-                prop_z = sel(take, z1, sub["prop"][0])
-                prop_ll = jnp.where(take, ll1, sub["prop"][1])
-                prop_g = sel(take, g1, sub["prop"][2])
-                r_sum_sub = sub["r_sum"] + sel(active, r1,
-                                               jnp.zeros_like(r1))
-                # balanced-subtree U-turn bookkeeping (trailing-bit trick):
-                # even leaves open spans -> checkpoint (r, running sum);
-                # odd leaves close spans -> check against each open ckpt
-                idx_max = jax.lax.population_count(n >> 1)
-                n_close = jax.lax.population_count(n & ~(n + 1))
-                idx_min = idx_max - n_close + 1
-                is_even = (n & 1) == 0
-                old_r = jax.lax.dynamic_index_in_dim(
-                    sub["ckpt_r"], idx_max, 0, keepdims=False)
-                old_rs = jax.lax.dynamic_index_in_dim(
-                    sub["ckpt_rs"], idx_max, 0, keepdims=False)
-                store = is_even & active
-                ckpt_r = jax.lax.dynamic_update_index_in_dim(
-                    sub["ckpt_r"], sel(store, r1, old_r), idx_max, 0)
-                ckpt_rs = jax.lax.dynamic_update_index_in_dim(
-                    sub["ckpt_rs"], sel(store, r_sum_sub, old_rs),
-                    idx_max, 0)
-                turning = sub["turning"]
-                for i in range(max_depth):
-                    in_range = (~is_even) & (i >= idx_min) & (i <= idx_max)
-                    span_sum = r_sum_sub - ckpt_rs[i] + ckpt_r[i]
-                    t_i = _is_turning(ckpt_r[i], r1, span_sum)
-                    turning = turning | (active & in_range & t_i)
-                new_sub = dict(
-                    edge=(sel(active, z1, z_e), sel(active, r1, r_e),
-                          sel(active, g1, g_e)),
-                    r_sum=r_sum_sub,
-                    log_w=jnp.where(active, new_log_w, sub["log_w"]),
-                    prop=(prop_z, prop_ll, prop_g),
-                    turning=turning,
-                    diverged=sub["diverged"] | diverged,
-                    ckpt_r=ckpt_r, ckpt_rs=ckpt_rs,
+                p_merge = jnp.exp(jnp.minimum(sub["log_w"] - log_w, 0.0))
+                u = jax.random.uniform(k_merge, (n_lane,), jnp.float32)
+                take = ok & (u < p_merge)
+                prop = (sel(take, sub["prop"][0], prop[0]),
+                        jnp.where(take, sub["prop"][1], prop[1]),
+                        sel(take, sub["prop"][2], prop[2]))
+                log_w = jnp.where(ok, jnp.logaddexp(log_w, sub["log_w"]),
+                                  log_w)
+                r_sum = jnp.where(ok[:, None], r_sum + sub["r_sum"],
+                                  r_sum)
+                e_z, e_r, e_g = sub["edge"]
+                ends = dict(
+                    zr=sel(ok & fwd, e_z, ends["zr"]),
+                    rr=sel(ok & fwd, e_r, ends["rr"]),
+                    gr=sel(ok & fwd, e_g, ends["gr"]),
+                    zl=sel(ok & ~fwd, e_z, ends["zl"]),
+                    rl=sel(ok & ~fwd, e_r, ends["rl"]),
+                    gl=sel(ok & ~fwd, e_g, ends["gl"]),
                 )
-                return (new_sub, acc_sum, acc_cnt), None
+                turn_traj = _is_turning(ends["rl"], ends["rr"], r_sum)
+                done = done | sub["turning"] | sub["diverged"] \
+                    | (ok & turn_traj)
+                return (ends, r_sum, prop, log_w, done, acc_sum, acc_cnt)
 
-            n_leaf = 1 << j
-            key, k_leaves = jax.random.split(key)
-            leaf_keys = jax.random.split(k_leaves, n_leaf)
-            (sub, acc_sum, acc_cnt), _ = jax.lax.scan(
-                leaf_body, (sub, acc_sum, acc_cnt),
-                (jnp.arange(n_leaf, dtype=jnp.int32), leaf_keys))
+            return run_doubling
 
-            # merge the completed subtree into the trajectory
-            ok = ~(done | sub["turning"] | sub["diverged"])
+        state = (ends, r_sum, prop, log_w, done, acc_sum, acc_cnt)
+        for j in range(max_depth):
+            key, k_dir, k_merge, k_leaves = jax.random.split(key, 4)
+            leaf_keys = jax.random.split(k_leaves, 1 << j)
+            doubling = make_doubling(j, k_dir, k_merge, leaf_keys)
+            state = jax.lax.cond(
+                jnp.all(state[4]), lambda s: s, doubling, state)
 
-            def sel(mask, a, b):
-                return jnp.where(
-                    mask.reshape((n_lane,) + (1,) * (a.ndim - 1)), a, b)
-
-            p_merge = jnp.exp(jnp.minimum(sub["log_w"] - log_w, 0.0))
-            u = jax.random.uniform(k_merge, (n_lane,), jnp.float32)
-            take = ok & (u < p_merge)
-            prop = (sel(take, sub["prop"][0], prop[0]),
-                    jnp.where(take, sub["prop"][1], prop[1]),
-                    sel(take, sub["prop"][2], prop[2]))
-            log_w = jnp.where(ok, jnp.logaddexp(log_w, sub["log_w"]),
-                              log_w)
-            r_sum = jnp.where(ok[:, None], r_sum + sub["r_sum"], r_sum)
-            e_z, e_r, e_g = sub["edge"]
-            ends = dict(
-                zr=sel(ok & fwd, e_z, ends["zr"]),
-                rr=sel(ok & fwd, e_r, ends["rr"]),
-                gr=sel(ok & fwd, e_g, ends["gr"]),
-                zl=sel(ok & ~fwd, e_z, ends["zl"]),
-                rl=sel(ok & ~fwd, e_r, ends["rl"]),
-                gl=sel(ok & ~fwd, e_g, ends["gl"]),
-            )
-            turn_traj = _is_turning(ends["rl"], ends["rr"], r_sum)
-            done = done | sub["turning"] | sub["diverged"] \
-                | (ok & turn_traj)
-
+        _ends, _r_sum, prop, _log_w, _done, acc_sum, acc_cnt = state
         accept = acc_sum / jnp.maximum(acc_cnt, 1.0)
         return (prop[0], prop[1], prop[2]), accept
 
