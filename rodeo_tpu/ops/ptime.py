@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from rodeo_tpu.utils import mtt, mvdot, quadform
-from rodeo_tpu.ops.linalg import solve_small
+from rodeo_tpu.ops.linalg import solve_small, solve_psd
 from rodeo_tpu.ops.linalg import full_matmul_precision
 
 __all__ = [
@@ -97,20 +97,20 @@ def _filter_elements(mean_init, var_init,
 
     # generic elements (time axis broadcasting against per-block Q, R)
     S = quadform(H, R) + V                                   # (N, nb, m, m)
-    gain = mtt(solve_small(S, H @ R))                   # R H' S^{-1}
+    gain = mtt(solve_psd(S, H @ R))                   # R H' S^{-1}
     A = (Q - gain @ (H @ Q))                                 # (I - K H) Q
     b = mvdot(gain, resid)
     C = _sym(R - gain @ (H @ R))
     HQ = H @ Q
-    SinvHQ = solve_small(S, HQ)                         # S^{-1} H Q
-    eta = mvdot(mtt(HQ), solve_small(S, resid[..., None])[..., 0])
+    SinvHQ = solve_psd(S, HQ)                         # S^{-1} H Q
+    eta = mvdot(mtt(HQ), solve_psd(S, resid[..., None])[..., 0])
     J = _sym(mtt(HQ) @ SinvHQ)
 
     # first element: condition on the known initial distribution
     m1_pred = mvdot(Q, mean_init)
     P1_pred = quadform(Q, var_init) + R
     S1 = quadform(H[0], P1_pred) + V[0]
-    gain1 = mtt(solve_small(S1, H[0] @ P1_pred))
+    gain1 = mtt(solve_psd(S1, H[0] @ P1_pred))
     b1 = m1_pred + mvdot(gain1, resid[0] - mvdot(H[0], m1_pred))
     C1 = _sym(P1_pred - gain1 @ (H[0] @ P1_pred))
     A = A.at[0].set(0.0)
@@ -185,19 +185,19 @@ def _filter_elements_tv(mean_init, var_init,
     resid = y - d - mvdot(H, c)
 
     S = quadform(H, R) + V
-    gain = mtt(solve_small(S, H @ R))                 # R H' S^{-1}
+    gain = mtt(solve_psd(S, H @ R))                 # R H' S^{-1}
     A = Q - gain @ (H @ Q)
     b = c + mvdot(gain, resid)
     C = _sym(R - gain @ (H @ R))
     HQ = H @ Q
-    eta = mvdot(mtt(HQ), solve_small(S, resid[..., None])[..., 0])
-    J = _sym(mtt(HQ) @ solve_small(S, HQ))
+    eta = mvdot(mtt(HQ), solve_psd(S, resid[..., None])[..., 0])
+    J = _sym(mtt(HQ) @ solve_psd(S, HQ))
 
     # first element: condition on the known initial distribution
     m1 = mvdot(Q[0], mean_init) + c[0]
     P1 = quadform(Q[0], var_init) + R[0]
     S1 = quadform(H[0], P1) + V[0]
-    gain1 = mtt(solve_small(S1, H[0] @ P1))
+    gain1 = mtt(solve_psd(S1, H[0] @ P1))
     b1 = m1 + mvdot(gain1, y[0] - d[0] - mvdot(H[0], m1))
     C1 = _sym(P1 - gain1 @ (H[0] @ P1))
     A = A.at[0].set(0.0)
@@ -291,7 +291,7 @@ def _smooth_elements(mean_state_filt, var_state_filt,
     P_pred = var_state_pred[2:n_steps + 1]
     m_pred = mean_state_pred[2:n_steps + 1]
     PQt = P_filt @ mtt(prior_weight)
-    gain = mtt(solve_small(P_pred, mtt(PQt)))
+    gain = mtt(solve_psd(P_pred, mtt(PQt)))
     g = m_filt - mvdot(gain, m_pred)
     L = _sym(P_filt - gain @ P_pred @ mtt(gain))
     # terminal element: the filtered terminal state

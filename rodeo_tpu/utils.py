@@ -91,11 +91,12 @@ def solve_var(V, B):
 
     Batched over leading dimensions.  Parity: ``utils.py:105-119``.
     Under the :func:`rodeo_tpu.ops.linalg.fast_linalg` context (enabled by
-    the Taylor-preconditioned solvers), tiny systems use closed forms
-    instead of the TPU-hostile batched LU.
+    the Taylor-preconditioned solvers), tiny systems use closed forms and
+    large systems Cholesky + triangular solves instead of the TPU-hostile
+    batched LU (see :func:`rodeo_tpu.ops.linalg.solve_psd`).
     """
-    from rodeo_tpu.ops.linalg import solve_small
-    return solve_small(V, B)
+    from rodeo_tpu.ops.linalg import solve_psd
+    return solve_psd(V, B)
 
 
 def mvncond(mu, Sigma, icond):
