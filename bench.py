@@ -73,6 +73,36 @@ for _ in range(3):
 print("BASELINE_VMAPPED_SECONDS", bestv)
 """
 
+# Large-state CPU comparator: the SAME preconditioned f64 code on the
+# host, timed over a 50-step slice at the identical dt (the scan body has
+# identical shapes at every step, so per-step cost extrapolates linearly;
+# the one full 1000-step plain-f64 run ever taken measured 159.97 s on a
+# 1-core host, ~160 ms/step — the slice keeps bench runs bounded).
+_LARGE_CPU_SRC = r"""
+import time, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+sys.path.insert(0, %(repo)r)
+from rodeo_tpu.models import heat
+from rodeo_tpu.ops import precond
+from rodeo_tpu.interrogate import interrogate_kramer
+
+n_sub = 50
+cfg = heat.setup(d=128, n_deriv=3, n_steps=n_sub, t_max=n_sub * 1e-3,
+                 dtype=jnp.float64)
+cfg.pop("exact"); p = cfg.pop("n_deriv")
+fn = jax.jit(lambda: precond.solve_mv(
+    key=None, interrogate=interrogate_kramer, n_deriv=p, **cfg)[0])
+mu = fn(); mu.block_until_ready()
+best = 1e9
+for _ in range(2):
+    t0 = time.perf_counter(); mu = fn(); mu.block_until_ready()
+    best = min(best, time.perf_counter() - t0)
+print("LARGE_CPU_SECONDS_PER_STEP", best / n_sub)
+"""
+
 
 def cpu_reference_seconds():
     """Time the reference implementation on CPU f64 in a subprocess.
@@ -1314,6 +1344,50 @@ def main():
         details["chkrebtii_q4_finite"] = not bool(jnp.any(jnp.isnan(out_c)))
     except Exception as e:  # noqa: BLE001
         details["chkrebtii_bench_error"] = repr(e)[:500]
+
+    # large-state regime: d=128 method-of-lines heat equation, one dense
+    # 384-dim block — each filter step is MXU-sized matmuls plus a
+    # 128-dim innovation solve (Cholesky via ops/linalg.solve_psd under
+    # fast_linalg).  Accuracy is audited against the discretized system's
+    # closed form (the initial profile is an exact Laplacian eigenvector,
+    # models/heat.py), so no CPU truth entry is needed.
+    with _row(details, "large_state"):
+        from rodeo_tpu.models import heat
+        cfg_h = heat.setup(d=128, n_deriv=3, n_steps=1000,
+                           dtype=jnp.float32)
+        exact_h = cfg_h.pop("exact")
+        p_h = cfg_h.pop("n_deriv")
+        ls = jax.jit(lambda: precond.solve_mv(
+            key=None, interrogate=interrogate_kramer, n_deriv=p_h,
+            **cfg_h))
+        t_ls, out_ls = _timeit(ls, (), n_rep=2)
+        err_ls = float(jnp.max(jnp.abs(
+            out_ls[0][-1, 0, ::p_h]
+            - jnp.asarray(exact_h(cfg_h["t_max"]), jnp.float32))))
+        details["large_state_d128_solve_ms"] = round(t_ls * 1000, 3)
+        details["large_state_d128_max_abs_err"] = round(err_ls, 9)
+        details["large_state_d128_accuracy_pass"] = bool(err_ls <= 1e-4)
+
+    with _row(details, "large_state_cpu"):
+        src_h = _LARGE_CPU_SRC % {
+            "repo": os.path.dirname(os.path.abspath(__file__))}
+        out_h = subprocess.run([sys.executable, "-c", src_h],
+                               capture_output=True, text=True,
+                               timeout=2400)
+        per_step = None
+        for line in out_h.stdout.splitlines():
+            if line.startswith("LARGE_CPU_SECONDS_PER_STEP"):
+                per_step = float(line.split()[1])
+        if per_step is None:
+            raise RuntimeError(
+                f"large-state CPU baseline failed: "
+                f"{out_h.stdout[-500:]} {out_h.stderr[-500:]}")
+        details["large_state_cpu_f64_ms_per_step"] = round(
+            per_step * 1000, 3)
+        details["large_state_cpu_f64_est_ms"] = round(per_step * 1e6, 1)
+        if "large_state_d128_solve_ms" in details:
+            details["large_state_d128_vs_cpu_est"] = round(
+                per_step * 1e6 / details["large_state_d128_solve_ms"], 1)
 
     # non-chaotic accuracy control: FitzHugh-Nagumo full-horizon f32
     # fused solve vs the f64 truth (pointwise comparison IS meaningful

@@ -1,0 +1,108 @@
+r"""
+Method-of-lines heat equation — the large-state benchmark system.
+
+The 1-D heat equation :math:`\partial_t u = \kappa \, \partial_x^2 u` on
+:math:`x \in (0, 1)` with zero boundaries, discretized on :math:`d`
+interior points, is the linear ODE system
+
+.. math::
+
+    \dot u = L u, \qquad
+    L = \frac{\kappa}{h^2} \operatorname{tridiag}(1, -2, 1),
+    \quad h = \frac{1}{d+1},
+
+which exercises the solver regime the reference's benchmark suite never
+touches: a *dense coupled* state (one block of ``d * n_deriv`` entries,
+e.g. 384 at ``d=128``) where every filter step is MXU-sized matmuls and
+an :math:`O(d)`-dimensional innovation solve, instead of Table-3's
+:math:`d \le 6` toy systems (reference models: ``examples/timings.py``).
+
+The default initial profile :math:`u_0(x) = \sin(\pi x)` sampled on the
+grid is an **exact eigenvector** of the discrete Laplacian
+(eigenvalue :math:`\mu_1 = -\tfrac{2\kappa}{h^2}(1 - \cos \pi h)`), so the
+discretized system has the closed form :math:`u(t) = e^{\mu_1 t} u_0` —
+an analytic accuracy anchor that needs no CPU reference run.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rodeo_tpu.prior import ibm_init
+from rodeo_tpu.prior.indep_init import indep_init
+
+__all__ = ["laplacian", "heat_fun", "setup"]
+
+KAPPA = 0.01
+
+
+def laplacian(d, kappa=KAPPA, dtype=np.float64):
+    """Dense discrete Laplacian ``(kappa/h^2) tridiag(1, -2, 1)``,
+    ``h = 1/(d+1)``."""
+    L = (np.diag(-2.0 * np.ones(d))
+         + np.diag(np.ones(d - 1), 1)
+         + np.diag(np.ones(d - 1), -1)) * float((d + 1) ** 2) * kappa
+    return L.astype(dtype)
+
+
+def heat_fun(L, n_deriv):
+    """Block-form RHS ``X -> (L @ u)[None, :]`` with ``u = X[0, ::n_deriv]``
+    (single dense block, interleaved derivative layout as produced by
+    :func:`rodeo_tpu.prior.indep_init`)."""
+    def ode_fun(X_t, t, **params):
+        u = X_t[0, ::n_deriv]
+        return (L @ u)[None, :]
+    return ode_fun
+
+
+def setup(d=128, n_deriv=3, n_steps=1000, t_min=0.0, t_max=1.0,
+          kappa=KAPPA, prior_sigma=5e3, dtype=jnp.float32):
+    """Solver configuration for the ``d``-dimensional heat benchmark.
+
+    Returns the usual config dict (``ode_fun``/``ode_weight``/``ode_init``/
+    grid/``prior_pars``) plus:
+
+    * ``"exact"``: callable ``t -> u(t)`` — the closed-form solution of the
+      *discretized* system (valid because ``u0`` is an eigenvector);
+    * ``"n_deriv"``: the per-variable derivative count, for
+      :func:`rodeo_tpu.ops.precond.solve_mv`'s dense-layout scaling.
+
+    The solution state interleaves derivatives (``x[0, j::n_deriv]`` is the
+    ``j``-th derivative of ``u``), matching ``indep_init``'s dense layout.
+    """
+    p = n_deriv
+    n_bstate = d * p
+    L = laplacian(d, kappa)
+    Lj = jnp.asarray(L, dtype)
+
+    # observe the 1st derivative of each variable: W x = du/dt
+    W = np.zeros((1, d, n_bstate))
+    for i in range(d):
+        W[0, i, i * p + 1] = 1.0
+
+    # u0 = leading Laplacian eigenvector; higher Taylor coefficients are
+    # exact powers L^j u0
+    u0 = np.sin(np.pi * np.arange(1, d + 1) / (d + 1))
+    x0 = np.zeros((1, n_bstate))
+    uj = u0
+    for j in range(p):
+        x0[0, j::p] = uj
+        uj = L @ uj
+
+    mu1 = -2.0 * (1.0 - np.cos(np.pi / (d + 1))) * float((d + 1) ** 2) * kappa
+
+    def exact(t):
+        return np.exp(mu1 * (t - t_min)) * u0
+
+    dt = (t_max - t_min) / n_steps
+    prior_pars = indep_init(ibm_init(
+        dt, p, jnp.full((d,), prior_sigma, dtype)))
+    return dict(
+        ode_fun=heat_fun(Lj, p),
+        ode_weight=jnp.asarray(W, dtype),
+        ode_init=jnp.asarray(x0, dtype),
+        t_min=t_min, t_max=t_max, n_steps=n_steps,
+        prior_pars=jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype), prior_pars),
+        exact=exact,
+        n_deriv=p,
+    )
