@@ -1351,12 +1351,11 @@ def main():
     # fast_linalg).  Accuracy is audited against the discretized system's
     # closed form (the initial profile is an exact Laplacian eigenvector,
     # models/heat.py), so no CPU truth entry is needed.
+    from rodeo_tpu.models import heat
+    cfg_h = heat.setup(d=128, n_deriv=3, n_steps=1000, dtype=jnp.float32)
+    exact_h = cfg_h.pop("exact")
+    p_h = cfg_h.pop("n_deriv")
     with _row(details, "large_state"):
-        from rodeo_tpu.models import heat
-        cfg_h = heat.setup(d=128, n_deriv=3, n_steps=1000,
-                           dtype=jnp.float32)
-        exact_h = cfg_h.pop("exact")
-        p_h = cfg_h.pop("n_deriv")
         ls = jax.jit(lambda: precond.solve_mv(
             key=None, interrogate=interrogate_kramer, n_deriv=p_h,
             **cfg_h))
@@ -1367,6 +1366,24 @@ def main():
         details["large_state_d128_solve_ms"] = round(t_ls * 1000, 3)
         details["large_state_d128_max_abs_err"] = round(err_ls, 9)
         details["large_state_d128_accuracy_pass"] = bool(err_ls <= 1e-4)
+
+    # stationary-gain variant (ops/stationary.py): the heat RHS is affine
+    # with time-constant coefficients, so gains freeze after an exact
+    # Riccati warm-up and the 1000-step covariance work drops to 2*n_warm
+    # steps + matvec-only mean scans
+    with _row(details, "large_state_stationary"):
+        from rodeo_tpu.ops.stationary import solve_mv_stationary
+        lss = jax.jit(lambda: solve_mv_stationary(
+            key=None, interrogate=interrogate_kramer, n_deriv=p_h,
+            n_warm=64, **cfg_h))
+        t_lss, out_lss = _timeit(lss, (), n_rep=2)
+        err_lss = float(jnp.max(jnp.abs(
+            out_lss[0][-1, 0, ::p_h]
+            - jnp.asarray(exact_h(cfg_h["t_max"]), jnp.float32))))
+        details["large_state_stationary_solve_ms"] = round(t_lss * 1000, 3)
+        details["large_state_stationary_max_abs_err"] = round(err_lss, 9)
+        details["large_state_stationary_accuracy_pass"] = bool(
+            err_lss <= 1e-4)
 
     with _row(details, "large_state_cpu"):
         src_h = _LARGE_CPU_SRC % {
@@ -1388,6 +1405,10 @@ def main():
         if "large_state_d128_solve_ms" in details:
             details["large_state_d128_vs_cpu_est"] = round(
                 per_step * 1e6 / details["large_state_d128_solve_ms"], 1)
+        if "large_state_stationary_solve_ms" in details:
+            details["large_state_stationary_vs_cpu_est"] = round(
+                per_step * 1e6
+                / details["large_state_stationary_solve_ms"], 1)
 
     # non-chaotic accuracy control: FitzHugh-Nagumo full-horizon f32
     # fused solve vs the f64 truth (pointwise comparison IS meaningful

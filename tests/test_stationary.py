@@ -1,0 +1,63 @@
+"""Stationary-gain dense solver vs the exact preconditioned path on an
+affine ODE (heat equation), for both EK1/kramer and EK0/rodeo."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rodeo_tpu.interrogate import interrogate_kramer, interrogate_rodeo
+from rodeo_tpu.models import heat
+from rodeo_tpu.ops import precond
+from rodeo_tpu.ops.stationary import solve_mv_stationary
+
+
+@pytest.mark.parametrize("interr,mean_tol,var_rtol", [
+    (interrogate_kramer, 1e-10, 1e-8),
+    (interrogate_rodeo, 1e-9, 1e-5),
+])
+def test_stationary_matches_exact(interr, mean_tol, var_rtol):
+    cfg = heat.setup(d=16, n_deriv=3, n_steps=200, dtype=jnp.float64)
+    cfg.pop("exact")
+    p = cfg.pop("n_deriv")
+    mu_e, var_e = jax.jit(
+        lambda: precond.solve_mv(key=None, interrogate=interr,
+                                 n_deriv=p, **cfg))()
+    mu_s, var_s = jax.jit(
+        lambda: solve_mv_stationary(key=None, interrogate=interr,
+                                    n_deriv=p, n_warm=80, **cfg))()
+    assert float(jnp.max(jnp.abs(mu_s - mu_e))) < mean_tol
+    vscale = float(jnp.max(jnp.abs(var_e)))
+    assert float(jnp.max(jnp.abs(var_s - var_e))) < var_rtol * vscale
+    assert mu_s.shape == mu_e.shape and var_s.shape == var_e.shape
+
+
+def test_stationary_warm_fallback():
+    """n_warm >= n_steps falls back to the exact preconditioned path."""
+    cfg = heat.setup(d=8, n_deriv=3, n_steps=50, dtype=jnp.float64)
+    cfg.pop("exact")
+    p = cfg.pop("n_deriv")
+    mu_e, var_e = jax.jit(
+        lambda: precond.solve_mv(key=None, interrogate=interrogate_kramer,
+                                 n_deriv=p, **cfg))()
+    mu_s, var_s = jax.jit(
+        lambda: solve_mv_stationary(key=None,
+                                    interrogate=interrogate_kramer,
+                                    n_deriv=p, n_warm=50, **cfg))()
+    np.testing.assert_array_equal(np.asarray(mu_s), np.asarray(mu_e))
+    np.testing.assert_array_equal(np.asarray(var_s), np.asarray(var_e))
+
+
+def test_stationary_exact_solution():
+    """Closed-form anchor: the stationary path tracks exp(mu1 t) u0 at
+    every grid time at f64 accuracy."""
+    cfg = heat.setup(d=16, n_deriv=3, n_steps=200, dtype=jnp.float64)
+    exact = cfg.pop("exact")
+    p = cfg.pop("n_deriv")
+    mu_s, _ = jax.jit(
+        lambda: solve_mv_stationary(key=None,
+                                    interrogate=interrogate_kramer,
+                                    n_deriv=p, n_warm=80, **cfg))()
+    ts = np.linspace(cfg["t_min"], cfg["t_max"], cfg["n_steps"] + 1)
+    traj = np.stack([exact(t) for t in ts])
+    np.testing.assert_allclose(np.asarray(mu_s[:, 0, ::p]), traj,
+                               atol=1e-7)
