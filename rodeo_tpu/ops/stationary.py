@@ -56,7 +56,8 @@ def _sym(a):
 
 
 @full_matmul_precision
-def _stationary_core(Q, R, H, H_inn, b, v_fun, x0_s, n_steps, n_warm):
+def _stationary_core(Q, R, H, H_inn, b, v_fun, x0_s, n_steps, n_warm,
+                     var_mode="full"):
     """Scaled-coordinate stationary filter+smoother.
 
     All of ``Q, R`` (prior), ``H`` (measurement matrix driving the
@@ -131,6 +132,9 @@ def _stationary_core(Q, R, H, H_inn, b, v_fun, x0_s, n_steps, n_warm):
         m_s_head_rev[::-1], m_s_tail_rev[::-1], m_s_at_N[None]], axis=0)
 
     # --- smoothed covariances: three regimes ------------------------------
+    if var_mode == "none":
+        return mean_out, None
+
     # terminal transient, k = N-1 .. N-n_term (frozen recursion from P_f_st)
     def var_step_frozen(Vk, _):
         Vn = _sym(P_f_st + quadform(B_st, Vk - P_p_st))
@@ -149,6 +153,16 @@ def _stationary_core(Q, R, H, H_inn, b, v_fun, x0_s, n_steps, n_warm):
         var_step_pre, V_interior,
         (P_f_km1[::-1], P_p_pre[::-1], B_pre[::-1]))
     n_interior = n_steps - n_warm - n_term
+    if var_mode == "diag":
+        # only the OUTPUT is reduced; the transient recursions above are
+        # full-covariance (a diagonal-only recursion would be wrong)
+        diag = lambda a: jnp.diagonal(a, axis1=-2, axis2=-1)  # noqa: E731
+        return mean_out, jnp.concatenate([
+            diag(V_head_rev)[::-1],
+            jnp.broadcast_to(diag(V_interior), (n_interior, nb, n)),
+            diag(V_term_rev)[::-1],
+            diag(P_f_st)[None],
+        ], axis=0)
     var_out = jnp.concatenate([
         V_head_rev[::-1],
         jnp.broadcast_to(V_interior, (n_interior, nb, n, n)),
@@ -162,7 +176,8 @@ def solve_mv_stationary(key, ode_fun, ode_weight, ode_init,
                         t_min, t_max, n_steps,
                         interrogate,
                         prior_pars,
-                        n_deriv=None, n_warm=100, **params):
+                        n_deriv=None, n_warm=100, var_out="full",
+                        **params):
     r"""
     Stationary-gain :func:`rodeo_tpu.ops.precond.solve_mv` for affine
     time-invariant ODEs (see the module docstring for the validity
@@ -172,19 +187,35 @@ def solve_mv_stationary(key, ode_fun, ode_weight, ode_init,
         n_warm (int): exact Riccati steps before gains are frozen (also
             the length of the exact head/terminal covariance transients).
             Falls back to the exact path when ``n_warm >= n_steps``.
+        var_out (str): smoothed-covariance output — ``"full"``
+            ``(N+1, nb, n, n)``, ``"diag"`` ``(N+1, nb, n)`` (marginal
+            variances only) or ``"none"`` (``None``).  The internal
+            transient recursions are always full-covariance; this only
+            controls what is *materialized*, which is the HBM wall for
+            very large states (at d=1024 / state dim 3072 the full
+            output alone is ~38 GB — ``"diag"`` makes that regime
+            runnable on one chip).
 
     Returns:
         (tuple): smoothed ``mean (n_steps+1, n_block, n_state)`` and
-        ``var (n_steps+1, n_block, n_state, n_state)``, matching
-        :func:`rodeo_tpu.solve.solve_mv`.
+        the covariance per ``var_out``; at the default ``"full"`` this
+        matches :func:`rodeo_tpu.solve.solve_mv`.
     """
+    if var_out not in ("full", "diag", "none"):
+        raise ValueError(
+            f"var_out must be 'full', 'diag' or 'none', got {var_out!r}")
     if n_warm >= n_steps:
         from rodeo_tpu.ops import precond
-        return precond.solve_mv(
+        mean_e, var_e = precond.solve_mv(
             key=key, ode_fun=ode_fun, ode_weight=ode_weight,
             ode_init=ode_init, t_min=t_min, t_max=t_max, n_steps=n_steps,
             interrogate=interrogate, prior_pars=prior_pars,
             n_deriv=n_deriv, **params)
+        if var_out == "none":
+            return mean_e, None
+        if var_out == "diag":
+            return mean_e, jnp.diagonal(var_e, axis1=-2, axis2=-1)
+        return mean_e, var_e
 
     t_vec, W_s, x0_s, (Q, R) = _scaled_inputs(
         ode_weight, ode_init, prior_pars, t_min, t_max, n_steps, n_deriv)
@@ -226,6 +257,10 @@ def solve_mv_stationary(key, ode_fun, ode_weight, ode_init,
     with fast_linalg():
         mean_s, var_s = _stationary_core(
             Q, R, H.astype(dtype), H_inn.astype(dtype), b.astype(dtype),
-            v_fun, x0_s, n_steps, n_warm)
+            v_fun, x0_s, n_steps, n_warm, var_mode=var_out)
     t_v = t_vec.astype(dtype)
+    if var_out == "none":
+        return mean_s * t_v, None
+    if var_out == "diag":
+        return mean_s * t_v, var_s * (t_v * t_v)
     return mean_s * t_v, var_s * (t_v[:, None] * t_v[None, :])

@@ -47,6 +47,34 @@ def test_stationary_warm_fallback():
     np.testing.assert_array_equal(np.asarray(var_s), np.asarray(var_e))
 
 
+def test_stationary_var_out_modes():
+    """'diag' equals the diagonal of 'full'; 'none' returns None; the
+    fallback path honors the same contract; bad mode raises."""
+    cfg = heat.setup(d=8, n_deriv=3, n_steps=120, dtype=jnp.float64)
+    cfg.pop("exact")
+    p = cfg.pop("n_deriv")
+    run = lambda **kw: jax.jit(  # noqa: E731
+        lambda: solve_mv_stationary(key=None,
+                                    interrogate=interrogate_kramer,
+                                    n_deriv=p, **kw, **cfg))()
+    mu_f, var_f = run(n_warm=40)
+    mu_d, var_d = run(n_warm=40, var_out="diag")
+    mu_n, var_n = run(n_warm=40, var_out="none")
+    np.testing.assert_array_equal(np.asarray(mu_d), np.asarray(mu_f))
+    np.testing.assert_allclose(
+        np.asarray(var_d),
+        np.asarray(jnp.diagonal(var_f, axis1=-2, axis2=-1)), rtol=1e-12)
+    assert var_n is None and mu_n.shape == mu_f.shape
+    # fallback (n_warm >= n_steps) honors the same output contract
+    mu_fb, var_fb = run(n_warm=120, var_out="diag")
+    assert var_fb.shape == var_d.shape
+    _, var_fbn = run(n_warm=120, var_out="none")
+    assert var_fbn is None
+    with pytest.raises(ValueError, match="var_out"):
+        solve_mv_stationary(key=None, interrogate=interrogate_kramer,
+                            n_deriv=p, var_out="bogus", **cfg)
+
+
 def test_stationary_exact_solution():
     """Closed-form anchor: the stationary path tracks exp(mu1 t) u0 at
     every grid time at f64 accuracy."""
