@@ -1385,6 +1385,32 @@ def main():
         details["large_state_stationary_accuracy_pass"] = bool(
             err_lss <= 1e-4)
 
+    # very-large-state point: d=512 (state dim 1536) with marginal-only
+    # covariance output (the full grid would be 9.4 GB).  CPU comparator
+    # measured once (5-step slice, idle 1-core host, 2026-08-19):
+    # 2130.8 ms/step -> ~2131 s/solve est.; recorded as a cached constant
+    # because a per-run measurement would add ~30 s of CPU to every bench
+    with _row(details, "large_state_d512"):
+        from rodeo_tpu.ops.stationary import (
+            solve_mv_stationary as _st512)
+        cfg_h5 = heat.setup(d=512, n_deriv=3, n_steps=1000,
+                            dtype=jnp.float32)
+        exact_h5 = cfg_h5.pop("exact")
+        p_h5 = cfg_h5.pop("n_deriv")
+        ls5 = jax.jit(lambda: _st512(
+            key=None, interrogate=interrogate_kramer, n_deriv=p_h5,
+            n_warm=64, var_out="diag", **cfg_h5))
+        t_l5, out_l5 = _timeit(ls5, (), n_rep=2)
+        err_l5 = float(jnp.max(jnp.abs(
+            out_l5[0][-1, 0, ::p_h5]
+            - jnp.asarray(exact_h5(cfg_h5["t_max"]), jnp.float32))))
+        details["large_state_d512_stationary_ms"] = round(t_l5 * 1000, 3)
+        details["large_state_d512_max_abs_err"] = round(err_l5, 9)
+        details["large_state_d512_accuracy_pass"] = bool(err_l5 <= 1e-4)
+        details["large_state_d512_cpu_ms_per_step_cached"] = 2130.8
+        details["large_state_d512_vs_cpu_cached"] = round(
+            2130.8 * 1000 / (t_l5 * 1000), 1)
+
     with _row(details, "large_state_cpu"):
         src_h = _LARGE_CPU_SRC % {
             "repo": os.path.dirname(os.path.abspath(__file__))}
