@@ -5,6 +5,8 @@ TPU-native compute-path extensions:
   stable solvers and likelihoods).
 - :mod:`rodeo_tpu.ops.ptime` — parallel-in-time associative-scan Kalman
   filtering/smoothing and the iterated solver.
+- :mod:`rodeo_tpu.ops.stationary` — stationary-gain dense solver for
+  affine time-invariant ODEs (large-state regime).
 - :mod:`rodeo_tpu.ops.pallas_kalman` — fused single-kernel filter/smoother.
 - :mod:`rodeo_tpu.ops.linalg` — closed-form tiny-matrix solves
   (``fast_linalg`` context).
@@ -14,4 +16,5 @@ TPU-native compute-path extensions:
 from rodeo_tpu.ops import linalg
 from rodeo_tpu.ops import precond
 from rodeo_tpu.ops import ptime
+from rodeo_tpu.ops import stationary
 from rodeo_tpu.ops.scan import scan_unroll

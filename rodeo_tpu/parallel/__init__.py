@@ -25,3 +25,4 @@ from rodeo_tpu.parallel.fused import (
     sharded_fenrir_fused_batch_grad, sharded_dalton_fused_batch_grad,
     sharded_basic_fused_batch_grad, sharded_magi_fused_batch,
     sharded_magi_fused_batch_grad, run_chains_fused_sharded)
+from rodeo_tpu.parallel.large_state import sharded_solve_mv_stationary
