@@ -205,9 +205,12 @@ def fenrir(key, ode_fun, ode_weight, ode_init,
            interrogate,
            prior_pars,
            obs_data, obs_times, obs_weight, obs_var,
-           kalman_type="standard", temporal="sequential", **params):
+           kalman_type="standard", temporal="sequential", n_deriv=None,
+           **params):
     r"""
     Preconditioned :func:`rodeo_tpu.inference.fenrir.fenrir`.
+    ``n_deriv`` selects the dense/non-blocked (large-state) scaling as in
+    :func:`solve_mv`.
 
     The observation model transforms as :math:`\tilde D = D T`; the
     log-density of the Y-space observations is invariant under the state
@@ -217,7 +220,7 @@ def fenrir(key, ode_fun, ode_weight, ode_init,
     """
     from rodeo_tpu.inference import fenrir as _fenrir_fn
     t_vec, W_s, x0_s, prior_s = _scaled_inputs(
-        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps,
+        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps, n_deriv,
         sqrt=(kalman_type == "square-root"))
     obs_weight_s = obs_weight * t_vec.astype(obs_weight.dtype)
     with fast_linalg():
@@ -238,14 +241,14 @@ def dalton(key, ode_fun, ode_weight, ode_init,
            interrogate,
            prior_pars,
            obs_data, obs_times, obs_weight, obs_var,
-           **params):
+           n_deriv=None, **params):
     r"""
     Preconditioned :func:`rodeo_tpu.inference.dalton.dalton`
     (see :func:`fenrir`).
     """
     from rodeo_tpu.inference import dalton as _dalton_fn
     t_vec, W_s, x0_s, prior_s = _scaled_inputs(
-        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps)
+        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps, n_deriv)
     obs_weight_s = obs_weight * t_vec.astype(obs_weight.dtype)
     with fast_linalg():
         return _dalton_fn(
@@ -262,18 +265,20 @@ def basic(key, ode_fun, ode_weight, ode_init,
           interrogate,
           prior_pars,
           obs_data, obs_times, obs_loglik,
-          **params):
+          n_deriv=None, **params):
     r"""
     Preconditioned :func:`rodeo_tpu.inference.basic.basic`: the solve runs
     in Taylor-scaled coordinates (f32-stable) and the user observation
     log-likelihood is evaluated on the unscaled solution, so the value
-    matches the plain implementation.
+    matches the plain implementation.  ``n_deriv`` selects the
+    dense/non-blocked (large-state) scaling as in :func:`solve_mv`.
     """
     import jax.numpy as _jnp
     Xt, _ = solve_mv(
         key=key, ode_fun=ode_fun, ode_weight=ode_weight,
         ode_init=ode_init, t_min=t_min, t_max=t_max, n_steps=n_steps,
-        interrogate=interrogate, prior_pars=prior_pars, **params)
+        interrogate=interrogate, prior_pars=prior_pars, n_deriv=n_deriv,
+        **params)
     sim_times = _jnp.linspace(t_min, t_max, n_steps + 1)
     ode_data = Xt[_jnp.searchsorted(sim_times, obs_times)]
     return obs_loglik(obs_data, ode_data, **params), Xt
@@ -296,7 +301,7 @@ def daltonng(key, ode_fun, ode_weight, ode_init,
              interrogate,
              prior_pars,
              obs_data, obs_times, obs_loglik_i,
-             **params):
+             n_deriv=None, **params):
     r"""
     Preconditioned :func:`rodeo_tpu.inference.dalton.daltonng` (non-Gaussian
     DALTON).  The two state-path log-densities (``logx_z`` and
@@ -307,7 +312,7 @@ def daltonng(key, ode_fun, ode_weight, ode_init,
     """
     from rodeo_tpu.inference import daltonng as _daltonng_fn
     t_vec, W_s, x0_s, prior_s = _scaled_inputs(
-        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps)
+        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps, n_deriv)
     with fast_linalg():
         return _daltonng_fn(
             key=key, ode_fun=ode_fun, ode_weight=W_s, ode_init=x0_s,
@@ -360,7 +365,7 @@ def fenrir_solve_mv(key, ode_fun, ode_weight, ode_init,
                     interrogate,
                     prior_pars,
                     obs_data, obs_times, obs_weight, obs_var,
-                    temporal="sequential", **params):
+                    temporal="sequential", n_deriv=None, **params):
     r"""
     Preconditioned :func:`rodeo_tpu.inference.fenrir.solve_mv`
     (data-conditioned posterior; unscaled moments returned).
@@ -368,7 +373,7 @@ def fenrir_solve_mv(key, ode_fun, ode_weight, ode_init,
     import importlib
     _fenrir_mod = importlib.import_module("rodeo_tpu.inference.fenrir")
     t_vec, W_s, x0_s, prior_s = _scaled_inputs(
-        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps)
+        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps, n_deriv)
     obs_weight_s = obs_weight * t_vec.astype(obs_weight.dtype)
     # NB: no fast_linalg here — the final smoothing pass runs over the
     # *backward* chain, whose predicted variances become numerically
@@ -397,12 +402,12 @@ def dalton_solve_mv(key, ode_fun, ode_weight, ode_init,
                     interrogate,
                     prior_pars,
                     obs_data, obs_times, obs_weight, obs_var,
-                    **params):
+                    n_deriv=None, **params):
     r"""
     Preconditioned :func:`rodeo_tpu.inference.dalton.solve_mv`.
     """
     t_vec, W_s, x0_s, prior_s = _scaled_inputs(
-        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps)
+        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps, n_deriv)
     obs_weight_s = obs_weight * t_vec.astype(obs_weight.dtype)
     with fast_linalg():
         mean_s, var_s = _dalton_mod().solve_mv(
@@ -421,12 +426,12 @@ def dalton_solve_sim(key, ode_fun, ode_weight, ode_init,
                      interrogate,
                      prior_pars,
                      obs_data, obs_times, obs_weight, obs_var,
-                     **params):
+                     n_deriv=None, **params):
     r"""
     Preconditioned :func:`rodeo_tpu.inference.dalton.solve_sim`.
     """
     t_vec, W_s, x0_s, prior_s = _scaled_inputs(
-        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps)
+        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps, n_deriv)
     obs_weight_s = obs_weight * t_vec.astype(obs_weight.dtype)
     with fast_linalg():
         xs = _dalton_mod().solve_sim(
@@ -444,13 +449,13 @@ def dalton_solve_mv_nn(key, ode_fun, ode_weight, ode_init,
                        interrogate,
                        prior_pars,
                        obs_data, obs_times, obs_loglik_i,
-                       **params):
+                       n_deriv=None, **params):
     r"""
     Preconditioned :func:`rodeo_tpu.inference.dalton.solve_mv_nn`
     (non-Gaussian data-conditioned posterior).
     """
     t_vec, W_s, x0_s, prior_s = _scaled_inputs(
-        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps)
+        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps, n_deriv)
     with fast_linalg():
         mean_s, var_s = _dalton_mod().solve_mv_nn(
             key=key, ode_fun=ode_fun, ode_weight=W_s, ode_init=x0_s,
@@ -476,7 +481,8 @@ def solve_mv_iterated(key, ode_fun, ode_weight, ode_init,
     ``window_size``) pass through.
     """
     t_vec, W_s, x0_s, prior_s = _scaled_inputs(
-        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps)
+        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps,
+        kwargs.pop("n_deriv", None))
     with fast_linalg():
         mean_s, var_s = _ptime.solve_mv_iterated(
             key=key, ode_fun=ode_fun, ode_weight=W_s, ode_init=x0_s,
