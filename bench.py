@@ -1375,7 +1375,7 @@ def main():
         from rodeo_tpu.ops.stationary import solve_mv_stationary
         lss = jax.jit(lambda: solve_mv_stationary(
             key=None, interrogate=interrogate_kramer, n_deriv=p_h,
-            n_warm=64, **cfg_h))
+            n_warm=32, **cfg_h))
         t_lss, out_lss = _timeit(lss, (), n_rep=2)
         err_lss = float(jnp.max(jnp.abs(
             out_lss[0][-1, 0, ::p_h]
@@ -1399,7 +1399,7 @@ def main():
         p_h5 = cfg_h5.pop("n_deriv")
         ls5 = jax.jit(lambda: _st512(
             key=None, interrogate=interrogate_kramer, n_deriv=p_h5,
-            n_warm=64, var_out="diag", **cfg_h5))
+            n_warm=32, var_out="diag", **cfg_h5))
         t_l5, out_l5 = _timeit(ls5, (), n_rep=2)
         err_l5 = float(jnp.max(jnp.abs(
             out_l5[0][-1, 0, ::p_h5]

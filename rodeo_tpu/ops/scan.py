@@ -92,7 +92,14 @@ def scan(f, init, xs=None, length=None, reverse=False):
         n = _loop_length(xs, length)
         on_tpu = jax.default_backend() in ("tpu", "axon")
         # measured on v5e (Lorenz 10k solve): 126 ms at unroll=1,
-        # 107/105/104 at 8/16/32 — 16 is the knee vs compile time
-        unroll = 16 if (on_tpu and n >= 256 and n % 16 == 0) else 1
+        # 107/105/104 at 8/16/32 — 16 is the knee vs compile time; fall
+        # back to 8 when the length only divides 8 (e.g. the stationary
+        # solver's n_steps - n_warm tail scans)
+        if on_tpu and n >= 256 and n % 16 == 0:
+            unroll = 16
+        elif on_tpu and n >= 256 and n % 8 == 0:
+            unroll = 8
+        else:
+            unroll = 1
     return jax.lax.scan(f, init, xs, length=length, reverse=reverse,
                         unroll=unroll)
