@@ -31,6 +31,23 @@ def test_stationary_matches_exact(interr, mean_tol, var_rtol):
     assert mu_s.shape == mu_e.shape and var_s.shape == var_e.shape
 
 
+def test_stationary_short_tail():
+    """n_tail < n_warm (n_term clamped to the tail length) stays exact."""
+    cfg = heat.setup(d=8, n_deriv=3, n_steps=100, dtype=jnp.float64)
+    cfg.pop("exact")
+    p = cfg.pop("n_deriv")
+    mu_e, var_e = jax.jit(
+        lambda: precond.solve_mv(key=None, interrogate=interrogate_kramer,
+                                 n_deriv=p, **cfg))()
+    mu_s, var_s = jax.jit(
+        lambda: solve_mv_stationary(key=None,
+                                    interrogate=interrogate_kramer,
+                                    n_deriv=p, n_warm=80, **cfg))()
+    assert float(jnp.max(jnp.abs(mu_s - mu_e))) < 1e-10
+    vscale = float(jnp.max(jnp.abs(var_e)))
+    assert float(jnp.max(jnp.abs(var_s - var_e))) < 1e-8 * vscale
+
+
 def test_stationary_warm_fallback():
     """n_warm >= n_steps falls back to the exact preconditioned path."""
     cfg = heat.setup(d=8, n_deriv=3, n_steps=50, dtype=jnp.float64)
