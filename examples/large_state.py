@@ -44,6 +44,10 @@ from rodeo_tpu.ops.stationary import solve_mv_stationary  # noqa: E402
 
 
 def bench_one(tag, fn, exact, p, t_max):
+    # simple block_until_ready timing: through the experimental TPU
+    # tunnel this includes a ~26 ms host roundtrip per call, so short
+    # solves read higher here than bench.py's drain-protocol rows
+    # (e.g. stationary d=128: ~37 ms here vs 10.1 ms amortized)
     mu = fn()[0]
     jax.block_until_ready(mu)
     t = min(timeit.repeat(lambda: jax.block_until_ready(fn()[0]),
