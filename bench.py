@@ -430,8 +430,24 @@ def main():
         for _nm in ("fenrir", "dalton", "daltonng", "basic", "magi"):
             _k = f"{_nm}_ll_f32cpu"
             if _k in truth:
-                details[f"{_nm}_f32cpu_control_abs_err"] = round(
-                    abs(float(truth[_k]) - float(truth[f"{_nm}_ll"])), 6)
+                _ref = float(truth[f"{_nm}_ll"])
+                _err = abs(float(truth[_k]) - _ref)
+                details[f"{_nm}_f32cpu_control_abs_err"] = round(_err, 6)
+                details[f"{_nm}_f32cpu_control_rel_err"] = round(
+                    _err / max(abs(_ref), 1e-30), 9)
+
+    def audit_ll(label, value, ref_key):
+        """Uniform likelihood accuracy audit (VERDICT r3 #3): every
+        likelihood row records the reference value, the absolute error
+        AND the relative error, so no row needs out-of-band arithmetic
+        to judge."""
+        if truth is None or ref_key not in truth:
+            return
+        ref = float(truth[ref_key])
+        err = abs(float(value) - ref)
+        details[f"{label}_abs_err"] = round(err, 6)
+        details[f"{label}_ref"] = round(ref, 6)
+        details[f"{label}_rel_err"] = round(err / max(abs(ref), 1e-30), 9)
 
     def audit_solve(label, mu, n_steps_run=N_STEPS):
         """Record max-abs-err fields for a solve row (vs f64 truth)."""
@@ -591,11 +607,7 @@ def main():
                 details[f"{name}_loglik_evals_per_sec"] = round(nb / t_ll, 2)
                 details[f"{name}_loglik_finite"] = bool(
                     jnp.all(jnp.isfinite(out_ll)))
-                if truth is not None:
-                    ref_ll = float(truth[f"{name}_ll"])
-                    details[f"{name}_loglik_abs_err"] = round(
-                        abs(float(out_ll[0]) - ref_ll), 6)
-                    details[f"{name}_loglik_ref"] = round(ref_ll, 6)
+                audit_ll(f"{name}_loglik", out_ll[0], f"{name}_ll")
         # square-root form on its fast path (masked-dense backward,
         # VERDICT r2 #5): must be within ~1x of the standard XLA path
         with _row(details, "fenrir_sqrt_loglik"):
@@ -617,9 +629,7 @@ def main():
                 nb / t_ll, 2)
             details["fenrir_sqrt_loglik_finite"] = bool(
                 jnp.all(jnp.isfinite(out_ll)))
-            if truth is not None:
-                details["fenrir_sqrt_loglik_abs_err"] = round(
-                    abs(float(out_ll[0]) - float(truth["fenrir_ll"])), 6)
+            audit_ll("fenrir_sqrt_loglik", out_ll[0], "fenrir_ll")
 
         # larger vmapped batches (throughput scaling of the XLA path);
         # unroll=8 runs several time steps per compiled loop iteration
@@ -693,10 +703,7 @@ def main():
                 1.0 / t_gf, 2)
             details["fenrir_fused_grad_finite"] = bool(
                 jnp.all(jnp.isfinite(out_gf[1])))
-            if truth is not None:
-                details["fenrir_fused_grad_ll_abs_err"] = round(
-                    abs(float(out_gf[0][0]) - float(truth["fenrir_ll"])),
-                    6)
+            audit_ll("fenrir_fused_grad_ll", out_gf[0][0], "fenrir_ll")
         with _row(details, "dalton_fused_grad"):
             # fused DALTON value+grad (same tangent-augmented trick; the
             # f32 XLA reverse-mode DALTON gradient is cancellation noise,
@@ -720,10 +727,7 @@ def main():
                 1.0 / t_gd, 2)
             details["dalton_fused_grad_finite"] = bool(
                 jnp.all(jnp.isfinite(out_gd[1])))
-            if truth is not None:
-                details["dalton_fused_grad_ll_abs_err"] = round(
-                    abs(float(out_gd[0][0]) - float(truth["dalton_ll"])),
-                    6)
+            audit_ll("dalton_fused_grad_ll", out_gd[0][0], "dalton_ll")
 
         with _row(details, "fenrir_fused"):
             # fused Pallas fenrir (sequential-map latency, not vmap)
@@ -766,10 +770,8 @@ def main():
                         = round(1.0 / t_llb, 2)
                     details[f"{mod_name}_fused_batch{Blf}_finite"] = bool(
                         jnp.all(jnp.isfinite(out_llb)))
-                    if truth is not None:
-                        details[f"{mod_name}_fused_batch{Blf}_abs_err"] = \
-                            round(abs(float(jnp.ravel(out_llb)[0])
-                                      - float(truth[f"{mod_name}_ll"])), 6)
+                    audit_ll(f"{mod_name}_fused_batch{Blf}",
+                             jnp.ravel(out_llb)[0], f"{mod_name}_ll")
 
         with _row(details, "fenrir_sqrt_fused_batch128"):
             # square-root form on the fused entry (drop-in factor
@@ -796,9 +798,7 @@ def main():
                 1.0 / t_sq, 2)
             details["fenrir_sqrt_fused_batch128_finite"] = bool(
                 jnp.all(jnp.isfinite(out_sq)))
-            if truth is not None:
-                details["fenrir_sqrt_fused_batch128_abs_err"] = round(
-                    abs(float(out_sq[0]) - float(truth["fenrir_ll"])), 6)
+            audit_ll("fenrir_sqrt_fused_batch128", out_sq[0], "fenrir_ll")
 
     # pseudo-marginal MCMC chain throughput (BASELINE config #5) on a
     # REAL posterior: the reference parameter-inference workload
@@ -1088,9 +1088,7 @@ def main():
             t_ng, out_ng = _timeit(ng, (th_i,), n_rep=3)
             details["daltonng_evals_per_sec"] = round(1.0 / t_ng, 2)
             details["daltonng_finite"] = bool(jnp.isfinite(out_ng))
-            if truth is not None:
-                details["daltonng_abs_err"] = round(
-                    abs(float(out_ng) - float(truth["daltonng_ll"])), 6)
+            audit_ll("daltonng", out_ng, "daltonng_ll")
 
         with _row(details, "daltonng_vmapped"):
             nbng = 16
@@ -1131,10 +1129,8 @@ def main():
                 details[f"daltonng_fused_batch{Bng}_evals_per_sec"] =                     round(1.0 / t_ngf, 2)
                 details[f"daltonng_fused_batch{Bng}_finite"] = bool(
                     jnp.all(jnp.isfinite(out_ngf)))
-                if truth is not None:
-                    details[f"daltonng_fused_batch{Bng}_abs_err"] = round(
-                        abs(float(out_ngf[0])
-                            - float(truth["daltonng_ll"])), 6)
+                audit_ll(f"daltonng_fused_batch{Bng}", out_ngf[0],
+                         "daltonng_ll")
 
         with _row(details, "daltonng_fused_grad"):
             # fused daltonng value+grad (tangent-augmented Laplace filter;
@@ -1161,10 +1157,8 @@ def main():
                 1.0 / t_ngg, 2)
             details["daltonng_fused_grad_finite"] = bool(
                 jnp.all(jnp.isfinite(out_ngg[1])))
-            if truth is not None:
-                details["daltonng_fused_grad_ll_abs_err"] = round(
-                    abs(float(out_ngg[0][0])
-                        - float(truth["daltonng_ll"])), 6)
+            audit_ll("daltonng_fused_grad_ll", out_ngg[0][0],
+                     "daltonng_ll")
 
         # fused basic: shares the fused solve_mv forward pass
         from rodeo_tpu.ops import pallas_kalman as pk_basic
@@ -1190,9 +1184,7 @@ def main():
                 1.0 / t_bf, 2)
             details["basic_fused_batch128_finite"] = bool(
                 jnp.all(jnp.isfinite(out_bf)))
-            if truth is not None:
-                details["basic_fused_batch128_abs_err"] = round(
-                    abs(float(out_bf[0]) - float(truth["basic_ll"])), 6)
+            audit_ll("basic_fused_batch128", out_bf[0], "basic_ll")
 
         with _row(details, "basic_fused_grad"):
             # fused basic value+grad: tangent-augmented fused solve
@@ -1220,9 +1212,7 @@ def main():
                 1.0 / t_bg, 2)
             details["basic_fused_grad_finite"] = bool(
                 jnp.all(jnp.isfinite(out_bg[1])))
-            if truth is not None:
-                details["basic_fused_grad_ll_abs_err"] = round(
-                    abs(float(out_bg[0][0]) - float(truth["basic_ll"])), 6)
+            audit_ll("basic_fused_grad_ll", out_bg[0][0], "basic_ll")
 
         def b_loglik(obs_data, ode_data, **p):
             return jnp.sum(-0.5 * (obs_data[..., 0] - ode_data[..., 0])**2)
@@ -1235,9 +1225,7 @@ def main():
             t_b, out_b = _timeit(bas, (th_i,), n_rep=3)
             details["basic_evals_per_sec"] = round(1.0 / t_b, 2)
             details["basic_finite"] = bool(jnp.isfinite(out_b))
-            if truth is not None:
-                details["basic_abs_err"] = round(
-                    abs(float(out_b) - float(truth["basic_ll"])), 6)
+            audit_ll("basic", out_b, "basic_ll")
 
         mu_i, _ = precond.solve_mv(
             key=None, interrogate=interrogate_kramer, theta=th_i, **cfg_i)
@@ -1255,12 +1243,7 @@ def main():
             t_m, out_m = _timeit(mg, (mu_i[:, :, :2],), n_rep=3)
             details["magi_evals_per_sec"] = round(1.0 / t_m, 2)
             details["magi_finite"] = bool(jnp.isfinite(out_m))
-            if truth is not None:
-                details["magi_abs_err"] = round(
-                    abs(float(out_m) - float(truth["magi_ll"])), 6)
-                details["magi_rel_err"] = round(
-                    abs(float(out_m) - float(truth["magi_ll"]))
-                    / max(abs(float(truth["magi_ll"])), 1e-30), 9)
+            audit_ll("magi", out_m, "magi_ll")
 
         with _row(details, "magi_vmapped"):
             # MCMC-style workload: a batch of candidate paths (the subset
@@ -1292,12 +1275,7 @@ def main():
                     1.0 / t_mf, 2)
                 details[f"magi_fused_batch{Bmg}_finite"] = bool(
                     jnp.all(jnp.isfinite(out_mf)))
-                if truth is not None:
-                    details[f"magi_fused_batch{Bmg}_abs_err"] = round(
-                        abs(float(out_mf[0]) - float(truth["magi_ll"])), 6)
-                    details[f"magi_fused_batch{Bmg}_rel_err"] = round(
-                        abs(float(out_mf[0]) - float(truth["magi_ll"]))
-                        / max(abs(float(truth["magi_ll"])), 1e-30), 9)
+                audit_ll(f"magi_fused_batch{Bmg}", out_mf[0], "magi_ll")
 
         with _row(details, "magi_fused_grad_batch128"):
             # value + FULL-PATH gradient via the adjoint kernel (MAGI's
@@ -1315,9 +1293,7 @@ def main():
             details["magi_fused_grad_batch128_finite"] = bool(
                 jnp.all(jnp.isfinite(out_mg[0]))
                 and jnp.all(jnp.isfinite(out_mg[1])))
-            if truth is not None:
-                details["magi_fused_grad_ll_abs_err"] = round(
-                    abs(float(out_mg[0][0]) - float(truth["magi_ll"])), 6)
+            audit_ll("magi_fused_grad_ll", out_mg[0][0], "magi_ll")
     except Exception as e:  # noqa: BLE001
         details["f32_inference_bench_error"] = repr(e)[:500]
 

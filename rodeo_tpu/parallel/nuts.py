@@ -290,33 +290,41 @@ def make_nuts_runner(logpost_grad_fn, n_lane, n_samples, step_size,
         accept = acc_sum / jnp.maximum(acc_cnt, 1.0)
         return (prop[0], prop[1], prop[2]), accept
 
-    @jax.jit
-    def _run(flat0, key, eps):
+    def _build_run(unflatten):
+        @jax.jit
+        def _run(flat0, key, eps):
 
-        def flat_grad_fn(z):
-            ll, g = logpost_grad_fn(_unflatten_holder[0](z))
-            gflat, _ = _flatten_positions(g)
-            return ll.astype(jnp.float32), gflat
+            def flat_grad_fn(z):
+                ll, g = logpost_grad_fn(unflatten(z))
+                gflat, _ = _flatten_positions(g)
+                return ll.astype(jnp.float32), gflat
 
-        ll0, g0 = flat_grad_fn(flat0)
-        keys = jax.random.split(key, n_samples)
+            ll0, g0 = flat_grad_fn(flat0)
+            keys = jax.random.split(key, n_samples)
 
-        def body(carry, k):
-            (z, ll, g), acc = _nuts_step(flat_grad_fn, eps, carry, k)
-            return (z, ll, g), (z, acc)
+            def body(carry, k):
+                (z, ll, g), acc = _nuts_step(flat_grad_fn, eps, carry, k)
+                return (z, ll, g), (z, acc)
 
-        (zf, llf, gf), (zs, accs) = jax.lax.scan(
-            body, (flat0, ll0, g0), keys)
-        return zs, llf, jnp.mean(accs, axis=0)
+            (zf, llf, gf), (zs, accs) = jax.lax.scan(
+                body, (flat0, ll0, g0), keys)
+            return zs, llf, jnp.mean(accs, axis=0)
 
-    # the unflatten closure is rebuilt per call (it captures static
-    # shapes only); stash it where the jitted body can reach it without
-    # retracing on every call
-    _unflatten_holder = [None]
+        return _run
+
+    # one compiled sampler per position-pytree STRUCTURE: the unflatten
+    # closure is baked into its cache entry, so two pytrees that flatten
+    # to the same (n_lane, D) but differ in structure get distinct
+    # compiled programs instead of silently sharing a stale unflatten
+    _run_cache = {}
 
     def run(init_positions, key, step_size_override=None):
         flat0, unflatten = _flatten_positions(init_positions)
-        _unflatten_holder[0] = unflatten
+        leaves, treedef = jax.tree.flatten(init_positions)
+        cache_key = (treedef, tuple(leaf.shape[1:] for leaf in leaves))
+        if cache_key not in _run_cache:
+            _run_cache[cache_key] = _build_run(unflatten)
+        _run = _run_cache[cache_key]
         D = flat0.shape[1]
         eps = jnp.asarray(
             step_size if step_size_override is None else step_size_override,

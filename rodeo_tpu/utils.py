@@ -94,6 +94,15 @@ def solve_var(V, B):
     the Taylor-preconditioned solvers), tiny systems use closed forms and
     large systems Cholesky + triangular solves instead of the TPU-hostile
     batched LU (see :func:`rodeo_tpu.ops.linalg.solve_psd`).
+
+    .. note:: behavior change vs earlier revisions: ``V`` must be
+       symmetric PD under ``fast_linalg`` with ``n > 5`` — a numerically
+       indefinite ``V`` yields NaN from the Cholesky where a general LU
+       would return finite (garbage) values.  All in-library callers pass
+       PD variances (the one known non-PD site, fenrir's backward
+       smoothing, avoids ``fast_linalg``); third-party callers with
+       possibly-indefinite inputs should use ``jnp.linalg.solve``
+       directly.
     """
     from rodeo_tpu.ops.linalg import solve_psd
     return solve_psd(V, B)

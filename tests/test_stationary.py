@@ -106,3 +106,43 @@ def test_stationary_exact_solution():
     traj = np.stack([exact(t) for t in ts])
     np.testing.assert_allclose(np.asarray(mu_s[:, 0, ::p]), traj,
                                atol=1e-7)
+
+
+def test_stationary_rejects_stochastic_key():
+    """A non-None key (stochastic interrogation) violates the frozen-gain
+    contract and must be rejected up front."""
+    cfg = heat.setup(d=8, n_deriv=3, n_steps=60, dtype=jnp.float64)
+    cfg.pop("exact")
+    p = cfg.pop("n_deriv")
+    with pytest.raises(ValueError, match="deterministic"):
+        solve_mv_stationary(key=jax.random.PRNGKey(0),
+                            interrogate=interrogate_kramer,
+                            n_deriv=p, **cfg)
+
+
+def test_stationary_validate_probe():
+    """The affinity probe warns on a nonlinear RHS and stays silent on the
+    affine heat model (advisor r3: the validity contract was previously
+    documentation-only)."""
+    import warnings
+    from rodeo_tpu.models import fitzhugh
+
+    # affine model: no warning
+    cfg = heat.setup(d=8, n_deriv=3, n_steps=60, dtype=jnp.float64)
+    cfg.pop("exact")
+    p = cfg.pop("n_deriv")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        mu, _ = solve_mv_stationary(key=None,
+                                    interrogate=interrogate_kramer,
+                                    n_deriv=p, n_warm=20, **cfg)
+        jax.block_until_ready(mu)
+
+    # nonlinear model (FitzHugh-Nagumo): the probe must fire
+    cfg_n = fitzhugh.setup(n_steps=60, t_max=2.0, dtype=jnp.float64)
+    th = cfg_n.pop("theta")
+    with pytest.warns(RuntimeWarning, match="nonlinear or time-varying"):
+        mu_n, _ = solve_mv_stationary(key=None,
+                                      interrogate=interrogate_kramer,
+                                      theta=th, n_warm=20, **cfg_n)
+        jax.block_until_ready(mu_n)
