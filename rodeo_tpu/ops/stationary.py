@@ -1,12 +1,12 @@
 r"""
-Stationary-gain dense solver for linear/affine ODEs.
+Stationary-gain dense solver and likelihoods for linear/affine ODEs.
 
 For a time-invariant *affine* ODE (state-independent Jacobian — e.g. any
 linear PDE semi-discretization, :mod:`rodeo_tpu.models.heat`) with a
 deterministic interrogation, the measurement model of the probabilistic
 solver is one fixed affine map :math:`h(m) = H m + b`, so the Kalman
 covariance recursion is a Riccati iteration that converges to its fixed
-point within tens of steps.  This solver exploits that:
+point within tens of steps.  This module exploits that:
 
 1. run the exact covariance/Riccati recursion for ``n_warm`` steps and
    freeze the converged filter gain, predicted/filtered covariances and
@@ -18,6 +18,16 @@ point within tens of steps.  This solver exploits that:
    occupy: the exact ``n_warm`` head transient, the converged interior
    plateau, and the terminal backward transient (computed by iterating
    the frozen smoother recursion).
+
+:func:`solve_mv_stationary` is the solver; :func:`fenrir_stationary` is
+the matching data likelihood (parameter inference in the large-state
+regime): the fenrir backward pass only needs covariances *at the
+observation rows*, and between observations the backward-filter
+covariance evolves under the single frozen affine map
+:math:`\Phi(P) = A P A' + C`, whose ``g``-step composition is computed in
+:math:`O(\log g)` matmuls by operator doubling — so the whole backward
+covariance pass costs :math:`O(n_{\text{warm}} + M \log g)` matrix ops
+for :math:`M` observations instead of :math:`O(N)`.
 
 This is the dense/XLA analogue of the lane-fused
 :func:`rodeo_tpu.ops.pallas_kalman.solve_mv_fused_stationary` (which
@@ -38,8 +48,11 @@ closed-loop spectral radius); nonlinear RHSs are NOT supported — use
 
 Reference context: the reference library has no stationary path at all
 (``/root/reference/src/rodeo/solve.py`` runs the full recursion
-unconditionally); this module is TPU-motivated new surface.
+unconditionally, and its fenrir backward pass at
+``/root/reference/src/rodeo/inference/fenrir.py:86-259`` re-derives the
+backward kernel at every step); this module is TPU-motivated new surface.
 """
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -49,7 +62,7 @@ from rodeo_tpu.ops.linalg import full_matmul_precision
 from rodeo_tpu.ops.precond import _scaled_inputs, _wrap_interrogate
 from rodeo_tpu.ops.scan import scan as _uscan
 
-__all__ = ["solve_mv_stationary"]
+__all__ = ["solve_mv_stationary", "fenrir_stationary"]
 
 
 def _warn_nonaffine(rel_resid):
@@ -70,10 +83,15 @@ def _sym(a):
     return 0.5 * (a + jnp.swapaxes(a, -1, -2))
 
 
-@full_matmul_precision
-def _stationary_core(Q, R, H, H_inn, b, v_fun, x0_s, n_steps, n_warm,
-                     var_mode="full"):
-    """Scaled-coordinate stationary filter+smoother.
+def _stationary_filter(Q, R, H, H_inn, b, v_fun, x0_s, n_steps, n_warm):
+    r"""Scaled-coordinate stationary forward filter.
+
+    Riccati warm-up (exact covariance recursion for ``n_warm`` steps,
+    then frozen), frozen-gain forward mean scans over all ``n_steps``,
+    and the smoothing/backward-chain gains.  Shared by
+    :func:`solve_mv_stationary` (which continues with the smoothing
+    recursions) and :func:`fenrir_stationary` (which continues with the
+    data-conditioned backward pass).
 
     All of ``Q, R`` (prior), ``H`` (measurement matrix driving the
     gain/covariances — ``W + wgt_meas`` exactly as the sequential filter
@@ -84,14 +102,27 @@ def _stationary_core(Q, R, H, H_inn, b, v_fun, x0_s, n_steps, n_warm,
     the interrogation's measurement noise, which must be AFFINE in the
     predicted variance (kramer: constant zero; rodeo: ``W Σ W'``) — the
     constant part is hoisted out of the warm-up scan and only its
-    JVP-derived linear action stays per-step.  Returns smoothed
-    ``(mean (N+1, nb, n), var (N+1, nb, n, n))`` in scaled coordinates.
+    JVP-derived linear action stays per-step.
+
+    Returns a dict with (indices are grid rows; ``*_pre`` arrays cover
+    the warm prefix):
+
+    - ``P_p_pre (n_warm, nb, n, n)``: predicted covariance at rows
+      ``1..n_warm``; ``P_f_pre``: filtered covariance at the same rows;
+      ``P_f_km1``: filtered covariance at rows ``0..n_warm-1``
+      (``P_f_km1[0] = 0``, the exact init); ``K_pre``: filter gains.
+    - ``P_p_st, P_f_st, K_st``: the frozen (converged) values.
+    - ``B_pre (n_warm, nb, n, n)``: smoothing/backward-chain gains
+      :math:`A_k = P_f[k]\,Q'\,P_p[k+1]^{-1}` for ``k = 0..n_warm-1``;
+      ``B_st``: the frozen gain.
+    - ``m_f_all (n_steps+1, nb, n)``: filtered means at rows ``0..N``;
+      ``m_p_all (n_steps, nb, n)``: predicted means at rows ``1..N``
+      (``m_p_all[k]`` is the prediction at row ``k+1``).
     """
     nb, n = x0_s.shape
     dtype = x0_s.dtype
     eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (nb, n, n))
     n_tail = n_steps - n_warm
-    n_term = min(n_warm, n_tail)
 
     # --- Riccati warm-up: exact covariance recursion ---------------------
     # V(P) is affine in the predicted variance by the validity contract
@@ -138,6 +169,31 @@ def _stationary_core(Q, R, H, H_inn, b, v_fun, x0_s, n_steps, n_warm,
     P_f_km1 = jnp.concatenate([P_f0[None], P_f_pre[:-1]], axis=0)
     B_pre = mtt(solve_psd(P_p_pre, Q @ P_f_km1))
     B_st = mtt(solve_psd(P_p_st, Q @ P_f_st))
+
+    return dict(
+        P_p_pre=P_p_pre, P_f_pre=P_f_pre, P_f_km1=P_f_km1, K_pre=K_pre,
+        P_p_st=P_p_st, P_f_st=P_f_st, K_st=K_st,
+        B_pre=B_pre, B_st=B_st,
+        m_f_all=m_f_all, m_p_all=m_p_all,
+    )
+
+
+@full_matmul_precision
+def _stationary_core(Q, R, H, H_inn, b, v_fun, x0_s, n_steps, n_warm,
+                     var_mode="full"):
+    """Scaled-coordinate stationary filter+smoother (see
+    :func:`_stationary_filter` for the argument contract).  Returns
+    smoothed ``(mean (N+1, nb, n), var (N+1, nb, n, n))`` in scaled
+    coordinates."""
+    nb, n = x0_s.shape
+    n_tail = n_steps - n_warm
+    n_term = min(n_warm, n_tail)
+
+    f = _stationary_filter(Q, R, H, H_inn, b, v_fun, x0_s, n_steps, n_warm)
+    P_p_pre, P_f_km1 = f["P_p_pre"], f["P_f_km1"]
+    P_p_st, P_f_st = f["P_p_st"], f["P_f_st"]
+    B_pre, B_st = f["B_pre"], f["B_st"]
+    m_f_all, m_p_all = f["m_f_all"], f["m_p_all"]
 
     # --- backward means ---------------------------------------------------
     def smooth_step(m_s, xs):
@@ -197,6 +253,80 @@ def _stationary_core(Q, R, H, H_inn, b, v_fun, x0_s, n_steps, n_warm,
         P_f_st[None],
     ], axis=0)
     return mean_out, var_out
+
+
+def _extract_affine(wrapped, ode_fun, W_s, x0_s, t1, t_max, validate,
+                    params):
+    """One-shot affine extraction of the measurement map
+    ``h(m) = H_inn m + b`` (exact for affine RHSs; ``h`` is then globally
+    affine so the linearization point is irrelevant), plus the
+    gain/covariance measurement matrix ``H`` and the variance map
+    ``v_fun`` — shared by :func:`solve_mv_stationary` and
+    :func:`fenrir_stationary`."""
+    nb, n_bmeas, n = W_s.shape
+    dtype = x0_s.dtype
+
+    def h_fun(m):
+        wgt_m, mean_m, _ = wrapped(
+            key=None, ode_fun=ode_fun, ode_weight=W_s, t=t1,
+            mean_state_pred=m,
+            var_state_pred=jnp.zeros((nb, n, n), dtype=dtype), **params)
+        return mvdot(W_s + wgt_m, m) + mean_m
+
+    jac = jax.jacfwd(h_fun)(x0_s)      # (nb, n_bmeas, nb, n)
+    H_inn = jnp.moveaxis(jnp.diagonal(jac, axis1=0, axis2=2), -1, 0)
+    b = h_fun(x0_s) - mvdot(H_inn, x0_s)
+    # the gain/covariance measurement matrix is W + wgt_meas exactly as
+    # the sequential filter sees it (for EK0 the Jacobian enters through
+    # mean_meas only, so H here is W while the innovation map is W - F);
+    # var_meas may depend on the predicted variance (rodeo: W Σ W'), so it
+    # re-evaluates inside the Riccati warm-up
+    wgt_m0, _, _ = wrapped(
+        key=None, ode_fun=ode_fun, ode_weight=W_s, t=t1,
+        mean_state_pred=x0_s,
+        var_state_pred=jnp.zeros((nb, n, n), dtype=dtype), **params)
+    H = W_s + wgt_m0
+
+    if validate:
+        # validity probe (two extra interrogations at trace time): the
+        # extracted affine map must reproduce the real measurement at a
+        # SECOND state and the FINAL grid time; a nonlinear or
+        # time-varying ode_fun fails one of these, which otherwise
+        # silently returns a wrong posterior (the contract above is only
+        # documentation).  Runs as an async debug callback so it costs
+        # nothing on the device critical path.
+        # relative perturbation: the scaled coordinates span ~1e4 dynamic
+        # range, so an absolute offset is invisible on the big entries
+        m_probe = x0_s + 0.1 * (1.0 + jnp.abs(x0_s))
+
+        def _h_at(t, m):
+            wgt_p, mean_p, _ = wrapped(
+                key=None, ode_fun=ode_fun, ode_weight=W_s, t=t,
+                mean_state_pred=m,
+                var_state_pred=jnp.zeros((nb, n, n), dtype=dtype),
+                **params)
+            return mvdot(W_s + wgt_p, m) + mean_p
+
+        pred = mvdot(H_inn, m_probe) + b
+        h_probe = _h_at(t1, m_probe)
+        resid = jnp.maximum(
+            jnp.max(jnp.abs(h_probe - pred)),                # nonlinearity
+            jnp.max(jnp.abs(_h_at(t_max, x0_s)               # time-variance
+                            - (mvdot(H_inn, x0_s) + b))))
+        scale = jnp.maximum(jnp.maximum(
+            jnp.max(jnp.abs(h_probe)), jnp.max(jnp.abs(pred))), 1e-30)
+        # 1e-2 threshold: measured margins are ~1e-14 (affine, f64) and
+        # ~1.5e-3 (affine, d=128 f32 cancellation noise) vs ~1.4 for a
+        # cubic RHS at this probe offset
+        jax.debug.callback(_warn_nonaffine, resid / scale)
+
+    def v_fun(P_p):
+        _, _, V = wrapped(
+            key=None, ode_fun=ode_fun, ode_weight=W_s, t=t1,
+            mean_state_pred=x0_s, var_state_pred=P_p, **params)
+        return V.astype(dtype)
+
+    return H, H_inn, b, v_fun
 
 
 def solve_mv_stationary(key, ode_fun, ode_weight, ode_init,
@@ -260,72 +390,11 @@ def solve_mv_stationary(key, ode_fun, ode_weight, ode_init,
     t_vec, W_s, x0_s, (Q, R) = _scaled_inputs(
         ode_weight, ode_init, prior_pars, t_min, t_max, n_steps, n_deriv)
     wrapped = _wrap_interrogate(interrogate, ode_weight, t_vec)
-    nb, n_bmeas, n = W_s.shape
     dtype = x0_s.dtype
     t1 = t_min + (t_max - t_min) / n_steps
 
-    # one-shot affine extraction of the measurement map h(m) = H m + b
-    # (exact for affine RHSs; h is then globally affine so the
-    # linearization point is irrelevant)
-    def h_fun(m):
-        wgt_m, mean_m, _ = wrapped(
-            key=None, ode_fun=ode_fun, ode_weight=W_s, t=t1,
-            mean_state_pred=m,
-            var_state_pred=jnp.zeros((nb, n, n), dtype=dtype), **params)
-        return mvdot(W_s + wgt_m, m) + mean_m
-
-    jac = jax.jacfwd(h_fun)(x0_s)      # (nb, n_bmeas, nb, n)
-    H_inn = jnp.moveaxis(jnp.diagonal(jac, axis1=0, axis2=2), -1, 0)
-    b = h_fun(x0_s) - mvdot(H_inn, x0_s)
-    # the gain/covariance measurement matrix is W + wgt_meas exactly as
-    # the sequential filter sees it (for EK0 the Jacobian enters through
-    # mean_meas only, so H here is W while the innovation map is W - F);
-    # var_meas may depend on the predicted variance (rodeo: W Σ W'), so it
-    # re-evaluates inside the Riccati warm-up
-    wgt_m0, _, _ = wrapped(
-        key=None, ode_fun=ode_fun, ode_weight=W_s, t=t1,
-        mean_state_pred=x0_s,
-        var_state_pred=jnp.zeros((nb, n, n), dtype=dtype), **params)
-    H = W_s + wgt_m0
-
-    if validate:
-        # validity probe (two extra interrogations at trace time): the
-        # extracted affine map must reproduce the real measurement at a
-        # SECOND state and the FINAL grid time; a nonlinear or
-        # time-varying ode_fun fails one of these, which otherwise
-        # silently returns a wrong posterior (the contract above is only
-        # documentation).  Runs as an async debug callback so it costs
-        # nothing on the device critical path.
-        # relative perturbation: the scaled coordinates span ~1e4 dynamic
-        # range, so an absolute offset is invisible on the big entries
-        m_probe = x0_s + 0.1 * (1.0 + jnp.abs(x0_s))
-
-        def _h_at(t, m):
-            wgt_p, mean_p, _ = wrapped(
-                key=None, ode_fun=ode_fun, ode_weight=W_s, t=t,
-                mean_state_pred=m,
-                var_state_pred=jnp.zeros((nb, n, n), dtype=dtype),
-                **params)
-            return mvdot(W_s + wgt_p, m) + mean_p
-
-        pred = mvdot(H_inn, m_probe) + b
-        h_probe = _h_at(t1, m_probe)
-        resid = jnp.maximum(
-            jnp.max(jnp.abs(h_probe - pred)),                # nonlinearity
-            jnp.max(jnp.abs(_h_at(t_max, x0_s)               # time-variance
-                            - (mvdot(H_inn, x0_s) + b))))
-        scale = jnp.maximum(jnp.maximum(
-            jnp.max(jnp.abs(h_probe)), jnp.max(jnp.abs(pred))), 1e-30)
-        # 1e-2 threshold: measured margins are ~1e-14 (affine, f64) and
-        # ~1.5e-3 (affine, d=128 f32 cancellation noise) vs ~1.4 for a
-        # cubic RHS at this probe offset
-        jax.debug.callback(_warn_nonaffine, resid / scale)
-
-    def v_fun(P_p):
-        _, _, V = wrapped(
-            key=None, ode_fun=ode_fun, ode_weight=W_s, t=t1,
-            mean_state_pred=x0_s, var_state_pred=P_p, **params)
-        return V.astype(dtype)
+    H, H_inn, b, v_fun = _extract_affine(
+        wrapped, ode_fun, W_s, x0_s, t1, t_max, validate, params)
 
     with fast_linalg():
         mean_s, var_s = _stationary_core(
@@ -337,3 +406,223 @@ def solve_mv_stationary(key, ode_fun, ode_weight, ode_init,
     if var_out == "diag":
         return mean_s * t_v, var_s * (t_v * t_v)
     return mean_s * t_v, var_s * (t_v[:, None] * t_v[None, :])
+
+
+# --- stationary fenrir likelihood -------------------------------------------
+
+
+def _mvn_logpdf_chol(resid, S):
+    """Summed Gaussian log-density of the (batched) residuals ``resid``
+    ``(nb, k)`` under covariances ``S (nb, k, k)`` (PD), via one Cholesky
+    — returns the scalar sum over blocks plus the factor for reuse."""
+    import jax.scipy.linalg as jsp_linalg
+    chol = jnp.linalg.cholesky(S)
+    alpha = jsp_linalg.solve_triangular(
+        chol, resid[..., None], lower=True)[..., 0]
+    logdet = 2.0 * jnp.sum(jnp.log(
+        jnp.diagonal(chol, axis1=-2, axis2=-1)))
+    log2pi = jnp.asarray(1.8378770664093453, resid.dtype)
+    logp = -0.5 * (jnp.sum(alpha * alpha) + logdet
+                   + resid.size * log2pi)
+    return logp, chol
+
+
+@full_matmul_precision
+def _fenrir_stationary_core(Q, R, H, H_inn, b_m, v_fun, x0_s,
+                            n_steps, n_warm, obs_ind,
+                            obs_data, obs_weight_s, obs_var):
+    """Scaled-coordinate stationary fenrir backward pass.
+
+    Exact up to the same gain-freeze tolerance as
+    :func:`_stationary_core` (:math:`\\rho^{n_{\\text{warm}}}`): the
+    backward-chain parameters :math:`(A_k, C_k)` are frozen for rows
+    ``k >= n_warm`` and exact on the warm prefix, the backward-filter
+    covariance is propagated across inter-observation gaps by operator
+    doubling of the frozen map :math:`\\Phi(P) = A P A' + C` (exact — no
+    additional periodicity assumption), and the means run as matvec
+    scans.  ``obs_ind`` is a static, strictly increasing tuple of grid
+    rows.  The pass stops at the earliest observation row — rows below
+    it cannot contribute to the likelihood.
+    """
+    nb, n = x0_s.shape
+    f = _stationary_filter(Q, R, H, H_inn, b_m, v_fun, x0_s, n_steps,
+                           n_warm)
+    B_pre, B_st = f["B_pre"], f["B_st"]
+    m_f_all, m_p_all = f["m_f_all"], f["m_p_all"]
+    # backward-kernel covariances C_k = P_f[k] - A_k P_p[k+1] A_k'
+    # (C_0 = 0 exactly: the init is exact)
+    C_pre = _sym(f["P_f_km1"] - quadform(B_pre, f["P_p_pre"]))
+    C_st = _sym(f["P_f_st"] - quadform(B_st, f["P_p_st"]))
+    # backward-kernel offsets b_k = m_f[k] - A_k m_p[k+1] for k = 0..N-1
+    b_head = m_f_all[:n_warm] - mvdot(B_pre, m_p_all[:n_warm])
+    b_tail = m_f_all[n_warm:n_steps] - mvdot(B_st, m_p_all[n_warm:])
+    b_all = jnp.concatenate([b_head, b_tail], axis=0)
+
+    rows = [int(r) for r in obs_ind]
+    n_obs = len(rows)
+
+    # doubling powers of the frozen backward map Phi(P) = A P A' + C:
+    # Phi^(2^(i+1)) has A' = A A, C' = A C A' + C; applying the binary
+    # digits of a gap g composes Phi^g exactly in O(log g) matmuls
+    gaps = []
+    prev = n_steps
+    for r in reversed(rows):
+        if prev - max(r, n_warm) > 0:
+            gaps.append(prev - max(r, n_warm))
+        prev = r
+    max_gap = max(gaps) if gaps else 0
+    A_pows, C_pows = [B_st], [C_st]
+    for _ in range(max(max_gap.bit_length() - 1, 0)):
+        Ai, Ci = A_pows[-1], C_pows[-1]
+        A_pows.append(Ai @ Ai)
+        C_pows.append(_sym(quadform(Ai, Ci) + Ci))
+
+    def cov_prop(P, lo, hi):
+        """Propagate the backward-filter covariance from row ``hi`` down
+        to row ``lo`` (applying kernels ``k = hi-1 .. lo``)."""
+        mid = min(max(lo, n_warm), hi)
+        g = hi - mid
+        i = 0
+        while g:                      # frozen region: operator doubling
+            if g & 1:
+                P = _sym(quadform(A_pows[i], P) + C_pows[i])
+            g >>= 1
+            i += 1
+        if mid > lo:                  # warm prefix: exact per-step kernels
+            P, _ = jax.lax.scan(
+                lambda PP, x: (_sym(quadform(x[0], PP) + x[1]), None),
+                P, (B_pre[lo:mid][::-1], C_pre[lo:mid][::-1]))
+        return P
+
+    def mean_prop(m, lo, hi):
+        """Propagate the backward-filter mean from row ``hi`` down to
+        row ``lo`` (time-varying offsets — per-step matvec scans)."""
+        mid = min(max(lo, n_warm), hi)
+        if hi > mid:                  # frozen gain, varying offset
+            m, _ = _uscan(
+                lambda mm, bk: (mvdot(B_st, mm) + bk, None),
+                m, b_all[mid:hi][::-1])
+        if mid > lo:                  # warm prefix
+            m, _ = jax.lax.scan(
+                lambda mm, x: (mvdot(x[0], mm) + x[1], None),
+                m, (B_pre[lo:mid][::-1], b_all[lo:mid][::-1]))
+        return m
+
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=x0_s.dtype), (nb, n, n))
+
+    def obs_update(m, P, j):
+        """Forecast log-density + Kalman update at observation ``j``."""
+        D, y, Om = obs_weight_s[j], obs_data[j], obs_var[j]
+        resid = y - mvdot(D, m)
+        S = _sym(quadform(D, P) + Om)
+        logp, chol = _mvn_logpdf_chol(resid, S)
+        import jax.scipy.linalg as jsp_linalg
+        DP = D @ P
+        X = jsp_linalg.solve_triangular(
+            chol, jsp_linalg.solve_triangular(chol, DP, lower=True),
+            lower=True, trans=1)
+        K = mtt(X)                    # (nb, n, n_bobs)
+        m_new = m + mvdot(K, resid)
+        IKD = eye - K @ D
+        P_new = _sym(quadform(IKD, P) + quadform(K, Om))
+        return m_new, P_new, logp
+
+    # backward pass, observation to observation
+    cur = n_steps
+    m = m_f_all[n_steps]
+    P = f["P_f_st"]                   # P_f[N] (frozen tail)
+    logdens = jnp.zeros((), dtype=x0_s.dtype)
+    for j in range(n_obs - 1, -1, -1):
+        r = rows[j]
+        if r < cur:
+            m = mean_prop(m, r, cur)
+            P = cov_prop(P, r, cur)
+            cur = r
+        m, P, logp = obs_update(m, P, j)
+        logdens = logdens + logp
+    return logdens
+
+
+def fenrir_stationary(key, ode_fun, ode_weight, ode_init,
+                      t_min, t_max, n_steps,
+                      interrogate,
+                      prior_pars,
+                      obs_data, obs_times, obs_weight, obs_var,
+                      n_deriv=None, n_warm=32, validate=True, **params):
+    r"""
+    Stationary-gain :func:`rodeo_tpu.ops.precond.fenrir` for affine
+    time-invariant ODEs — Bayesian parameter inference in the
+    large-state regime (module docstring has the validity contract and
+    the complexity argument).  Functional parity target:
+    ``/root/reference/src/rodeo/inference/fenrir.py:261-328``
+    (``fenrir``), restricted to affine RHSs; matches
+    :func:`rodeo_tpu.ops.precond.fenrir` up to the gain-freeze
+    tolerance :math:`O(\rho^{n_{\text{warm}}})`.
+
+    Same signature as :func:`rodeo_tpu.ops.precond.fenrir` plus
+    ``n_warm`` / ``validate`` (as in :func:`solve_mv_stationary`), with
+    one restriction: ``obs_times`` (and the grid spec) must be
+    *concrete* — the inter-observation gap structure is compiled into
+    the program, so close over observation times instead of passing
+    them as traced jit arguments.  ``obs_data`` / ``obs_weight`` /
+    ``obs_var`` and any ``params`` may be traced as usual (the common
+    parameter-inference case: fixed design, :math:`\theta` traced).
+    Fully differentiable (the frozen-gain approximation is itself a
+    smooth function of the inputs).
+
+    Returns:
+        (float): the fenrir log-likelihood
+        :math:`\log p(Y_{0:M} \mid Z_{1:N})`.
+    """
+    if key is not None:
+        raise ValueError(
+            "fenrir_stationary requires a deterministic interrogation "
+            "(key=None): the gain freeze assumes the measurement map is "
+            "a fixed affine function of the state, which a stochastic "
+            "interrogation (e.g. chkrebtii) violates")
+    try:
+        obs_times_np = np.asarray(obs_times)
+        grid = np.linspace(float(t_min), float(t_max), int(n_steps) + 1)
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError) as e:
+        raise ValueError(
+            "fenrir_stationary requires concrete (non-traced) obs_times "
+            "and grid bounds: the gap structure between observations is "
+            "compiled into the program.  Close over them instead of "
+            "passing them as jit arguments (obs_data/obs_weight/obs_var "
+            "and model params may be traced as usual).") from e
+    obs_ind = tuple(int(i) for i in np.searchsorted(grid, obs_times_np))
+    if any(b <= a for a, b in zip(obs_ind, obs_ind[1:])):
+        raise ValueError(
+            "fenrir_stationary requires strictly increasing observation "
+            f"times mapping to distinct grid rows; got rows {obs_ind}")
+    if obs_ind and (obs_ind[0] < 0 or obs_ind[-1] > n_steps):
+        raise ValueError(
+            f"observation rows {obs_ind} fall outside the solution grid "
+            f"[0, {n_steps}]")
+    if n_warm >= n_steps:
+        from rodeo_tpu.ops import precond
+        return precond.fenrir(
+            key=key, ode_fun=ode_fun, ode_weight=ode_weight,
+            ode_init=ode_init, t_min=t_min, t_max=t_max, n_steps=n_steps,
+            interrogate=interrogate, prior_pars=prior_pars,
+            obs_data=obs_data, obs_times=obs_times,
+            obs_weight=obs_weight, obs_var=obs_var, n_deriv=n_deriv,
+            **params)
+
+    t_vec, W_s, x0_s, (Q, R) = _scaled_inputs(
+        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps, n_deriv)
+    wrapped = _wrap_interrogate(interrogate, ode_weight, t_vec)
+    dtype = x0_s.dtype
+    t1 = t_min + (t_max - t_min) / n_steps
+    obs_weight_s = obs_weight * t_vec.astype(obs_weight.dtype)
+
+    H, H_inn, b, v_fun = _extract_affine(
+        wrapped, ode_fun, W_s, x0_s, t1, t_max, validate, params)
+
+    with fast_linalg():
+        return _fenrir_stationary_core(
+            Q, R, H.astype(dtype), H_inn.astype(dtype), b.astype(dtype),
+            v_fun, x0_s, n_steps, n_warm, obs_ind,
+            obs_data.astype(dtype), obs_weight_s.astype(dtype),
+            obs_var.astype(dtype))
