@@ -890,20 +890,35 @@ def _solve_filter_nn(key, ode_fun, ode_weight, ode_init,
                 neg_hes = -(hes_diag) + dead_diag
                 # a live-but-numerically-singular block would blow up the
                 # adjugate inverse (pinv returned a bounded pseudo-inverse
-                # here); detect it via the scale-normalized determinant and
-                # Tikhonov-regularize the block before inverting — a small
-                # positive ridge on -Hess (PSD for concave log-likelihoods)
-                # that leaves well-conditioned blocks bit-identical.
+                # here); detect it via the determinant of the DIAGONALLY
+                # EQUILIBRATED block (scale-invariant per row) and
+                # Tikhonov-regularize before inverting — a small positive
+                # per-row-scaled ridge on -Hess (PSD for concave
+                # log-likelihoods) that leaves well-conditioned blocks
+                # bit-identical.  A global max-entry normalization is
+                # wrong here: the dead-row unit diagonal sits next to
+                # live entries scaled by t_vec[0]^2 (~1e-10 on fine
+                # grids), so the globally-normalized determinant of a
+                # perfectly conditioned diagonal block underflows the f32
+                # tolerance and the ridge misfired on EVERY observation —
+                # the pseudo-observation then pulled only O(1e-2) of the
+                # way to the data and the float32 filter silently lost
+                # the trajectory (the 2-4x daltonng drift in the r03
+                # bench audit, absent in f64 only because the f64
+                # tolerance is 1e9 smaller).
                 from rodeo_tpu.ops.linalg import _det_small_normed
-                nh_scale = jnp.max(jnp.abs(neg_hes), axis=(-1, -2),
-                                   keepdims=True)
-                nh_scale = jnp.where(nh_scale == 0, 1.0, nh_scale)
-                detn = _det_small_normed(neg_hes / nh_scale)[..., None, None]
+                dn = jnp.abs(jnp.diagonal(neg_hes, axis1=-2, axis2=-1))
+                dn = jnp.maximum(dn, jnp.asarray(
+                    jnp.finfo(hes_diag.dtype).tiny, hes_diag.dtype))
+                s = 1.0 / jnp.sqrt(dn)
+                corr = neg_hes * (s[..., :, None] * s[..., None, :])
+                detn = _det_small_normed(corr)[..., None, None]
                 det_tol = jnp.asarray(
                     jnp.finfo(hes_diag.dtype).eps, hes_diag.dtype) * 100
                 ridge = jnp.where(jnp.abs(detn) < det_tol,
-                                  jnp.sqrt(det_tol) * nh_scale, 0.0)
-                inv_reg = inv_small(neg_hes + ridge * eye_q)
+                                  jnp.sqrt(det_tol), 0.0)
+                inv_reg = inv_small(
+                    neg_hes + ridge * dn[..., :, None] * eye_q)
                 mask = (live[..., :, None] & live[..., None, :]).astype(
                     hes_diag.dtype)
                 obs_var_hat = inv_reg * mask
