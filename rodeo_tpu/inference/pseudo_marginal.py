@@ -144,6 +144,18 @@ def static_binomial_sampling(rng_key, log_p_accept, prev_state, new_state):
 def build_rmh_transition_energy(proposal_logdensity_fn: Optional[Callable]) -> Callable:
     """
     Transition energy of an RMH move.  Parity: ``pseudo_marginal.py:438-449``.
+
+    ``proposal_logdensity_fn(state_from, state_to)`` must return the
+    log-density of the proposal move *from* the first argument *to* the
+    second (i.e. :math:`\\log q(x_{\\text{to}} \\mid x_{\\text{from}})`,
+    evaluated at the SECOND argument's position).  With that convention
+    the assembled acceptance ratio is the textbook Metropolis-Hastings
+    :math:`\\pi(x') q(x \\mid x') / [\\pi(x)\\, q(x' \\mid x)]` — pinned
+    against the closed form in
+    ``tests/test_pseudo_marginal_kernels.py``.  (The energy
+    :math:`E(\\text{prev} \\to \\text{new}) = -\\log \\pi(x_{\\text{new}})
+    - \\log q(x_{\\text{prev}} \\mid x_{\\text{new}})` carries the
+    reverse-move density, as in the reference's blackjax fork.)
     """
     if proposal_logdensity_fn is None:
 
@@ -306,6 +318,12 @@ def irmh_as_top_level_api(
     """
     User interface for the independent RMH.
     Parity: ``pseudo_marginal.py:277-329``.
+
+    ``proposal_logdensity_fn(state_from, state_to)`` (needed because an
+    independent proposal is NOT symmetric) follows the convention of
+    :func:`build_rmh_transition_energy`: return the proposal log-density
+    evaluated at the SECOND argument's position, i.e. for an independent
+    proposal ``q`` simply ``log q(state_to.position)``.
     """
     kernel = build_irmh()
 
@@ -359,6 +377,11 @@ def rmh_as_top_level_api(
     """
     User interface for the general RMH.
     Parity: ``pseudo_marginal.py:382-435``.
+
+    For an asymmetric ``proposal_generator``, supply
+    ``proposal_logdensity_fn(state_from, state_to)`` returning the
+    transition log-density from the first argument to the second (see
+    :func:`build_rmh_transition_energy`).
     """
     kernel = build_rmh()
 
