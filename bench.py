@@ -306,55 +306,10 @@ def _ess_total(x):
     return ess(x)
 
 
-def _sync(out):
-    """Force completion of the computation producing ``out``.
-
-    ``block_until_ready`` on the experimental TPU tunnel acknowledges
-    *enqueue*, not completion (measured: repeated un-consumed calls
-    "complete" in ~30 us while the device still runs) — only a host
-    readback is a reliable sync point.  Reads ONE element (4 bytes), so
-    the cost is a constant tunnel roundtrip, measured separately by
-    ``_probe_cost`` and subtracted from every timing."""
-    import jax
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    float(jax.numpy.ravel(leaf)[0])
-
-
-def _timeit(fn, args, n_rep=5, per=1, min_window=0.3):
-    """Amortized drain protocol: n back-to-back calls, ONE host sync at
-    the end (the submission queue is FIFO, so the final readback drains
-    every call), minus the separately measured sync roundtrip.  Per-rep
-    syncing would add the ~30-40 ms tunnel roundtrip to every
-    measurement.
-
-    The probe roundtrip itself has ~10 ms jitter, so a measurement whose
-    drained work is comparable to the probe is pure noise (observed: a
-    3-call window of a 1 ms kernel "measuring" 384e9 evals/s when
-    total - probe went negative).  Reps therefore escalate until the
-    window is at least ``max(min_window, 8 x probe)`` of wall clock;
-    ``n_rep`` is only the starting point."""
-    out = fn(*args)
-    _sync(out)
-    probe = min(_probe_once(out) for _ in range(3))
-    reps = max(n_rep, 1)
-    floor = max(min_window, 8.0 * probe)
-    while True:
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(*args)
-        _sync(out)
-        total = time.perf_counter() - t0 - probe
-        if total >= floor or reps >= 4096:
-            break
-        scale = floor / max(total, 0.25 * probe, 1e-4)
-        reps = min(4096, max(2 * reps, int(reps * scale) + 1))
-    return max(total, 1e-9) / (reps * per), out
-
-
-def _probe_once(out):
-    t0 = time.perf_counter()
-    _sync(out)
-    return time.perf_counter() - t0
+# timing machinery lives in the public profiling API
+# (rodeo_tpu.ops.profile.profile_solve exposes the same protocol
+# to users); bench.py reuses it so the audit and the API agree
+from rodeo_tpu.ops.profile import _sync, _probe_once, _timeit  # noqa: E402,F401
 
 
 class _row:
