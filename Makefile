@@ -1,11 +1,17 @@
-.PHONY: test test-fast test-upstream bench timings timings-tpu examples \
-	tutorials docs
+.PHONY: test test-fast smoke test-upstream bench timings timings-tpu \
+	examples tutorials docs
 
 test:
 	python -m pytest tests/ -q
 
-test-fast:
-	python -m pytest tests/ -q -x -m "not slow"
+# smoke tier: excludes every test measured >= 10 s on the 1-core bench
+# VM (tests/slow_tests.txt, applied by conftest.py) — ~8 min vs ~85 min
+# for the full suite; regenerate the manifest with
+#   pytest tests/ -q --durations=0
+smoke:
+	python -m pytest tests/ -q -m "not slow"
+
+test-fast: smoke
 
 # the upstream reference's own unittest suite, run against this package
 test-upstream:

@@ -570,6 +570,25 @@ def fenrir_stationary(key, ode_fun, ode_weight, ode_init,
     Fully differentiable (the frozen-gain approximation is itself a
     smooth function of the inputs).
 
+    ACCURACY MODEL — choose ``n_warm`` for the likelihood, not the
+    solve: the freeze error of the *value* scales like
+    :math:`(N - n_{\text{warm}})\,\rho^{n_{\text{warm}}}` with
+    :math:`\rho` the slowest Riccati convergence rate, and the
+    *gradient* amplifies it.  On strongly observed / dissipative
+    configurations :math:`\rho` is small and ``n_warm`` of a few tens
+    reaches float precision (measured 1e-9 relative at ``n_warm=5`` on
+    the mild heat fixture).  On weakly observed stiff configurations
+    with diffuse priors the filter covariance has slow modes
+    (:math:`\rho \approx 0.96` measured on the d=32 heat benchmark
+    config — value 3e-4 relative at ``n_warm=32`` but gradient O(1)
+    there; see ``docs/design.md``).  The dial goes all the way to
+    EXACT: at ``n_warm >= n_steps`` the warm prefix covers every row
+    and the result equals :func:`rodeo_tpu.ops.precond.fenrir` to
+    machine precision (measured 4e-16/5e-14 value/grad) — still
+    several-fold faster, since the interrogation is hoisted out of the
+    covariance scan and the backward pass touches only observation
+    rows.
+
     Returns:
         (float): the fenrir log-likelihood
         :math:`\log p(Y_{0:M} \mid Z_{1:N})`.
@@ -600,15 +619,12 @@ def fenrir_stationary(key, ode_fun, ode_weight, ode_init,
         raise ValueError(
             f"observation rows {obs_ind} fall outside the solution grid "
             f"[0, {n_steps}]")
-    if n_warm >= n_steps:
-        from rodeo_tpu.ops import precond
-        return precond.fenrir(
-            key=key, ode_fun=ode_fun, ode_weight=ode_weight,
-            ode_init=ode_init, t_min=t_min, t_max=t_max, n_steps=n_steps,
-            interrogate=interrogate, prior_pars=prior_pars,
-            obs_data=obs_data, obs_times=obs_times,
-            obs_weight=obs_weight, obs_var=obs_var, n_deriv=n_deriv,
-            **params)
+    # n_warm >= n_steps: the warm prefix covers every row, the frozen
+    # region is empty, and the core computes the EXACT fenrir likelihood
+    # (still several-fold faster than precond.fenrir — the interrogation
+    # is hoisted out of the Riccati scan and the backward pass skips the
+    # between-observation updates)
+    n_warm = min(int(n_warm), int(n_steps))
 
     t_vec, W_s, x0_s, (Q, R) = _scaled_inputs(
         ode_weight, ode_init, prior_pars, t_min, t_max, n_steps, n_deriv)

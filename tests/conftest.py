@@ -23,3 +23,25 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Apply the ``slow`` marker from the measured-duration manifest.
+
+    ``tests/slow_tests.txt`` lists every test that took >= 10 s on the
+    1-core bench VM (regenerate from ``pytest --durations=0``); marking
+    is data-driven so the two-tier split (``make smoke`` ~8 min vs
+    ``make test`` ~85 min) never requires editing test files.  Unknown
+    new tests default to the smoke tier until re-measured.
+    """
+    import pathlib
+    import pytest
+
+    manifest = pathlib.Path(__file__).parent / "slow_tests.txt"
+    if not manifest.exists():
+        return
+    slow = {line.strip() for line in manifest.read_text().splitlines()
+            if line.strip() and not line.startswith("#")}
+    for item in items:
+        if item.nodeid in slow:
+            item.add_marker(pytest.mark.slow)

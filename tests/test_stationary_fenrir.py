@@ -98,6 +98,43 @@ def test_n_warm_fallback_to_exact():
     assert abs(ll_fb - ll_exact) < 1e-10 * max(abs(ll_exact), 1.0)
 
 
+def test_exact_mode_on_slow_riccati_config():
+    """The d=32 heat benchmark config has Riccati slow modes (rho~0.96)
+    where moderate n_warm leaves an O(1) gradient bias; n_warm=n_steps
+    must be exact to machine precision, value AND gradient."""
+    d, p, n_steps, kappa = 16, 3, 80, 0.01
+    cfg = heat.setup(d=d, n_deriv=p, n_steps=n_steps, kappa=kappa,
+                     prior_sigma=5e3, dtype=jnp.float64)
+    exact = cfg.pop("exact")
+    obs_idx = np.linspace(8, n_steps, 10, dtype=int)
+    obs_times = np.asarray(obs_idx / n_steps)
+    rng = np.random.default_rng(1)
+    y = np.stack([exact(float(t)) for t in obs_times])[:, None, :] \
+        + 0.01 * rng.standard_normal((10, 1, d))
+    D = np.zeros((10, 1, d, d * p))
+    for i in range(d):
+        D[:, 0, i, i * p] = 1.0
+    L_unit = jnp.asarray(heat.laplacian(d, kappa=1.0))
+
+    def ode_fun(X_t, t, kappa=kappa):
+        return (kappa * (L_unit @ X_t[0, ::p]))[None, :]
+
+    kw = dict(key=None, ode_fun=ode_fun, ode_weight=cfg["ode_weight"],
+              ode_init=cfg["ode_init"], t_min=0.0, t_max=1.0,
+              n_steps=n_steps, interrogate=interrogate_kramer,
+              prior_pars=cfg["prior_pars"], obs_data=jnp.asarray(y),
+              obs_times=obs_times, obs_weight=jnp.asarray(D),
+              obs_var=1e-4 * jnp.broadcast_to(jnp.eye(d),
+                                              (10, 1, d, d)))
+    v_e, g_e = jax.value_and_grad(
+        lambda k: precond.fenrir(n_deriv=p, kappa=k, **kw))(kappa)
+    v, g = jax.value_and_grad(
+        lambda k: fenrir_stationary(n_deriv=p, n_warm=n_steps, kappa=k,
+                                    **kw))(kappa)
+    assert abs(float(v - v_e)) < 1e-10 * abs(float(v_e))
+    assert abs(float(g - g_e)) < 1e-9 * abs(float(g_e))
+
+
 def test_traced_obs_times_raises():
     kw = _setup(np.array([10, 30]))
     obs_times = kw.pop("obs_times")
