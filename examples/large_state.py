@@ -14,7 +14,14 @@ solution (the initial profile is an exact Laplacian eigenvector):
    heat RHS is affine and time-invariant);
 3. the stationary solver with marginal-only covariance output
    (`var_out="diag"` — the full covariance grid is the HBM wall for
-   d >> 128).
+   d >> 128);
+4. PARAMETER INFERENCE in the same regime: the stationary fenrir
+   likelihood (`ops.stationary.fenrir_stationary`) and its
+   `jax.grad` w.r.t. the diffusivity kappa on ~20 noisy observations
+   of the solution — the library's headline job, now at large-state
+   cost O(n_warm + M log gap) instead of O(N) covariance steps (on
+   CPU the value/gradient are cross-checked against the exact
+   `precond.fenrir` path).
 
 Run: python examples/large_state.py          (CPU, f64, small d)
      python examples/large_state.py --tpu    (ambient accelerator, f32,
@@ -82,6 +89,73 @@ def main():
             key=None, interrogate=interrogate_kramer, n_deriv=p,
             n_warm=64, var_out="diag", **cfg)),
         exact, p, cfg["t_max"])
+    infer_kappa(cfg, exact, p, d, n_steps, dtype)
+
+
+def infer_kappa(cfg, exact, p, d, n_steps, dtype):
+    """Stationary fenrir: likelihood + gradient w.r.t. the diffusivity."""
+    from rodeo_tpu.models.heat import laplacian, KAPPA
+    from rodeo_tpu.ops.stationary import fenrir_stationary
+
+    n_obs = 20
+    obs_idx = np.linspace(n_steps // n_obs, n_steps, n_obs, dtype=int)
+    t_min, t_max = cfg["t_min"], cfg["t_max"]
+    obs_times = np.asarray(t_min + obs_idx * (t_max - t_min) / n_steps)
+    rng = np.random.default_rng(0)
+    y = np.stack([exact(float(t)) for t in obs_times])[:, None, :] \
+        + 0.01 * rng.standard_normal((n_obs, 1, d))
+    D = np.zeros((n_obs, 1, d, d * p))
+    for i in range(d):
+        D[:, 0, i, i * p] = 1.0
+    L_unit = jnp.asarray(laplacian(d, kappa=1.0), dtype)
+
+    def ode_fun(X_t, t, kappa=KAPPA):
+        return (kappa * (L_unit @ X_t[0, ::p]))[None, :]
+
+    kw = dict(key=None, ode_fun=ode_fun, ode_weight=cfg["ode_weight"],
+              ode_init=cfg["ode_init"], t_min=t_min, t_max=t_max,
+              n_steps=n_steps, interrogate=interrogate_kramer,
+              prior_pars=cfg["prior_pars"], obs_data=jnp.asarray(y, dtype),
+              obs_times=obs_times, obs_weight=jnp.asarray(D, dtype),
+              obs_var=1e-4 * jnp.broadcast_to(
+                  jnp.eye(d, dtype=dtype), (n_obs, 1, d, d)))
+
+    kappa0 = jnp.asarray(KAPPA, dtype)
+    results = {}
+    # n_warm governs a freeze-accuracy dial (see fenrir_stationary's
+    # ACCURACY MODEL): heat + diffuse prior is a SLOW-Riccati config, so
+    # show the fast approximation next to the machine-exact full-prefix
+    # mode (n_warm = n_steps), which is what gradient-based inference
+    # should use here
+    for tag, nw in (("n_warm=64 (frozen tail)", 64),
+                    ("n_warm=n_steps (exact)", n_steps)):
+        ll = jax.jit(lambda k, nw=nw: fenrir_stationary(
+            n_deriv=p, n_warm=nw, kappa=k, **kw))
+        vg = jax.jit(jax.value_and_grad(
+            lambda k, nw=nw: fenrir_stationary(
+                n_deriv=p, n_warm=nw, kappa=k, **kw)))
+        v, g = vg(kappa0)
+        jax.block_until_ready(g)
+        t_ll = min(timeit.repeat(
+            lambda: jax.block_until_ready(ll(kappa0)), number=1,
+            repeat=3))
+        t_vg = min(timeit.repeat(
+            lambda: jax.block_until_ready(vg(kappa0)[1]), number=1,
+            repeat=3))
+        results[nw] = (float(v), float(g))
+        print(f"{'fenrir ' + tag:>34s}: {t_ll * 1e3:9.1f} ms   "
+              f"ll = {float(v):.2f}")
+        print(f"{'  + grad d(ll)/d(kappa)':>34s}: {t_vg * 1e3:9.1f} ms   "
+              f"grad = {float(g):.4g}")
+    if not _TPU:
+        from rodeo_tpu.ops import precond
+        v_e, g_e = jax.value_and_grad(lambda k: precond.fenrir(
+            n_deriv=p, kappa=k, **kw))(kappa0)
+        v, g = results[n_steps]
+        print(f"{'  exact-mode cross-check':>34s}: "
+              f"|dll| = {abs(v - float(v_e)):.2e}, "
+              f"|dgrad|/|grad| = "
+              f"{abs(g - float(g_e)) / abs(float(g_e)):.2e}")
 
 
 if __name__ == "__main__":
