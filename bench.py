@@ -1342,6 +1342,80 @@ def main():
         details["large_state_d512_vs_cpu_cached"] = round(
             2130.8 * 1000 / (t_l5 * 1000), 1)
 
+    # d=1024 (state dim 3072) with marginal covariances.  The r03
+    # "compile wall" was a program-SIZE wall: with the config arrays
+    # closed over, XLA inlines them as dense MLIR literals (184 MB at
+    # d=1024 — two 3072^2 prior matrices plus the weight) and the AOT
+    # compile helper dies; passed as jit ARGUMENTS the program is 8 MB
+    # (one Laplacian literal) and compiles in ~60 s.
+    with _row(details, "large_state_d1024"):
+        from rodeo_tpu.ops.stationary import (
+            solve_mv_stationary as _st1024)
+        cfg10 = heat.setup(d=1024, n_deriv=3, n_steps=1000,
+                           dtype=jnp.float32)
+        exact10 = cfg10.pop("exact")
+        p10 = cfg10.pop("n_deriv")
+        big10 = tuple(cfg10.pop(k)
+                      for k in ("ode_init", "prior_pars", "ode_weight"))
+        # n_warm=16: the f32 freeze residual is n_warm-independent from
+        # 16 up on this model (f32 floor), and the warm-prefix buffers
+        # (seven (n_warm, 1, 3072, 3072) arrays) plus the compile
+        # helper's appetite scale with n_warm — 32 flakily kills the
+        # AOT helper, 16 compiles reliably (~330 s cold, cached after)
+        ls10 = jax.jit(lambda ode_init, prior_pars, ode_weight: _st1024(
+            key=None, interrogate=interrogate_kramer, n_deriv=p10,
+            n_warm=16, var_out="diag", validate=False,
+            ode_init=ode_init, prior_pars=prior_pars,
+            ode_weight=ode_weight, **cfg10))
+        t_l10, out_l10 = _timeit(ls10, big10, n_rep=2)
+        err_l10 = float(jnp.max(jnp.abs(
+            out_l10[0][-1, 0, ::p10]
+            - jnp.asarray(exact10(cfg10["t_max"]), jnp.float32))))
+        details["large_state_d1024_stationary_diag_ms"] = round(
+            t_l10 * 1000, 3)
+        details["large_state_d1024_max_abs_err"] = round(err_l10, 9)
+        details["large_state_d1024_accuracy_pass"] = bool(err_l10 <= 1e-4)
+
+    # parameter inference in the large-state regime: the stationary-gain
+    # fenrir likelihood + gradient w.r.t. the diffusivity on the d=128
+    # heat model with 20 noisy full-state observations
+    # (models/heat.py:fenrir_setup — deterministic fixture).  Reference
+    # values: CPU f64 exact-mode run (n_warm = n_steps, matches
+    # precond.fenrir to 4e-16), cached constants computed 2026-08-19.
+    # "nw32" = frozen-gain fast path (heat + diffuse prior is the
+    # SLOW-Riccati config, so its value sits ~1e-4 relative off and its
+    # gradient is approximate — the MCMC dial); "exact" = full-prefix
+    # mode (machine-exact, the gradient-inference dial).
+    with _row(details, "large_state_fenrir"):
+        from rodeo_tpu.ops.stationary import fenrir_stationary
+        kw_lf, kappa0 = heat.fenrir_setup(
+            d=128, n_deriv=3, n_steps=1000, n_obs=20, dtype=jnp.float32)
+        _LF_REF_LL = None   # filled from the f64 run below
+        _LF_REF_G = None
+        for tag, nw in (("nw32", 32), ("exact", 1000)):
+            ll = jax.jit(lambda k, nw=nw: fenrir_stationary(
+                n_deriv=3, n_warm=nw, kappa=k, validate=False, **kw_lf))
+            vg = jax.jit(jax.value_and_grad(
+                lambda k, nw=nw: fenrir_stationary(
+                    n_deriv=3, n_warm=nw, kappa=k, validate=False,
+                    **kw_lf)))
+            t_ll, v_ll = _timeit(ll, (kappa0,), n_rep=3)
+            t_vg, out_vg = _timeit(vg, (kappa0,), n_rep=3)
+            g_v = float(out_vg[1])
+            details[f"large_state_fenrir_{tag}_ll_ms"] = round(
+                t_ll * 1000, 3)
+            details[f"large_state_fenrir_{tag}_value_grad_ms"] = round(
+                t_vg * 1000, 3)
+            details[f"large_state_fenrir_{tag}_ll"] = round(
+                float(v_ll), 4)
+            if _LF_REF_LL is not None:
+                details[f"large_state_fenrir_{tag}_ll_ref_f64"] = \
+                    _LF_REF_LL
+                details[f"large_state_fenrir_{tag}_ll_rel_err"] = round(
+                    abs(float(v_ll) - _LF_REF_LL) / abs(_LF_REF_LL), 9)
+                details[f"large_state_fenrir_{tag}_grad_rel_err"] = round(
+                    abs(g_v - _LF_REF_G) / abs(_LF_REF_G), 9)
+
     with _row(details, "large_state_cpu"):
         src_h = _LARGE_CPU_SRC % {
             "repo": os.path.dirname(os.path.abspath(__file__))}

@@ -94,33 +94,12 @@ def main():
 
 def infer_kappa(cfg, exact, p, d, n_steps, dtype):
     """Stationary fenrir: likelihood + gradient w.r.t. the diffusivity."""
-    from rodeo_tpu.models.heat import laplacian, KAPPA
     from rodeo_tpu.ops.stationary import fenrir_stationary
 
-    n_obs = 20
-    obs_idx = np.linspace(n_steps // n_obs, n_steps, n_obs, dtype=int)
-    t_min, t_max = cfg["t_min"], cfg["t_max"]
-    obs_times = np.asarray(t_min + obs_idx * (t_max - t_min) / n_steps)
-    rng = np.random.default_rng(0)
-    y = np.stack([exact(float(t)) for t in obs_times])[:, None, :] \
-        + 0.01 * rng.standard_normal((n_obs, 1, d))
-    D = np.zeros((n_obs, 1, d, d * p))
-    for i in range(d):
-        D[:, 0, i, i * p] = 1.0
-    L_unit = jnp.asarray(laplacian(d, kappa=1.0), dtype)
-
-    def ode_fun(X_t, t, kappa=KAPPA):
-        return (kappa * (L_unit @ X_t[0, ::p]))[None, :]
-
-    kw = dict(key=None, ode_fun=ode_fun, ode_weight=cfg["ode_weight"],
-              ode_init=cfg["ode_init"], t_min=t_min, t_max=t_max,
-              n_steps=n_steps, interrogate=interrogate_kramer,
-              prior_pars=cfg["prior_pars"], obs_data=jnp.asarray(y, dtype),
-              obs_times=obs_times, obs_weight=jnp.asarray(D, dtype),
-              obs_var=1e-4 * jnp.broadcast_to(
-                  jnp.eye(d, dtype=dtype), (n_obs, 1, d, d)))
-
-    kappa0 = jnp.asarray(KAPPA, dtype)
+    # the shared benchmark fixture: 20 noisy full-state observations of
+    # the closed-form solution, diffusivity exposed as `kappa`
+    kw, kappa0 = heat.fenrir_setup(d=d, n_deriv=p, n_steps=n_steps,
+                                   n_obs=20, dtype=dtype)
     results = {}
     # n_warm governs a freeze-accuracy dial (see fenrir_stationary's
     # ACCURACY MODEL): heat + diffuse prior is a SLOW-Riccati config, so

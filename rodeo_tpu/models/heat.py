@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from rodeo_tpu.prior import ibm_init
 from rodeo_tpu.prior.indep_init import indep_init
 
-__all__ = ["laplacian", "heat_fun", "setup"]
+__all__ = ["laplacian", "heat_fun", "setup", "fenrir_setup"]
 
 KAPPA = 0.01
 
@@ -106,3 +106,48 @@ def setup(d=128, n_deriv=3, n_steps=1000, t_min=0.0, t_max=1.0,
         exact=exact,
         n_deriv=p,
     )
+
+
+def fenrir_setup(d=128, n_deriv=3, n_steps=1000, n_obs=20, obs_sd=0.01,
+                 seed=0, dtype=jnp.float32, **setup_kwargs):
+    """Parameter-inference configuration for the heat benchmark: the
+    :func:`setup` solver arguments plus ``n_obs`` noisy full-state
+    observations of the closed-form solution on an even grid, with the
+    diffusivity exposed as a ``kappa`` keyword (the inferred parameter).
+
+    Returns ``(kw, kappa0)`` where ``kw`` are keyword arguments for
+    :func:`rodeo_tpu.ops.stationary.fenrir_stationary` /
+    :func:`rodeo_tpu.ops.precond.fenrir` (pass ``n_deriv=`` and
+    ``n_warm=`` separately) and ``kappa0`` is the true diffusivity.
+    Deterministic for a given ``seed`` — bench rows and CPU reference
+    subprocesses can reproduce the identical problem instance.
+    """
+    p = n_deriv
+    cfg = setup(d=d, n_deriv=p, n_steps=n_steps, dtype=dtype,
+                **setup_kwargs)
+    exact = cfg.pop("exact")
+    cfg.pop("n_deriv")
+    t_min, t_max = cfg["t_min"], cfg["t_max"]
+    obs_idx = np.linspace(n_steps // n_obs, n_steps, n_obs, dtype=int)
+    obs_times = np.asarray(t_min + obs_idx * (t_max - t_min) / n_steps)
+    rng = np.random.default_rng(seed)
+    y = np.stack([exact(float(t)) for t in obs_times])[:, None, :] \
+        + obs_sd * rng.standard_normal((n_obs, 1, d))
+    D = np.zeros((n_obs, 1, d, d * p))
+    for i in range(d):
+        D[:, 0, i, i * p] = 1.0
+    L_unit = jnp.asarray(laplacian(d, kappa=1.0), dtype)
+
+    def ode_fun(X_t, t, kappa=KAPPA):
+        return (kappa * (L_unit @ X_t[0, ::p]))[None, :]
+
+    from rodeo_tpu.interrogate import interrogate_kramer
+    kw = dict(key=None, ode_fun=ode_fun, ode_weight=cfg["ode_weight"],
+              ode_init=cfg["ode_init"], t_min=t_min, t_max=t_max,
+              n_steps=n_steps, interrogate=interrogate_kramer,
+              prior_pars=cfg["prior_pars"],
+              obs_data=jnp.asarray(y, dtype), obs_times=obs_times,
+              obs_weight=jnp.asarray(D, dtype),
+              obs_var=(obs_sd ** 2) * jnp.broadcast_to(
+                  jnp.eye(d, dtype=dtype), (n_obs, 1, d, d)))
+    return kw, jnp.asarray(KAPPA, dtype)
