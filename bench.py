@@ -1390,8 +1390,12 @@ def main():
         from rodeo_tpu.ops.stationary import fenrir_stationary
         kw_lf, kappa0 = heat.fenrir_setup(
             d=128, n_deriv=3, n_steps=1000, n_obs=20, dtype=jnp.float32)
-        _LF_REF_LL = None   # filled from the f64 run below
-        _LF_REF_G = None
+        # CPU f64 exact-mode (n_warm=n_steps) value+grad via jax.jvp,
+        # 720 s single-core run, 2026-08-19; deterministic fixture
+        # (heat.fenrir_setup seed=0) so the constants stay valid until
+        # the fixture or the likelihood formulation changes
+        _LF_REF_LL = 8164.0849596394
+        _LF_REF_G = 39105.2491452824
         for tag, nw in (("nw32", 32), ("exact", 1000)):
             ll = jax.jit(lambda k, nw=nw: fenrir_stationary(
                 n_deriv=3, n_warm=nw, kappa=k, validate=False, **kw_lf))
