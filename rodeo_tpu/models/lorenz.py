@@ -38,13 +38,18 @@ def lorenz_fun(X_t, t, theta):
 def lorenz_flat(x_cols, th, t):
     """Mosaic-safe Lorenz63 right-hand side for the fused Pallas kernels.
 
-    ``x_cols`` is a list of ``n_deriv`` columns of shape ``(n_vars, 1)``
-    (column ``j`` = j-th derivative of every variable); returns ``(3, 1)``.
+    ``x_cols`` is a list of ``n_deriv`` columns of shape
+    ``(n_vars * fold, n_lane)`` (column ``j`` = j-th derivative of every
+    variable; variable ``b`` occupies the ``fold`` consecutive rows
+    ``b*fold:(b+1)*fold`` — the lane-folded tile layout, ``fold=1`` being
+    the plain one-row-per-variable case).  ``th`` rows are grouped the
+    same way.  Returns ``(3 * fold, n_lane)``.
     """
     del t
     x0 = x_cols[0]
-    x, y, z = x0[0:1, :], x0[1:2, :], x0[2:3, :]
-    rho, sigma, beta = th[0:1, :], th[1:2, :], th[2:3, :]
+    F = x0.shape[0] // N_VARS
+    x, y, z = x0[0:F, :], x0[F:2 * F, :], x0[2 * F:3 * F, :]
+    rho, sigma, beta = th[0:F, :], th[F:2 * F, :], th[2 * F:3 * F, :]
     f0 = -sigma * x + sigma * y
     f1 = rho * x - y - x * z
     f2 = -beta * z + x * y
@@ -54,12 +59,14 @@ def lorenz_flat(x_cols, th, t):
 def lorenz_jac_flat(x_cols, th, t):
     """Mosaic-safe block-diagonal Jacobian columns of :func:`lorenz_flat`.
 
-    Column ``j`` is ``d f_b / d x_{b,j}`` of shape ``(3, 1)``; ``None``
-    marks known-zero columns.  Only the 0th derivative enters ``f``, and
-    the in-block partials are ``(-sigma, -1, -beta)``.
+    Column ``j`` is ``d f_b / d x_{b,j}`` of shape ``(3 * fold, n_lane)``
+    (same row grouping as :func:`lorenz_flat`); ``None`` marks known-zero
+    columns.  Only the 0th derivative enters ``f``, and the in-block
+    partials are ``(-sigma, -1, -beta)``.
     """
     del x_cols, t
-    sigma, beta = th[1:2, :], th[2:3, :]
+    F = th.shape[0] // 3
+    sigma, beta = th[F:2 * F, :], th[2 * F:3 * F, :]
     one = jnp.ones_like(sigma)
     col0 = jnp.concatenate([-sigma, -one, -beta], axis=0)
     return [col0] + [None] * (N_DERIV - 1)

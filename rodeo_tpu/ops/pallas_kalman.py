@@ -1292,11 +1292,56 @@ def _pick_chunk_batch(n_steps, n_lane, budget_bytes=6 * 2 ** 20):
     return _pick_chunk(n_steps, target=target)
 
 
+def _lane_fold_factor(n_block, n_lane):
+    """Lane->sublane fold factor for the batch kernels.
+
+    Column tiles are ``(n_block, n_lane)``; vregs are (8, 128), so a
+    small block dim occupies only ``n_block/8`` of every vector op AND
+    pads every HBM stream the same way — measured as the 0.39 VPU
+    ceiling at ``n_block=3`` (= 3/8).  Folding ``F`` lane groups into
+    the sublane dim (tiles ``(n_block*F, n_lane/F)``) makes the tiles
+    dense.  ``F = 8/gcd(n_block, 8)`` fills vregs exactly; folding only
+    pays (and only applies) when the folded lane dim stays a multiple
+    of the 128-lane vreg width.  Per-lane arithmetic is unchanged — the
+    fold is a pure relabeling of lanes."""
+    best_F, best_occ = 1, n_block / (-(-n_block // 8) * 8)
+    for F in (2, 4, 8):
+        if n_lane % (F * 128):
+            continue
+        occ = (n_block * F) / (-(-(n_block * F) // 8) * 8)
+        if occ > best_occ + 1e-9:
+            best_F, best_occ = F, occ
+    return best_F
+
+
+def _fold_lanes(a, F):
+    """Fold ``(..., n_block, n_lane)`` -> ``(..., n_block*F, n_lane/F)``
+    (free reshapes: lane ``L = s*(n_lane/F) + l`` maps to sublane group
+    ``s`` of its block's ``F`` rows)."""
+    if F == 1:
+        return a
+    shape = a.shape
+    nb, nl = shape[-2], shape[-1]
+    a = a.reshape(shape[:-1] + (F, nl // F))
+    return a.reshape(shape[:-2] + (nb * F, nl // F))
+
+
+def _unfold_lanes(a, F):
+    """Inverse of :func:`_fold_lanes`:
+    ``(..., n_block*F, n_lane/F)`` -> ``(..., n_block, n_lane)``."""
+    if F == 1:
+        return a
+    shape = a.shape
+    nbf, nlf = shape[-2], shape[-1]
+    a = a.reshape(shape[:-2] + (nbf // F, F, nlf))
+    return a.reshape(shape[:-2] + (nbf // F, F * nlf))
+
+
 def fused_filter_batch(ode_flat, jac_flat, n_steps,
                        prior_weight, prior_var, ode_weight, x0_lanes,
                        theta_lanes, tgrid, t_vec, chunk=None,
                        interpret="auto", raw_q_const=None,
-                       mode=None, eps=None, emit="states"):
+                       mode=None, eps=None, emit="states", fold=1):
     """Lane-batched fused forward filter.
 
     Args:
@@ -1312,6 +1357,12 @@ def fused_filter_batch(ode_flat, jac_flat, n_steps,
             smoothing gains computed in-register instead of the raw
             filter states, skipping the batched-XLA gains stage (and its
             full HBM round-trip) in the smoothing/backward consumers.
+        fold (int): lane->sublane fold factor (:func:`_lane_fold_factor`)
+            densifying the ``(n_block, n_lane)`` column tiles to
+            ``(n_block*fold, n_lane/fold)`` — up to ``8/n_block`` x on
+            both VPU issue slots and HBM streams when ``n_block < 8``.
+            All outputs come back in the FOLDED layout (unfold with
+            ``_unfold_lanes``); per-lane arithmetic is identical.
         (other args as :func:`fused_filter`; prior/weights shared across
         lanes)
 
@@ -1335,12 +1386,26 @@ def fused_filter_batch(ode_flat, jac_flat, n_steps,
         mode = "kramer" if jac_flat is not None else "rodeo"
     if mode == "chkrebtii" and eps is None:
         raise ValueError("mode='chkrebtii' requires eps draws")
-    if chunk is None:
-        chunk = _pick_chunk_batch(n_steps, n_lane)
-    n_chunks = n_steps // chunk
     q_const = _const_coefs(prior_weight)
     if q_const is None:
         q_const = raw_q_const
+    F = int(fold)
+    if F > 1:
+        if n_lane % F:
+            raise ValueError(f"fold={F} must divide n_lane={n_lane}")
+        # fold per-lane data (free reshapes) and repeat the lane-shared
+        # per-block rows F times so block b occupies rows b*F:(b+1)*F
+        x0_lanes = _fold_lanes(x0_lanes, F)
+        theta_lanes = _fold_lanes(theta_lanes, F)
+        if eps is not None:
+            eps = _fold_lanes(eps, F)
+        prior_weight = jnp.repeat(prior_weight, F, axis=0)
+        prior_var = jnp.repeat(prior_var, F, axis=0)
+        ode_weight = jnp.repeat(ode_weight, F, axis=0)
+        n_block, n_lane = n_block * F, n_lane // F
+    if chunk is None:
+        chunk = _pick_chunk_batch(n_steps, n_lane)
+    n_chunks = n_steps // chunk
     kern = functools.partial(_filter_kernel_batch, ode_flat, jac_flat,
                              mode, chunk, q, n_block, n_tri, n_lane,
                              q_const, emit)
@@ -1632,18 +1697,23 @@ def solve_mv_fused_batch(thetas, ode_weight, ode_inits,
             key, (n_steps, q, n_block, n_lane), jnp.float32)
     # forward filter emitting the smoothing gains straight from the
     # kernel; entry 0 (conditioning onto the Dirac initial state) is not
-    # needed by the smoother, whose seed is the final filtered state
+    # needed by the smoother, whose seed is the final filtered state.
+    # fold: run the kernels on lane-folded (nb*F, B/F) tiles — dense
+    # vregs and dense HBM streams where (nb, B) tiles waste 1 - nb/8
+    # of both (the r03 0.39-VPU ceiling); unfolded at assembly below
+    F = _lane_fold_factor(n_block, n_lane)
     A_k, b_k, C_k, m_last, p_last = fused_filter_batch(
         ode_flat, jac_flat, n_steps, Qs, Rs, W_s, x0_lanes,
         theta_lanes, tgrid, t_vec, chunk=chunk, interpret=interpret,
-        raw_q_const=q_const, mode=interrogation, eps=eps, emit="gains")
+        raw_q_const=q_const, mode=interrogation, eps=eps, emit="gains",
+        fold=F)
     ms, ps = smoother_recursion_batch(b_k[1:], A_k[1:], C_k[1:],
                                       m_last, p_last,
                                       chunk=chunk, interpret=interpret)
 
     # assemble (N+1, nb, q | n_tri, B) in original coordinates, lanes last
-    def rows(a):  # (T, d, nb, B) -> (T, nb, d, B)
-        return jnp.transpose(a, (0, 2, 1, 3))
+    def rows(a):  # (T, d, nb*F, B/F) -> (T, nb, d, B)
+        return jnp.transpose(_unfold_lanes(a, F), (0, 2, 1, 3))
 
     t_col = t_vec.astype(jnp.float32)[:, None]                # (q, 1)
     mean_rows = jnp.concatenate([
