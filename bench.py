@@ -1497,7 +1497,12 @@ def main():
             details["vpu_model"] = (
                 "570 f32 FLOP/step/block/lane (static count of the "
                 "column program) vs 1.9 TFLOP/s v5e VPU peak; MXU idle "
-                "by design at q=3")
+                "by design at q=3.  Tiles are lane-FOLDED to "
+                "(n_block*8, n_lane/8) so every vreg and HBM stream is "
+                "dense (the r03 0.39 was the 3/8 sublane-occupancy "
+                "ceiling of unfolded (3, n_lane) tiles); the residual "
+                "gap is the smoother's per-step dependent chain + "
+                "per-grid-step overhead (design.md fold section)")
     except Exception as e:  # noqa: BLE001
         details["roofline_error"] = repr(e)[:500]
 

@@ -30,7 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 from rodeo_tpu.ops.precond import taylor_scale, scale_prior
 from rodeo_tpu.ops.pallas_kalman import (
     _tri_idx, _pack_tri, _pick_chunk, _pick_chunk_batch, _sym_quadform,
-    _matvec, _acc, _interpret_mode, _static_scaled_qconst, p_cols_at)
+    _matvec, _acc, _interpret_mode, _static_scaled_qconst, p_cols_at,
+    _group_sum_rows, _fold_lanes, _unfold_lanes, _lane_fold_factor)
 
 __all__ = ["dalton_fused_batch", "dalton_fused_batch_grad"]
 
@@ -38,14 +39,15 @@ _LOG2PI = 1.8378770664093453
 
 
 def _dalton_filter_kernel(ode_flat, jac_flat, with_obs, chunk, q, n_block,
-                          n_tri, n_lane, q_const,
+                          n_tri, n_lane, q_const, fold,
                           r_ref, w_ref, x0_ref, th_ref, tgrid_ref, tv_ref,
                           d_ref, y_ref, om_ref, mask_ref, ld0_ref,
                           ld_ref,
                           m_scr, p_scr, ld_scr):
     """Forward filter accumulating the forecast log-density; with
     ``with_obs`` a masked scalar observation update (and its log-density)
-    follows each ODE update."""
+    follows each ODE update.  ``n_block``/``n_lane`` are the (possibly
+    lane-folded) tile dims; the log-density row is ``(fold, n_lane)``."""
     pairs, where = _tri_idx(q)
     gi = pl.program_id(0)
     Qm = q_const
@@ -101,8 +103,8 @@ def _dalton_filter_kernel(ode_flat, jac_flat, with_obs, chunk, q, n_block,
             S = S + S
         inv_S = 1.0 / S
         # ODE pseudo-observation forecast log-density
-        ld = ld - 0.5 * jnp.sum(z * z * inv_S + jnp.log(S) + _LOG2PI,
-                                axis=0, keepdims=True)
+        ld = ld - 0.5 * _group_sum_rows(
+            z * z * inv_S + jnp.log(S) + _LOG2PI, n_block // fold, fold)
         gain = [PH_cols[i] * inv_S for i in range(q)]
         mf_cols = [mp_cols[i] + gain[i] * z for i in range(q)]
         IKW = [[(1.0 if i == j else 0.0) - gain[i] * H_cols[j]
@@ -130,8 +132,9 @@ def _dalton_filter_kernel(ode_flat, jac_flat, with_obs, chunk, q, n_block,
                 zo = zo - D[i] * mf_cols[i]
             mask = mask_ref[gi * chunk + r, 0]
             inv_So = 1.0 / So
-            logp = -0.5 * jnp.sum(zo * zo * inv_So + jnp.log(So) + _LOG2PI,
-                                  axis=0, keepdims=True)
+            logp = -0.5 * _group_sum_rows(
+                zo * zo * inv_So + jnp.log(So) + _LOG2PI,
+                n_block // fold, fold)
             ld = ld + mask * logp
             K = [PD[i] * inv_So * mask for i in range(q)]
             mf_cols = [mf_cols[i] + K[i] * zo for i in range(q)]
@@ -322,9 +325,13 @@ def _dalton_filter_kernel_tan(ode_flat, jac_flat, with_obs, n_tan, chunk,
 
 def _dalton_prepare(thetas, ode_weight, ode_inits, t_min, t_max, n_steps,
                     prior_pars, obs_data, obs_times, obs_weight, obs_var,
-                    caller):
+                    caller, fold=1):
     """Shared scaled-coordinate / observation-grid setup for the fused
-    DALTON entry points (primal and tangent-augmented)."""
+    DALTON entry points (primal and tangent-augmented).  With
+    ``fold > 1`` every returned per-lane array comes back in the
+    lane-FOLDED layout (:func:`rodeo_tpu.ops.pallas_kalman._fold_lanes`)
+    with per-block rows repeated ``fold`` times and the seed log-density
+    as a ``(fold, n_lane/fold)`` row."""
     n_lane = thetas.shape[0]
     n_block, n_bmeas, q = ode_weight.shape
     n_obs, _, n_bobs, _ = obs_weight.shape
@@ -365,9 +372,11 @@ def _dalton_prepare(thetas, ode_weight, ode_inits, t_min, t_max, n_steps,
         obs_var[:, :, 0, :1].astype(jnp.float32))
     mask_grid = jnp.zeros((n_steps + 1, 1), jnp.float32)
     mask_grid = mask_grid.at[obs_ind, 0].set(1.0)
-    d_k = jnp.transpose(d_grid[1:], (0, 2, 1))[..., None]
-    y_k = jnp.transpose(y_grid[1:], (0, 2, 1))[..., None]
-    om_k = jnp.transpose(om_grid[1:], (0, 2, 1))[..., None]
+    rep_f = (lambda a, ax: jnp.repeat(a, fold, axis=ax)) if fold > 1 \
+        else (lambda a, ax: a)
+    d_k = rep_f(jnp.transpose(d_grid[1:], (0, 2, 1))[..., None], 2)
+    y_k = rep_f(jnp.transpose(y_grid[1:], (0, 2, 1))[..., None], 2)
+    om_k = rep_f(jnp.transpose(om_grid[1:], (0, 2, 1))[..., None], 2)
     mask_k = mask_grid[1:]
 
     # masked t = 0 observation term: log p(Y_0 | X_0) (batched, host-side;
@@ -376,11 +385,13 @@ def _dalton_prepare(thetas, ode_weight, ode_inits, t_min, t_max, n_steps,
     D0 = obs_weight[0, :, 0, :].astype(jnp.float32)      # (nb, q)
     mean_y0 = jnp.einsum("nq,nqb->nb", D0, x0_orig)      # (nb, B)
     z0 = y_grid[0] - mean_y0
-    ld0 = mask_grid[0, 0] * (-0.5) * jnp.sum(
-        z0 * z0 / om_grid[0] + jnp.log(om_grid[0]) + _LOG2PI,
-        axis=0, keepdims=True)
-    return (n_lane, n_block, q, n_tri, pairs, q_const, Rs, W_s, x0_lanes,
-            tgrid, t_vec, theta_lanes, d_k, y_k, om_k, mask_k, ld0)
+    ld0 = mask_grid[0, 0] * (-0.5) * _group_sum_rows(
+        _fold_lanes(z0 * z0 / om_grid[0] + jnp.log(om_grid[0]) + _LOG2PI,
+                    fold),
+        n_block, fold)
+    return (n_lane, n_block, q, n_tri, pairs, q_const, Rs, W_s,
+            _fold_lanes(x0_lanes, fold), tgrid, t_vec,
+            _fold_lanes(theta_lanes, fold), d_k, y_k, om_k, mask_k, ld0)
 
 
 def dalton_fused_batch(thetas, ode_weight, ode_inits,
@@ -404,24 +415,30 @@ def dalton_fused_batch(thetas, ode_weight, ode_inits,
     kalman_type = resolve_kalman_type(kalman_type)
     prior_pars = normalize_prior_pars(kalman_type, prior_pars)
     obs_var = normalize_meas_var(kalman_type, obs_var)
+    F = _lane_fold_factor(ode_weight.shape[0], thetas.shape[0])
     prep = _dalton_prepare(
         thetas, ode_weight, ode_inits, t_min, t_max, n_steps, prior_pars,
-        obs_data, obs_times, obs_weight, obs_var, "dalton_fused_batch")
+        obs_data, obs_times, obs_weight, obs_var, "dalton_fused_batch",
+        fold=F)
     (n_lane, n_block, q, n_tri, pairs, q_const, Rs, W_s, x0_lanes,
      tgrid, t_vec, theta_lanes, d_k, y_k, om_k, mask_k, ld0) = prep
+    nbf, nlf = n_block * F, n_lane // F
 
     if chunk is None:
-        chunk = _pick_chunk_batch(n_steps, n_lane)
+        # streams: D (q) + y/Om (2 narrow) in, plus the revolving
+        # chunk-row state traffic — 12 columns is a generous estimate
+        chunk = _pick_chunk_batch(n_steps, nlf, nbf, n_cols=12,
+                                  budget_bytes=12 * 2 ** 20)
     n_chunks = n_steps // chunk
     rep = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple([0] * len(shape)), memory_space=pltpu.VMEM)
     fwd4 = lambda i: (i, 0, 0, 0)
-    blk = lambda d, lanes: pl.BlockSpec((chunk, d, n_block, lanes), fwd4,
+    blk = lambda d, lanes: pl.BlockSpec((chunk, d, nbf, lanes), fwd4,
                                         memory_space=pltpu.VMEM)
     in_specs = [
-        rep((n_block, n_tri)),                          # R packed
-        rep((n_block, q)),                              # W
-        rep((q, n_block, n_lane)),                      # x0
+        rep((nbf, n_tri)),                              # R packed
+        rep((nbf, q)),                                  # W
+        rep((q, nbf, nlf)),                             # x0
         rep(theta_lanes.shape),                         # theta
         pl.BlockSpec((n_steps, 1), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),          # tgrid
@@ -431,36 +448,39 @@ def dalton_fused_batch(thetas, ode_weight, ode_inits,
         blk(1, 1),                                      # Om
         pl.BlockSpec((n_steps, 1), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),          # mask
-        rep((1, n_lane)),                               # seed logdens
+        rep((F, nlf)),                                  # seed logdens
     ]
-    R_packed = _pack_tri(Rs, pairs)
+    rep_rows = (lambda a: jnp.repeat(a, F, axis=0)) if F > 1 \
+        else (lambda a: a)
+    R_packed = rep_rows(_pack_tri(Rs, pairs))
+    W_rows = rep_rows(W_s)
 
     def run(with_obs, ld_seed):
         kern = functools.partial(
             _dalton_filter_kernel, ode_flat, jac_flat, with_obs,
-            chunk, q, n_block, n_tri, n_lane, q_const)
+            chunk, q, nbf, n_tri, nlf, q_const, F)
         return pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((1, n_lane), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((F, nlf), jnp.float32),
             grid=(n_chunks,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, n_lane), lambda i: (0, 0),
+            out_specs=pl.BlockSpec((F, nlf), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((q, n_block, n_lane), jnp.float32),
-                pltpu.VMEM((n_tri, n_block, n_lane), jnp.float32),
-                pltpu.VMEM((1, n_lane), jnp.float32),
+                pltpu.VMEM((q, nbf, nlf), jnp.float32),
+                pltpu.VMEM((n_tri, nbf, nlf), jnp.float32),
+                pltpu.VMEM((F, nlf), jnp.float32),
             ],
             interpret=_interpret_mode(interpret),
-        )(R_packed.astype(jnp.float32), W_s.astype(jnp.float32),
+        )(R_packed.astype(jnp.float32), W_rows.astype(jnp.float32),
           x0_lanes, theta_lanes,
           tgrid[:, None].astype(jnp.float32),
           t_vec[None, :].astype(jnp.float32),
           d_k, y_k, om_k, mask_k, ld_seed.astype(jnp.float32))
 
     ld_joint = run(True, ld0)
-    ld_marg = run(False, jnp.zeros((1, n_lane), jnp.float32))
-    return (ld_joint - ld_marg)[0]
+    ld_marg = run(False, jnp.zeros((F, nlf), jnp.float32))
+    return _unfold_lanes(ld_joint - ld_marg, F)[0]
 
 
 def dalton_fused_batch_grad(thetas, ode_weight, ode_inits,

@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from rodeo_tpu.ops.precond import taylor_scale, scale_prior
 from rodeo_tpu.ops.pallas_kalman import (
     fused_filter, _tri_idx, _pack_tri, _unpack_tri, _pick_chunk,
-    _sym_quadform, _interpret_mode, p_cols_at)
+    _sym_quadform, _interpret_mode, p_cols_at, _group_sum_rows)
 from rodeo_tpu.utils import mtt, mvdot
 
 __all__ = ["fenrir_fused", "fenrir_fused_batch",
@@ -288,14 +288,16 @@ def _backward_kernel_global_mask(chunk, q, n_block, n_tri,
 # --- lane-batched fenrir -----------------------------------------------------------
 
 
-def _fenrir_backward_kernel_batch(chunk, q, n_block, n_tri, n_lane,
+def _fenrir_backward_kernel_batch(chunk, q, n_block, n_tri, n_lane, fold,
                                   A_ref, b_ref, C_ref, d_ref, y_ref, om_ref,
                                   mask_ref,
                                   m0_ref, p0_ref, ld0_ref,
                                   ld_ref,
                                   m_scr, p_scr, ld_scr):
     """Lane-batched backward filter with masked scalar-obs updates; the
-    per-lane log-density row accumulates in VMEM scratch."""
+    per-lane log-density row accumulates in VMEM scratch.  ``n_block`` /
+    ``n_lane`` are the (possibly lane-folded) tile dims; ``fold`` is the
+    fold factor, and the log-density row is ``(fold, n_lane)``."""
     from rodeo_tpu.ops.pallas_kalman import (
         _tri_idx, _sym_quadform, p_cols_at)
     pairs, where = _tri_idx(q)
@@ -340,8 +342,9 @@ def _fenrir_backward_kernel_batch(chunk, q, n_block, n_tri, n_lane,
             z = z - D[i] * mp[i]
         mask = mask_ref[(n_chunks - 1 - gi) * chunk + r, 0]
         inv_S = 1.0 / S
-        logp = -0.5 * jnp.sum(z * z * inv_S + jnp.log(S) + _LOG2PI,
-                              axis=0, keepdims=True)         # (1, B)
+        logp = -0.5 * _group_sum_rows(
+            z * z * inv_S + jnp.log(S) + _LOG2PI,
+            n_block // fold, fold)                           # (fold, B)
         ld = ld + mask * logp
         K = [PD[i] * inv_S * mask for i in range(q)]
         m_out = [mp[i] + K[i] * z for i in range(q)]
@@ -433,11 +436,18 @@ def fenrir_fused_batch(thetas, ode_weight, ode_inits,
             key, (n_steps, q, n_block, n_lane), jnp.float32)
     # forward filter emitting the backward-chain (A, b, C) for steps
     # 0..N-1 directly from the kernel (the separate XLA gains stage over
-    # the stored filter states was 44% of the whole pass at 512 lanes)
+    # the stored filter states was 44% of the whole pass at 512 lanes).
+    # The whole pipeline runs in the lane-FOLDED layout (dense tiles,
+    # see pallas_kalman._lane_fold_factor); the per-lane log-density
+    # row is (F, n_lane/F) and unfolds at return
+    from rodeo_tpu.ops.pallas_kalman import (
+        _lane_fold_factor, _unfold_lanes)
+    F = _lane_fold_factor(n_block, n_lane)
     A_k, b_k, C_k, m_last, p_last = fused_filter_batch(
         ode_flat, jac_flat, n_steps, Qs, Rs, W_s, x0_lanes,
         theta_lanes, tgrid, t_vec, chunk=chunk, interpret=interpret,
-        raw_q_const=q_const, mode=mode, eps=eps, emit="gains")
+        raw_q_const=q_const, mode=mode, eps=eps, emit="gains", fold=F)
+    nbf, nlf = n_block * F, n_lane // F
 
     # observation model on the grid (shared across lanes)
     sim_times = jnp.linspace(t_min, t_max, n_steps + 1)
@@ -453,17 +463,19 @@ def fenrir_fused_batch(thetas, ode_weight, ode_inits,
         obs_var[:, :, 0, :1].astype(jnp.float32))
     mask_grid = jnp.zeros((n_steps + 1, 1), jnp.float32)
     mask_grid = mask_grid.at[obs_ind, 0].set(1.0)
-    # kernel layout: (N, q|1, nb, 1), lane-broadcast
-    d_k = jnp.transpose(d_grid[:n_steps], (0, 2, 1))[..., None]
-    y_k = jnp.transpose(y_grid[:n_steps], (0, 2, 1))[..., None]
-    om_k = jnp.transpose(om_grid[:n_steps], (0, 2, 1))[..., None]
+    # kernel layout: (N, q|1, nb*F, 1), lane-broadcast; the per-block
+    # rows repeat F times to match the folded tiles
+    rep_f = lambda a, ax: jnp.repeat(a, F, axis=ax) if F > 1 else a
+    d_k = rep_f(jnp.transpose(d_grid[:n_steps], (0, 2, 1))[..., None], 2)
+    y_k = rep_f(jnp.transpose(y_grid[:n_steps], (0, 2, 1))[..., None], 2)
+    om_k = rep_f(jnp.transpose(om_grid[:n_steps], (0, 2, 1))[..., None], 2)
 
-    # terminal masked update (column algebra, lane axis last)
-    mN = [m_last[j] for j in range(q)]                        # (nb, B)
+    # terminal masked update (column algebra, lane axis last; folded)
+    mN = [m_last[j] for j in range(q)]                        # (nbf, B/F)
     pN = [p_last[k] for k in range(n_tri)]
-    DN = [d_grid[n_steps, :, j, None] for j in range(q)]      # (nb, 1)
-    omN = om_grid[n_steps, :, :1]
-    yN = y_grid[n_steps, :, :1]
+    DN = [rep_f(d_grid[n_steps, :, j, None], 0) for j in range(q)]
+    omN = rep_f(om_grid[n_steps, :, :1], 0)
+    yN = rep_f(y_grid[n_steps, :, :1], 0)
     PD = []
     for i in range(q):
         acc = None
@@ -478,8 +490,8 @@ def fenrir_fused_batch(thetas, ode_weight, ode_inits,
     for i in range(q):
         zN = zN - DN[i] * mN[i]
     maskN = mask_grid[n_steps, 0]
-    ld0 = maskN * (-0.5) * jnp.sum(
-        zN * zN / SN + jnp.log(SN) + _LOG2PI, axis=0, keepdims=True)
+    ld0 = maskN * (-0.5) * _group_sum_rows(
+        zN * zN / SN + jnp.log(SN) + _LOG2PI, n_block, F)
     KN = [PD[i] / SN * maskN for i in range(q)]
     m_seed = jnp.stack([mN[i] + KN[i] * zN for i in range(q)])
     IKD = [[(1.0 if i == j else 0.0) - KN[i] * DN[j]
@@ -489,39 +501,40 @@ def fenrir_fused_batch(thetas, ode_weight, ode_inits,
                         for kk, (i, j) in enumerate(pairs)])
 
     if chunk is None:
-        s_chunk = _pick_chunk_batch(n_steps, n_lane)
+        s_chunk = _pick_chunk_batch(n_steps, nlf, nbf, n_cols=24,
+                                    budget_bytes=12 * 2 ** 20)
     else:
         s_chunk = _pick_chunk(n_steps, target=chunk)
     n_chunks = n_steps // s_chunk
     kern = functools.partial(_fenrir_backward_kernel_batch, s_chunk, q,
-                             n_block, n_tri, n_lane)
+                             nbf, n_tri, nlf, F)
     rev4 = lambda i: (n_chunks - 1 - i, 0, 0, 0)
-    blk = lambda d, lanes: pl.BlockSpec((s_chunk, d, n_block, lanes), rev4,
+    blk = lambda d, lanes: pl.BlockSpec((s_chunk, d, nbf, lanes), rev4,
                                         memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple([0] * len(shape)), memory_space=pltpu.VMEM)
     ld = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((1, n_lane), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((F, nlf), jnp.float32),
         grid=(n_chunks,),
-        in_specs=[blk(q * q, n_lane), blk(q, n_lane), blk(n_tri, n_lane),
+        in_specs=[blk(q * q, nlf), blk(q, nlf), blk(n_tri, nlf),
                   blk(q, 1), blk(1, 1), blk(1, 1),
                   pl.BlockSpec((n_steps, 1), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-                  rep((q, n_block, n_lane)), rep((n_tri, n_block, n_lane)),
-                  rep((1, n_lane))],
-        out_specs=pl.BlockSpec((1, n_lane), lambda i: (0, 0),
+                  rep((q, nbf, nlf)), rep((n_tri, nbf, nlf)),
+                  rep((F, nlf))],
+        out_specs=pl.BlockSpec((F, nlf), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((q, n_block, n_lane), jnp.float32),
-            pltpu.VMEM((n_tri, n_block, n_lane), jnp.float32),
-            pltpu.VMEM((1, n_lane), jnp.float32),
+            pltpu.VMEM((q, nbf, nlf), jnp.float32),
+            pltpu.VMEM((n_tri, nbf, nlf), jnp.float32),
+            pltpu.VMEM((F, nlf), jnp.float32),
         ],
         interpret=_interpret_mode(interpret),
     )(A_k, b_k, C_k, d_k, y_k, om_k, mask_grid[:n_steps],
       m_seed.astype(jnp.float32), p_seed.astype(jnp.float32),
       ld0.astype(jnp.float32))
-    return ld[0]
+    return _unfold_lanes(ld, F)[0]
 
 
 # --- gradients at fused speed (forward-mode tangent augmentation) -------------

@@ -1283,13 +1283,27 @@ def _filter_kernel_batch(ode_flat, jac_flat, mode, chunk, q, n_block,
             plast_ref[k] = out[q + k]
 
 
-def _pick_chunk_batch(n_steps, n_lane, budget_bytes=6 * 2 ** 20):
+def _chunk_budget_target(n_lane, n_block=8, n_cols=30,
+                         budget_bytes=6 * 2 ** 20):
+    """Largest per-grid-step row count whose double-buffered streamed
+    blocks fit the VMEM budget (lane dim pads to 128, block dim to the
+    next multiple of 8 — lane-FOLDED tiles have ``n_block > 8``, so the
+    block dim must be passed or the estimate undercounts VMEM ~3x).
+    ``n_cols`` is the number of streamed per-step columns (tiles of
+    ``(n_block, n_lane)``) across all in/out streams of the kernel."""
+    nb_pad = -(-max(n_block, 1) // 8) * 8
+    row_bytes = (n_cols * nb_pad
+                 * max(128, ((n_lane + 127) // 128) * 128) * 4)
+    return max(4, budget_bytes // (2 * row_bytes))
+
+
+def _pick_chunk_batch(n_steps, n_lane, n_block=8, n_cols=30,
+                      budget_bytes=6 * 2 ** 20):
     """Chunk size keeping the double-buffered output blocks within a VMEM
     budget (lane dim pads to 128, block dim to 8)."""
-    import math
-    row_bytes = 30 * 8 * max(128, ((n_lane + 127) // 128) * 128) * 4
-    target = max(8, budget_bytes // (2 * row_bytes))
-    return _pick_chunk(n_steps, target=target)
+    return _pick_chunk(
+        n_steps, target=_chunk_budget_target(n_lane, n_block, n_cols,
+                                             budget_bytes))
 
 
 def _lane_fold_factor(n_block, n_lane):
@@ -1335,6 +1349,18 @@ def _unfold_lanes(a, F):
     nbf, nlf = shape[-2], shape[-1]
     a = a.reshape(shape[:-2] + (nbf // F, F, nlf))
     return a.reshape(shape[:-2] + (nbf // F, F * nlf))
+
+
+def _group_sum_rows(x, n_block, fold):
+    """Sum the ``n_block`` groups of ``fold`` rows of ``x``
+    ``(n_block*fold, L) -> (fold, L)`` — the block-axis reduction that
+    respects the lane-fold layout (``fold=1`` reproduces a plain
+    keepdims block sum).  Works both inside Mosaic kernels (pure
+    slicing + adds) and in XLA wrappers."""
+    acc = x[0:fold]
+    for b in range(1, n_block):
+        acc = acc + x[b * fold:(b + 1) * fold]
+    return acc
 
 
 def fused_filter_batch(ode_flat, jac_flat, n_steps,
@@ -1404,7 +1430,12 @@ def fused_filter_batch(ode_flat, jac_flat, n_steps,
         ode_weight = jnp.repeat(ode_weight, F, axis=0)
         n_block, n_lane = n_block * F, n_lane // F
     if chunk is None:
-        chunk = _pick_chunk_batch(n_steps, n_lane)
+        # streamed per-step columns: 18 for emit="gains" (A 9, b 3,
+        # C 6), 30 for emit="states" (4 state streams + chkrebtii eps)
+        chunk = _pick_chunk_batch(
+            n_steps, n_lane, n_block,
+            n_cols=18 if emit == "gains" else 30,
+            budget_bytes=12 * 2 ** 20)
     n_chunks = n_steps // chunk
     kern = functools.partial(_filter_kernel_batch, ode_flat, jac_flat,
                              mode, chunk, q, n_block, n_tri, n_lane,
@@ -1592,10 +1623,37 @@ def smoother_recursion_batch(g_k, G_k, L_k, mN, pN,
     """
     n_len, q, n_block, n_lane = g_k.shape
     n_tri = L_k.shape[1]
-    if chunk is None:
-        s_chunk = _pick_chunk_batch(n_len, n_lane)
-    else:
-        s_chunk = _pick_chunk(n_len, target=chunk)
+    # empirical sweet spot on v5e: ~9-12 rows per grid step (measured
+    # 19.4/19.0 us/solve at 1024/2048 folded lanes vs 27 us at 18 rows
+    # — bigger windows defeat the revolving-buffer DMA/compute overlap,
+    # smaller ones pay per-grid-step overhead)
+    target = min(int(chunk) if chunk is not None
+                 else min(12, _chunk_budget_target(
+                     n_lane, n_block, n_cols=27,
+                     budget_bytes=12 * 2 ** 20)),
+                 n_len)
+    s_chunk = _pick_chunk(n_len, target=target)
+    # a degenerate n_len (prime-ish, largest small divisor < 8) leaves
+    # per-grid-step overhead dominating; front-pad with IDENTITY
+    # elements (G=I, g=0, L=0 — exact no-ops of the affine recursion)
+    # up to a multiple of a modest chunk and slice the pad rows off the
+    # outputs.  Do NOT pad toward the full VMEM budget: measured on
+    # v5e (Lorenz-10k, 1024 folded lanes) chunk 18 at ~12 MB of
+    # streamed blocks runs 1.4x SLOWER than chunk 11 at ~7 MB — high
+    # VMEM pressure defeats the revolving-buffer DMA/compute overlap
+    pad = 0
+    if s_chunk < min(8, target):
+        s_chunk = min(target, 16)
+        pad = (-n_len) % s_chunk
+        zeros_g = jnp.zeros((pad,) + g_k.shape[1:], g_k.dtype)
+        eye_rows = jnp.zeros((pad,) + G_k.shape[1:], G_k.dtype)
+        for i in range(q):
+            eye_rows = eye_rows.at[:, i * q + i].set(1.0)
+        g_k = jnp.concatenate([zeros_g, g_k])
+        G_k = jnp.concatenate([eye_rows, G_k])
+        L_k = jnp.concatenate([jnp.zeros((pad,) + L_k.shape[1:],
+                                         L_k.dtype), L_k])
+        n_len = n_len + pad
     n_chunks = n_len // s_chunk
     kern = functools.partial(_smoother_kernel_batch, s_chunk, q, n_block,
                              n_tri, n_lane)
@@ -1608,7 +1666,7 @@ def smoother_recursion_batch(g_k, G_k, L_k, mN, pN,
                                  memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple([0] * len(shape)), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    ms, ps = pl.pallas_call(
         kern, out_shape=outs, grid=(n_chunks,),
         in_specs=[blk(q), blk(q * q), blk(n_tri),
                   rep((q, n_block, n_lane)), rep((n_tri, n_block, n_lane))],
@@ -1620,6 +1678,9 @@ def smoother_recursion_batch(g_k, G_k, L_k, mN, pN,
         interpret=_interpret_mode(interpret),
     )(g_k.astype(jnp.float32), G_k.astype(jnp.float32),
       L_k.astype(jnp.float32), mN, pN)
+    if pad:
+        ms, ps = ms[pad:], ps[pad:]
+    return ms, ps
 
 
 def solve_mv_fused_batch(thetas, ode_weight, ode_inits,

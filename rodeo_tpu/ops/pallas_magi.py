@@ -35,7 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 from rodeo_tpu.ops.precond import taylor_scale, scale_prior
 from rodeo_tpu.ops.pallas_kalman import (
     _tri_idx, _pack_tri, _pick_chunk, _pick_chunk_batch, _sym_quadform,
-    _sym_inv, _matvec, _interpret_mode, _static_scaled_qconst)
+    _sym_inv, _matvec, _interpret_mode, _static_scaled_qconst,
+    _group_sum_rows, _fold_lanes, _unfold_lanes, _lane_fold_factor)
 
 __all__ = ["magi_fused_batch", "magi_fused_batch_grad"]
 
@@ -58,7 +59,7 @@ def _sym_det(a, S_cols):
     raise NotImplementedError("magi_fused_batch supports n_active <= 3")
 
 
-def _magi_kernel_batch(chunk, q, act, n_block, n_tri, q_const, emit,
+def _magi_kernel_batch(chunk, q, act, n_block, n_tri, q_const, emit, fold,
                        x_ref, r_ref, m0_ref,
                        ld_ref, *rest):
     """One grid step = ``chunk`` MAGI filter steps, state in VMEM scratch;
@@ -112,8 +113,8 @@ def _magi_kernel_batch(chunk, q, act, n_block, n_tri, q_const, emit,
                 term = z[i] * invS[where_a[(i, j)]] * z[j]
                 quad = term if quad is None else quad + term
         det = _sym_det(act, S_cols)
-        logp = -0.5 * jnp.sum(
-            quad + jnp.log(det) + act * _LOG2PI, axis=0, keepdims=True)
+        logp = -0.5 * _group_sum_rows(
+            quad + jnp.log(det) + act * _LOG2PI, n_block // fold, fold)
         ld = ld + logp
         # exact-observation update: active rows collapse onto the data;
         # inactive block conditioned via G = P_ia S^{-1}
@@ -244,30 +245,39 @@ def _magi_forward(paths, act, prior_pars, dt, sig2_lanes, chunk,
     t_vec = taylor_scale(dt, q, dtype=jnp.float32)
     _, Rs = scale_prior(tuple(jnp.asarray(a, jnp.float32)
                               for a in prior_pars), t_vec)
+    # lane-fold (emit="ld" only — the adjoint streams stay unfolded);
+    # dense tiles where (n_block, n_lane) wastes 1 - nb/8 of every vreg
+    F = _lane_fold_factor(n_block, n_lane) if emit == "ld" else 1
+    nbf, nlf = n_block * F, n_lane // F
     R_k = jnp.transpose(_pack_tri(Rs, pairs))[..., None]   # (n_tri, nb, 1)
     if sig2_lanes is not None:
         sig2 = jnp.asarray(sig2_lanes, jnp.float32)[None, None, :]
-        R_k = R_k * sig2                                   # (n_tri, nb, B)
+        R_k = _fold_lanes(R_k * sig2, F)                   # (n_tri, nbf, .)
+    elif F > 1:
+        R_k = jnp.repeat(R_k, F, axis=1)
     paths_s = (paths / t_vec).astype(jnp.float32)
-    # kernel layouts: x (N, act, nb, B); seed mean (q, nb, B)
-    x_k = jnp.transpose(paths_s[:, 1:, :, :act], (1, 3, 2, 0))
-    m0 = jnp.transpose(paths_s[:, 0], (2, 1, 0))
+    # kernel layouts: x (N, act, nbf, B/F); seed mean (q, nbf, B/F)
+    x_k = _fold_lanes(
+        jnp.transpose(paths_s[:, 1:, :, :act], (1, 3, 2, 0)), F)
+    m0 = _fold_lanes(jnp.transpose(paths_s[:, 0], (2, 1, 0)), F)
 
     if chunk is None:
-        s_chunk = _pick_chunk_batch(n_steps, n_lane)
+        s_chunk = _pick_chunk_batch(n_steps, nlf, nbf,
+                                    n_cols=6 if emit == "ld" else 24,
+                                    budget_bytes=12 * 2 ** 20)
     else:
         s_chunk = _pick_chunk(n_steps, target=chunk)
     n_chunks = n_steps // s_chunk
     n_lane_r = R_k.shape[-1]
     kern = functools.partial(_magi_kernel_batch, s_chunk, q, act,
-                             n_block, n_tri, q_const, emit)
+                             nbf, n_tri, q_const, emit, F)
     rep = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple([0] * len(shape)), memory_space=pltpu.VMEM)
-    blk = lambda d: pl.BlockSpec((s_chunk, d, n_block, n_lane),
+    blk = lambda d: pl.BlockSpec((s_chunk, d, nbf, nlf),
                                  lambda i: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((1, n_lane), jnp.float32)]
-    out_specs = [pl.BlockSpec((1, n_lane), lambda i: (0, 0),
+    out_shape = [jax.ShapeDtypeStruct((F, nlf), jnp.float32)]
+    out_specs = [pl.BlockSpec((F, nlf), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)]
     if emit == "adjoint":
         out_shape.append(jax.ShapeDtypeStruct(
@@ -286,19 +296,19 @@ def _magi_forward(paths, act, prior_pars, dt, sig2_lanes, chunk,
         grid=(n_chunks,),
         in_specs=[
             blk(act),
-            rep((n_tri, n_block, n_lane_r)),
-            rep((q, n_block, n_lane)),
+            rep((n_tri, nbf, n_lane_r)),
+            rep((q, nbf, nlf)),
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((q, n_block, n_lane), jnp.float32),
-            pltpu.VMEM((n_tri, n_block, n_lane), jnp.float32),
-            pltpu.VMEM((1, n_lane), jnp.float32),
+            pltpu.VMEM((q, nbf, nlf), jnp.float32),
+            pltpu.VMEM((n_tri, nbf, nlf), jnp.float32),
+            pltpu.VMEM((F, nlf), jnp.float32),
         ],
         interpret=_interpret_mode(interpret),
     )(x_k, R_k, m0)
     jacobian = _magi_jacobian(dt, t_vec, n_steps, n_block, q, act)
-    ld = outs[0][0] - jacobian
+    ld = _unfold_lanes(outs[0], F)[0] - jacobian
     if emit != "adjoint":
         return ld, None
     z_k, s_k = outs[1], outs[2]
