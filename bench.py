@@ -616,6 +616,26 @@ def main():
                 nb / t_ll, 2)
             details["fenrir_ptime_finite"] = bool(
                 jnp.all(jnp.isfinite(out_ll)))
+        with _row(details, "fenrir_ptime_single"):
+            # SINGLE-eval crossover (where parallel-in-time earns its
+            # keep on one chip): with no lane batch filling the VPU,
+            # the associative scan's extra work rides otherwise-idle
+            # lanes and beats the sequential scan at every grid size
+            # (measured 2026-08-19: 44.0 vs 55.6 ms at N=4k, 183 vs
+            # 203 at 16k, 740 vs 822 at 64k).  Under vmap >= 16 the
+            # lanes are already busy and sequential wins — see the
+            # fenrir_ptime row above and docs/examples/tpu_performance.md
+            for tag, temporal in (("seq", "sequential"),
+                                  ("par", "parallel")):
+                one_fn = jax.jit(lambda t=temporal: precond.fenrir(
+                    key=None, interrogate=interrogate_kramer, theta=th_f,
+                    obs_data=yobs, obs_times=obs_times, obs_weight=D,
+                    obs_var=Om, temporal=t, **cfg_f))
+                t_one, out_one = _timeit(one_fn, (), n_rep=3)
+                details[f"fenrir_single_{tag}_ms"] = round(t_one * 1e3, 3)
+            details["fenrir_ptime_single_speedup"] = round(
+                details["fenrir_single_seq_ms"]
+                / details["fenrir_single_par_ms"], 3)
         with _row(details, "fenrir_grad"):
             # gradient throughput (the MAP / HMC workload of the reference
             # parameter-inference tutorial): value+grad of fenrir, vmapped;
