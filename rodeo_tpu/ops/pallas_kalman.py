@@ -1012,11 +1012,18 @@ def fused_smoother_composed(n_steps, prior_weight, prior_var,
     G, g, L = _gain_cols_batched(q, n_tri, q_const, R_cols_b,
                                  mf_cols, pf_cols, mpn_cols, ppn_cols)
 
-    # front-pad with identity elements so k divides the axis
+    # front-pad with identity elements so k divides the axis — and so
+    # the GROUP count is a multiple of 8: n_groups is the boundary
+    # kernel's grid axis, and an awkward count (e.g. 157, prime, at
+    # k=64 on a 10k grid) forces chunk=1, i.e. one grid step of DMA
+    # overhead per composed row (identity elements are exact no-ops,
+    # so extra pad costs only n_pad*k batched-compose lanes)
     k = max(1, int(k_compose))
-    pad = (-n_len) % k
-    n_rows = n_len + pad
-    n_groups = n_rows // k
+    n_groups = -(-n_len // k)
+    if n_groups >= 16:
+        n_groups = -(-n_groups // 8) * 8
+    n_rows = n_groups * k
+    pad = n_rows - n_len
 
     def pad_front(col, fill):
         if pad == 0:
