@@ -1440,6 +1440,20 @@ def main():
                 details[f"large_state_fenrir_{tag}_grad_rel_err"] = round(
                     abs(g_v - _LF_REF_G) / abs(_LF_REF_G), 9)
 
+    # the DALTON counterpart on the same fixture (joint filter exact,
+    # marginal frozen; interrogation hoisted in both passes)
+    with _row(details, "large_state_dalton"):
+        from rodeo_tpu.ops.stationary import dalton_stationary
+        kw_ld, kappa0d = heat.fenrir_setup(
+            d=128, n_deriv=3, n_steps=1000, n_obs=20, dtype=jnp.float32)
+        lld = jax.jit(lambda k: dalton_stationary(
+            n_deriv=3, n_warm=32, kappa=k, validate=False, **kw_ld))
+        t_ld, v_ld = _timeit(lld, (kappa0d,), n_rep=3)
+        details["large_state_dalton_nw32_ll_ms"] = round(t_ld * 1000, 3)
+        details["large_state_dalton_nw32_ll"] = round(float(v_ld), 4)
+        details["large_state_dalton_finite"] = bool(
+            jnp.isfinite(v_ld))
+
     with _row(details, "large_state_cpu"):
         src_h = _LARGE_CPU_SRC % {
             "repo": os.path.dirname(os.path.abspath(__file__))}

@@ -62,7 +62,8 @@ from rodeo_tpu.ops.linalg import full_matmul_precision
 from rodeo_tpu.ops.precond import _scaled_inputs, _wrap_interrogate
 from rodeo_tpu.ops.scan import scan as _uscan
 
-__all__ = ["solve_mv_stationary", "fenrir_stationary"]
+__all__ = ["solve_mv_stationary", "fenrir_stationary",
+           "dalton_stationary"]
 
 
 def _warn_nonaffine(rel_resid):
@@ -641,4 +642,233 @@ def fenrir_stationary(key, ode_fun, ode_weight, ode_init,
             Q, R, H.astype(dtype), H_inn.astype(dtype), b.astype(dtype),
             v_fun, x0_s, n_steps, n_warm, obs_ind,
             obs_data.astype(dtype), obs_weight_s.astype(dtype),
+            obs_var.astype(dtype))
+
+
+@full_matmul_precision
+def _dalton_stationary_core(Q, R, H, H_inn, b_m, v_fun, x0_s, n_steps,
+                            n_warm, obs_ind, obs_data, obs_weight_s,
+                            obs_var):
+    r"""Scaled-coordinate hoisted-affine DALTON log-likelihood
+    :math:`\log p(Y \mid Z) = \log p(Z, Y) - \log p(Z)`.
+
+    Two forward filters with the interrogation hoisted to the one-shot
+    affine map (the dominant per-step cost at large state dims — a
+    jacfwd of the RHS — leaves the time loop entirely):
+
+    - the JOINT :math:`p(Z, Y)` filter runs exact per-segment
+      ``lax.scan``\ s between the static observation rows, with the
+      reference's stacked (ODE + observation) forecast density at each
+      observation row followed by the sequential ODE-then-data state
+      updates (float32-robust, `rodeo_tpu/inference/dalton.py`
+      docstring);
+    - the MARGINAL :math:`p(Z)` filter has no data updates, so it IS
+      the stationary solver filter: covariances from the ``n_warm``
+      Riccati warm-up (frozen after), forecast residuals from the
+      matvec-only mean predictions, and the density assembled fully
+      batched (one Cholesky per warm row + ONE frozen Cholesky whose
+      log-determinant multiplies the tail count).
+
+    Density factors use plain Cholesky log-densities: the stationary
+    contract (affine RHS, deterministic interrogation, PD prior noise)
+    keeps every forecast covariance PD, so upstream's degenerate-
+    direction eigen masking never activates.  Functional parity target:
+    ``/root/reference/src/rodeo/inference/dalton.py:39-235``.
+    """
+    nb, n = x0_s.shape
+    dtype = x0_s.dtype
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (nb, n, n))
+    P_zero = jnp.zeros((nb, n, n), dtype=dtype)
+    V0 = v_fun(P_zero)
+    v_lin = lambda P: jax.jvp(v_fun, (P_zero,), (P,))[1]  # noqa: E731
+    log2pi = jnp.asarray(1.8378770664093453, dtype)
+
+    def predict(m, P):
+        m_p = mvdot(Q, m)
+        P_p = _sym(quadform(Q, P) + R)
+        V = V0 + v_lin(P_p)
+        fore = mvdot(H_inn, m_p) + b_m            # ODE forecast mean
+        S = _sym(quadform(H, P_p) + V)
+        return m_p, P_p, V, fore, S
+
+    def ode_update(m_p, P_p, V, fore, S):
+        K = mtt(solve_psd(S, H @ P_p))
+        m_f = m_p - mvdot(K, fore)
+        ikw = eye - K @ H
+        P_f = _sym(quadform(ikw, P_p) + quadform(K, V))
+        return m_f, P_f
+
+    def plain_step(carry, _):
+        m, P, ld = carry
+        m_p, P_p, V, fore, S = predict(m, P)
+        logp, _ = _mvn_logpdf_chol(-fore, S)
+        m_f, P_f = ode_update(m_p, P_p, V, fore, S)
+        return (m_f, P_f, ld + logp), None
+
+    def run_plain(state, length):
+        if length <= 0:
+            return state
+        out, _ = jax.lax.scan(plain_step, state, None, length=length)
+        return out
+
+    def obs_step(state, j):
+        """Stacked forecast density + ODE update + data update at
+        observation row ``j`` (one grid step)."""
+        m, P, ld = state
+        D, y, Om = obs_weight_s[j], obs_data[j], obs_var[j]
+        m_p, P_p, V, fore, S = predict(m, P)
+        # stacked (ODE + observation) forecast of [x_meas=0; y]
+        PD = P_p @ mtt(D)                          # (nb, n, n_bobs)
+        S_xo = H @ PD                              # (nb, k, n_bobs)
+        S_oo = _sym(D @ PD + Om)
+        S_top = jnp.concatenate([S, S_xo], axis=-1)
+        S_bot = jnp.concatenate([mtt(S_xo), S_oo], axis=-1)
+        S_stack = jnp.concatenate([S_top, S_bot], axis=-2)
+        resid = jnp.concatenate([-fore, y - mvdot(D, m_p)], axis=-1)
+        logp, _ = _mvn_logpdf_chol(resid, S_stack)
+        # sequential state updates: ODE pseudo-observation, then data
+        m_f, P_f = ode_update(m_p, P_p, V, fore, S)
+        resid_u = y - mvdot(D, m_f)
+        S_u = _sym(quadform(D, P_f) + Om)
+        K_o = mtt(solve_psd(S_u, D @ P_f))
+        m_o = m_f + mvdot(K_o, resid_u)
+        iko = eye - K_o @ D
+        P_o = _sym(quadform(iko, P_f) + quadform(K_o, Om))
+        return (m_o, P_o, ld + logp)
+
+    # --- joint filter p(Z, Y): exact per-segment scans ---------------
+    rows = [int(r) for r in obs_ind]
+    ld0 = jnp.zeros((), dtype)
+    if rows and rows[0] == 0:
+        D0, y0, Om0 = obs_weight_s[0], obs_data[0], obs_var[0]
+        ld0, _ = _mvn_logpdf_chol(y0 - mvdot(D0, x0_s), Om0)
+        rows = rows[1:]
+        obs_off = 1
+    else:
+        obs_off = 0
+    state = (x0_s, P_zero, jnp.zeros((), dtype))
+    cur = 0
+    for j, r in enumerate(rows):
+        state = run_plain(state, r - cur - 1)
+        state = obs_step(state, j + obs_off)
+        cur = r
+    state = run_plain(state, n_steps - cur)
+    ld_joint = state[2]
+
+    # --- marginal filter p(Z): frozen-gain, fully batched density ----
+    f = _stationary_filter(Q, R, H, H_inn, b_m, v_fun, x0_s, n_steps,
+                           n_warm)
+    fore_all = (jnp.einsum("bij,tbj->tbi", H_inn, f["m_p_all"])
+                + b_m)                               # (N, nb, k)
+    k_meas = fore_all.shape[-1]
+    import jax.scipy.linalg as jsp_linalg
+    # warm prefix: per-row Cholesky densities, batched over rows
+    P_p_pre = f["P_p_pre"]                           # (n_warm, nb, n, n)
+    V_pre = V0 + jax.vmap(v_lin)(P_p_pre)
+    S_pre = _sym(jnp.einsum("bik,tbkl,bjl->tbij", H, P_p_pre, H)
+                 + V_pre)
+    chol_pre = jnp.linalg.cholesky(S_pre)
+    a_pre = jsp_linalg.solve_triangular(
+        chol_pre, -fore_all[:n_warm][..., None], lower=True)[..., 0]
+    logdet_pre = 2.0 * jnp.sum(jnp.log(jnp.diagonal(
+        chol_pre, axis1=-2, axis2=-1)))
+    # frozen tail: one Cholesky; the log-determinant multiplies the count
+    n_tail = n_steps - n_warm
+    S_st = _sym(quadform(H, f["P_p_st"]) + (V0 + v_lin(f["P_p_st"])))
+    chol_st = jnp.linalg.cholesky(S_st)
+    a_tail = jsp_linalg.solve_triangular(
+        jnp.broadcast_to(chol_st, (n_tail,) + chol_st.shape),
+        -fore_all[n_warm:][..., None], lower=True)[..., 0]
+    logdet_st = 2.0 * jnp.sum(jnp.log(jnp.diagonal(
+        chol_st, axis1=-2, axis2=-1)))
+    ld_marg = -0.5 * (
+        jnp.sum(a_pre * a_pre) + jnp.sum(a_tail * a_tail)
+        + logdet_pre + n_tail * logdet_st
+        + n_steps * nb * k_meas * log2pi)
+
+    return ld0 + ld_joint - ld_marg
+
+
+def dalton_stationary(key, ode_fun, ode_weight, ode_init,
+                      t_min, t_max, n_steps,
+                      interrogate,
+                      prior_pars,
+                      obs_data, obs_times, obs_weight, obs_var,
+                      n_deriv=None, n_warm=32, validate=True, **params):
+    r"""
+    Hoisted-affine :func:`rodeo_tpu.ops.precond.dalton` for affine
+    time-invariant ODEs — the DALTON data likelihood in the large-state
+    regime (module docstring has the validity contract).  Functional
+    parity target: ``/root/reference/src/rodeo/inference/dalton.py``
+    (``dalton``), restricted to affine RHSs with PD forecast
+    covariances.
+
+    Same signature/restrictions as :func:`fenrir_stationary`
+    (``obs_times`` and the grid must be concrete; ``key`` must be
+    ``None``); fully differentiable.
+
+    ACCURACY MODEL: the JOINT :math:`p(Z, Y)` filter is exact (its
+    covariances are carried through per-segment scans — data updates
+    perturb the Riccati state, so its gains are not frozen); only the
+    MARGINAL :math:`p(Z)` filter freezes after ``n_warm`` Riccati
+    steps, and its value error follows the
+    :func:`fenrir_stationary` accuracy model
+    (:math:`(N - n_{\text{warm}})\,\rho^{n_{\text{warm}}}`); at
+    ``n_warm >= n_steps`` the result is exact up to fp.  The hoisted
+    interrogation (no per-step ``jacfwd``) is what buys the large-state
+    speedup in BOTH passes.
+
+    Returns:
+        (float): the DALTON log-likelihood
+        :math:`\log p(Y_{0:M} \mid Z_{1:N})`.
+    """
+    if key is not None:
+        raise ValueError(
+            "dalton_stationary requires a deterministic interrogation "
+            "(key=None): the hoisted affine measurement map assumes a "
+            "fixed measurement model, which a stochastic interrogation "
+            "(e.g. chkrebtii) violates")
+    try:
+        obs_times_np = np.asarray(obs_times)
+        grid = np.linspace(float(t_min), float(t_max), int(n_steps) + 1)
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError) as e:
+        raise ValueError(
+            "dalton_stationary requires concrete (non-traced) obs_times "
+            "and grid bounds: the segment structure between observations "
+            "is compiled into the program.  Close over them instead of "
+            "passing them as jit arguments (obs_data/obs_weight/obs_var "
+            "and model params may be traced as usual).") from e
+    obs_ind = tuple(int(i) for i in np.searchsorted(grid, obs_times_np))
+    if any(b <= a for a, b in zip(obs_ind, obs_ind[1:])):
+        raise ValueError(
+            "dalton_stationary requires strictly increasing observation "
+            f"times mapping to distinct grid rows; got rows {obs_ind}")
+    if obs_ind and (obs_ind[0] < 0 or obs_ind[-1] > n_steps):
+        raise ValueError(
+            f"observation rows {obs_ind} fall outside the solution grid "
+            f"[0, {n_steps}]")
+    n_warm = min(int(n_warm), int(n_steps))
+
+    t_vec, W_s, x0_s, (Q, R) = _scaled_inputs(
+        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps, n_deriv)
+    wrapped = _wrap_interrogate(interrogate, ode_weight, t_vec)
+    dtype = x0_s.dtype
+    t1 = t_min + (t_max - t_min) / n_steps
+    obs_weight_s = obs_weight * t_vec.astype(obs_weight.dtype)
+
+    H, H_inn, b, v_fun = _extract_affine(
+        wrapped, ode_fun, W_s, x0_s, t1, t_max, validate, params)
+
+    # blocked (n_obs, nb, n_bobs[, ...]) observation arrays collapse to
+    # the dense single-block layout the core uses
+    obs_w = obs_weight_s.reshape(
+        obs_weight_s.shape[0], obs_weight_s.shape[1],
+        obs_weight_s.shape[2], -1)
+
+    with fast_linalg():
+        return _dalton_stationary_core(
+            Q, R, H.astype(dtype), H_inn.astype(dtype), b.astype(dtype),
+            v_fun, x0_s, n_steps, n_warm, obs_ind,
+            obs_data.astype(dtype), obs_w.astype(dtype),
             obs_var.astype(dtype))
