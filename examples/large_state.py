@@ -136,6 +136,23 @@ def infer_kappa(cfg, exact, p, d, n_steps, dtype):
               f"|dgrad|/|grad| = "
               f"{abs(g - float(g_e)) / abs(float(g_e)):.2e}")
 
+    # the DALTON counterpart (joint p(Z,Y) filter exact by construction,
+    # marginal p(Z) filter frozen after n_warm; interrogation hoisted in
+    # both passes)
+    from rodeo_tpu.ops.stationary import dalton_stationary
+    lld = jax.jit(lambda k: dalton_stationary(
+        n_deriv=p, n_warm=n_steps, kappa=k, **kw))
+    vd = lld(kappa0)
+    jax.block_until_ready(vd)
+    t_d = min(timeit.repeat(
+        lambda: jax.block_until_ready(lld(kappa0)), number=1, repeat=3))
+    print(f"{'dalton n_warm=n_steps (exact)':>34s}: {t_d * 1e3:9.1f} ms   "
+          f"ll = {float(vd):.2f}")
+    if not _TPU:
+        vd_e = precond.dalton(n_deriv=p, kappa=kappa0, **kw)
+        print(f"{'  dalton exact cross-check':>34s}: "
+              f"|dll| = {abs(float(vd) - float(vd_e)):.2e}")
+
 
 if __name__ == "__main__":
     main()
