@@ -319,7 +319,15 @@ def _extract_affine(wrapped, ode_fun, W_s, x0_s, t1, t_max, validate,
         # 1e-2 threshold: measured margins are ~1e-14 (affine, f64) and
         # ~1.5e-3 (affine, d=128 f32 cancellation noise) vs ~1.4 for a
         # cubic RHS at this probe offset
-        jax.debug.callback(_warn_nonaffine, resid / scale)
+        rel = resid / scale
+        if isinstance(rel, jax.core.Tracer):
+            # axon's PjRT rejects host send/recv callbacks, so the jitted
+            # probe would crash the whole solve there (observed in the
+            # round-4 bench); every other backend keeps the async warning
+            if jax.default_backend() != "axon":
+                jax.debug.callback(_warn_nonaffine, rel)
+        else:
+            _warn_nonaffine(float(rel))
 
     def v_fun(P_p):
         _, _, V = wrapped(
