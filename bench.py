@@ -358,7 +358,7 @@ def main():
     # CPU f64 ground truth for the accuracy audit (cached; parity with the
     # upstream reference is pinned at 1e-8 by tests/test_parity_reference)
     truth = cpu_truth(os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".bench_ref_v3.npz"))
+        os.path.dirname(os.path.abspath(__file__)), ".bench_ref_v4.npz"))
     if truth is None:
         details["accuracy_audit_error"] = "cpu truth computation failed"
     # pointwise f32-vs-f64 audit over the t <= 4 prefix of the chaotic

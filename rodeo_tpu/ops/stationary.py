@@ -321,10 +321,13 @@ def _extract_affine(wrapped, ode_fun, W_s, x0_s, t1, t_max, validate,
         # cubic RHS at this probe offset
         rel = resid / scale
         if isinstance(rel, jax.core.Tracer):
-            # axon's PjRT rejects host send/recv callbacks, so the jitted
-            # probe would crash the whole solve there (observed in the
-            # round-4 bench); every other backend keeps the async warning
-            if jax.default_backend() != "axon":
+            # remote-attached TPU runtimes (axon PjRT, which reports
+            # itself as plain "tpu") reject host send/recv callbacks, so
+            # a jitted debug.callback crashes the whole solve at RUN time
+            # (observed in the round-4 bench).  Keep the async jitted
+            # warning on host backends only; TPU users still get the
+            # probe on any eager call
+            if jax.default_backend() not in ("tpu",):
                 jax.debug.callback(_warn_nonaffine, rel)
         else:
             _warn_nonaffine(float(rel))
