@@ -877,9 +877,196 @@ def dalton_stationary(key, ode_fun, ode_weight, ode_init,
         obs_weight_s.shape[0], obs_weight_s.shape[1],
         obs_weight_s.shape[2], -1)
 
+    # frozen joint pass (two-transient trick) needs identical per-row
+    # observation models; verify at trace time when the design arrays
+    # are concrete, and fall back to the exact per-segment scans when
+    # they differ or cannot be checked (traced jit arguments)
+    frozen_ok = False
+    if n_warm < n_steps:
+        try:
+            W_np = np.asarray(obs_w)
+            V_np = np.asarray(obs_var)
+            frozen_ok = bool(np.all(W_np == W_np[:1])
+                             and np.all(V_np == V_np[:1]))
+        except (jax.errors.TracerArrayConversionError,
+                jax.errors.ConcretizationTypeError):
+            frozen_ok = False
+
+    core = (_dalton_stationary_frozen_core if frozen_ok
+            else _dalton_stationary_core)
     with fast_linalg():
-        return _dalton_stationary_core(
+        return core(
             Q, R, H.astype(dtype), H_inn.astype(dtype), b.astype(dtype),
             v_fun, x0_s, n_steps, n_warm, obs_ind,
             obs_data.astype(dtype), obs_w.astype(dtype),
             obs_var.astype(dtype))
+
+
+@full_matmul_precision
+def _dalton_stationary_frozen_core(Q, R, H, H_inn, b_m, v_fun, x0_s,
+                                   n_steps, n_warm, obs_ind, obs_data,
+                                   obs_weight_s, obs_var):
+    r"""Frozen-gain joint pass for :func:`dalton_stationary` — the
+    two-transient trick.
+
+    With identical per-row observation models, every inter-observation
+    segment of the joint :math:`p(Z, Y)` filter re-converges to the SAME
+    no-data Riccati fixed point, and the post-update covariance at a
+    converged observation row is one shared value — so the whole joint
+    covariance path is TWO warm transients (A: from the Dirac init;
+    B: from the shared post-update covariance), reused across segments
+    as prefix tables.  Covariance work drops from :math:`O(N)` to
+    :math:`O(2\,n_{\text{warm}} + M)` rows; the means and forecast
+    residuals run as per-segment matvec scans against gathered gains,
+    and the density assembles from batched Cholesky solves plus
+    prefix-summed log-determinants.  Freeze error follows the
+    :func:`fenrir_stationary` accuracy model with the per-segment gap
+    lengths in place of the tail length.  The marginal pass is the same
+    batched assembly as :func:`_dalton_stationary_core`.
+    """
+    nb, n = x0_s.shape
+    dtype = x0_s.dtype
+    import jax.scipy.linalg as jsp_linalg
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (nb, n, n))
+    P_zero = jnp.zeros((nb, n, n), dtype=dtype)
+    V0 = v_fun(P_zero)
+    v_lin = lambda P: jax.jvp(v_fun, (P_zero,), (P,))[1]  # noqa: E731
+    log2pi = jnp.asarray(1.8378770664093453, dtype)
+    k_meas = H.shape[1]
+
+    def ric_step(P_f, _):
+        P_p = _sym(quadform(Q, P_f) + R)
+        V = V0 + v_lin(P_p)
+        S = _sym(quadform(H, P_p) + V)
+        K = mtt(solve_psd(S, H @ P_p))
+        ikw = eye - K @ H
+        P_f_new = _sym(quadform(ikw, P_p) + quadform(K, V))
+        return P_f_new, (P_p, P_f_new, K, S)
+
+    def warm(P0):
+        """Transient tables from filtered covariance ``P0``: offsets
+        ``t = 1..n_warm`` plus cumulative log-determinants."""
+        _, (P_p, P_f, K, S) = jax.lax.scan(
+            ric_step, P0, None, length=n_warm)
+        chol = jnp.linalg.cholesky(S)
+        logdets = 2.0 * jnp.sum(jnp.log(jnp.diagonal(
+            chol, axis1=-2, axis2=-1)), axis=(-1,))   # (n_warm, nb)
+        ld_row = jnp.sum(logdets, axis=-1)            # (n_warm,)
+        ld_cum = jnp.concatenate([jnp.zeros((1,), dtype),
+                                  jnp.cumsum(ld_row)])
+        return dict(P_p=P_p, P_f=P_f, K=K, chol=chol, ld_cum=ld_cum,
+                    P_p_st=P_p[-1], P_f_st=P_f[-1], K_st=K[-1],
+                    chol_st=chol[-1], ld_st=ld_row[-1])
+
+    # shared observation model (identical rows — enforced by the caller)
+    D0 = obs_weight_s[0]
+    Om0 = obs_var[0]
+
+    def data_update_cov(P_f):
+        S_u = _sym(quadform(D0, P_f) + Om0)
+        K_o = mtt(solve_psd(S_u, D0 @ P_f))
+        iko = eye - K_o @ D0
+        return _sym(quadform(iko, P_f) + quadform(K_o, Om0)), K_o
+
+    trans_A = warm(P_zero)
+    P_post_st, _ = data_update_cov(trans_A["P_f_st"])
+    trans_B = warm(P_post_st)
+
+    def gather(tab, L):
+        """Prefix of a per-offset transient table padded with its frozen
+        value to length ``L`` (static)."""
+        head = tab[: min(L, n_warm)]
+        if L > n_warm:
+            pad = jnp.broadcast_to(tab[-1], (L - n_warm,) + tab.shape[1:])
+            head = jnp.concatenate([head, pad])
+        return head
+
+    def mean_scan(m0, K_seq):
+        """Joint-pass means over one segment: predictions and forecast
+        residual means per step (matvec only)."""
+        def step(m, K_t):
+            m_p = mvdot(Q, m)
+            fore = mvdot(H_inn, m_p) + b_m
+            m_f = m_p - mvdot(K_t, fore)
+            return m_f, (m_p, fore)
+        return jax.lax.scan(step, m0, K_seq)
+
+    def seg_density(T, fore, n_plain):
+        """Plain ODE forecast terms for the first ``n_plain`` rows of a
+        segment (batched Cholesky solves + prefix-summed logdets)."""
+        if n_plain <= 0:
+            return jnp.zeros((), dtype)
+        n_head = min(n_plain, n_warm)
+        chols = gather(T["chol"], n_plain)
+        a = jsp_linalg.solve_triangular(
+            chols, -fore[:n_plain][..., None], lower=True)[..., 0]
+        logdet = (T["ld_cum"][n_head]
+                  + max(0, n_plain - n_warm) * T["ld_st"])
+        return -0.5 * (jnp.sum(a * a) + logdet
+                       + n_plain * nb * k_meas * log2pi)
+
+    rows = [int(r) for r in obs_ind]
+    ld0 = jnp.zeros((), dtype)
+    obs_off = 0
+    if rows and rows[0] == 0:
+        ld0, _ = _mvn_logpdf_chol(
+            obs_data[0] - mvdot(obs_weight_s[0], x0_s), obs_var[0])
+        rows = rows[1:]
+        obs_off = 1
+
+    ld_joint = jnp.zeros((), dtype)
+    m = x0_s
+    cur = 0
+    # segments: (cur, r] for each obs row r, then the trailing (r_M, N]
+    for s, r in enumerate(rows + [n_steps]):
+        L = r - cur
+        T = trans_A if s == 0 else trans_B
+        is_obs = s < len(rows)
+        if L > 0:
+            K_seq = gather(T["K"], L)
+            m_f, (m_p_seq, fore_seq) = mean_scan(m, K_seq)
+            n_plain = L - 1 if is_obs else L
+            ld_joint = ld_joint + seg_density(T, fore_seq, n_plain)
+            m = m_f
+        if is_obs:
+            j = s + obs_off
+            idx = min(L, n_warm) - 1
+            P_p_r = T["P_p"][idx] if L <= n_warm else T["P_p_st"]
+            P_f_r = T["P_f"][idx] if L <= n_warm else T["P_f_st"]
+            m_p_r, fore_r = m_p_seq[-1], fore_seq[-1]
+            y = obs_data[j]
+            # stacked (ODE + observation) forecast term
+            V_r = V0 + v_lin(P_p_r)
+            S_xx = _sym(quadform(H, P_p_r) + V_r)
+            PD = P_p_r @ mtt(D0)
+            S_xo = H @ PD
+            S_oo = _sym(D0 @ PD + Om0)
+            S_stack = jnp.concatenate([
+                jnp.concatenate([S_xx, S_xo], axis=-1),
+                jnp.concatenate([mtt(S_xo), S_oo], axis=-1)], axis=-2)
+            resid = jnp.concatenate(
+                [-fore_r, y - mvdot(D0, m_p_r)], axis=-1)
+            logp, _ = _mvn_logpdf_chol(resid, S_stack)
+            ld_joint = ld_joint + logp
+            # data update on the mean with the transient's gain
+            _, K_o = data_update_cov(P_f_r)
+            m = m + mvdot(K_o, y - mvdot(D0, m))
+            cur = r
+
+    # --- marginal p(Z): identical assembly to the exact core ----------
+    f = _stationary_filter(Q, R, H, H_inn, b_m, v_fun, x0_s, n_steps,
+                           n_warm)
+    fore_all = (jnp.einsum("bij,tbj->tbi", H_inn, f["m_p_all"]) + b_m)
+    a_pre = jsp_linalg.solve_triangular(
+        trans_A["chol"], -fore_all[:n_warm][..., None], lower=True)[..., 0]
+    n_tail = n_steps - n_warm
+    a_tail = jsp_linalg.solve_triangular(
+        jnp.broadcast_to(trans_A["chol_st"],
+                         (n_tail,) + trans_A["chol_st"].shape),
+        -fore_all[n_warm:][..., None], lower=True)[..., 0]
+    ld_marg = -0.5 * (
+        jnp.sum(a_pre * a_pre) + jnp.sum(a_tail * a_tail)
+        + trans_A["ld_cum"][n_warm] + n_tail * trans_A["ld_st"]
+        + n_steps * nb * k_meas * log2pi)
+
+    return ld0 + ld_joint - ld_marg

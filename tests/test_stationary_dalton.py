@@ -57,14 +57,40 @@ def test_value_matches_exact_path(obs_idx):
     assert abs(ll_stat - ll_exact) < 1e-8 * max(abs(ll_exact), 1.0)
 
 
-def test_frozen_marginal_accuracy_dial():
+def test_frozen_accuracy_dial():
     kw, kappa0 = _setup(np.array([10, 20, 30, 40]))
     ll_exact = float(precond.dalton(n_deriv=P, kappa=kappa0, **kw))
     ll_frozen = float(dalton_stationary(
         n_deriv=P, n_warm=20, kappa=kappa0, validate=False, **kw))
-    # the frozen marginal filter carries the fenrir_stationary freeze
-    # tolerance; on this mild fixture that is ~1e-9 relative
-    assert abs(ll_frozen - ll_exact) < 1e-7 * max(abs(ll_exact), 1.0)
+    # identical per-row observation models route to the two-transient
+    # frozen JOINT pass; the freeze error follows the fenrir_stationary
+    # accuracy model with the inter-observation gap (10 rows here) as
+    # the effective tail — measured ~3e-7 relative on this fixture
+    assert abs(ll_frozen - ll_exact) < 3e-6 * max(abs(ll_exact), 1.0)
+    g_exact = float(jax.grad(
+        lambda k: precond.dalton(n_deriv=P, kappa=k, **kw))(kappa0))
+    g_frozen = float(jax.grad(lambda k: dalton_stationary(
+        n_deriv=P, n_warm=20, kappa=k, validate=False, **kw))(kappa0))
+    assert abs(g_frozen - g_exact) < 1e-5 * abs(g_exact)
+
+
+def test_nonidentical_obs_falls_back_to_exact():
+    kw, kappa0 = _setup(np.array([10, 25, 40]))
+    # perturb one observation row's variance: the frozen two-transient
+    # path is invalid, so the wrapper must route to the exact core and
+    # still match precond.dalton at fp level despite n_warm < n_steps...
+    obs_var = np.array(kw["obs_var"], copy=True)
+    obs_var[1] *= 2.0
+    kw = dict(kw, obs_var=jnp.asarray(obs_var))
+    ll_exact = float(precond.dalton(n_deriv=P, kappa=kappa0, **kw))
+    ll_stat = float(dalton_stationary(
+        n_deriv=P, n_warm=N_STEPS, kappa=kappa0, validate=False, **kw))
+    assert abs(ll_stat - ll_exact) < 1e-8 * max(abs(ll_exact), 1.0)
+    # ... and the JOINT part stays exact even at small n_warm (only the
+    # frozen MARGINAL tail approximates, which is tiny on this fixture)
+    ll_nw = float(dalton_stationary(
+        n_deriv=P, n_warm=20, kappa=kappa0, validate=False, **kw))
+    assert abs(ll_nw - ll_exact) < 1e-7 * max(abs(ll_exact), 1.0)
 
 
 def test_gradient_matches_exact_path():
