@@ -880,11 +880,15 @@ def dalton_stationary(key, ode_fun, ode_weight, ode_init,
     # frozen joint pass (two-transient trick) needs identical per-row
     # observation models; verify at trace time when the design arrays
     # are concrete, and fall back to the exact per-segment scans when
-    # they differ or cannot be checked (traced jit arguments)
+    # they differ or cannot be checked.  NB: test the RAW user arrays —
+    # inside jit every jnp operation yields a tracer even on concrete
+    # operands, so the scaled obs_weight_s is never inspectable, while
+    # the untouched kwargs stay concrete closure constants in the
+    # common close-over-the-design pattern
     frozen_ok = False
     if n_warm < n_steps:
         try:
-            W_np = np.asarray(obs_w)
+            W_np = np.asarray(obs_weight)
             V_np = np.asarray(obs_var)
             frozen_ok = bool(np.all(W_np == W_np[:1])
                              and np.all(V_np == V_np[:1]))
