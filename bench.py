@@ -1440,19 +1440,33 @@ def main():
                 details[f"large_state_fenrir_{tag}_grad_rel_err"] = round(
                     abs(g_v - _LF_REF_G) / abs(_LF_REF_G), 9)
 
-    # the DALTON counterpart on the same fixture (joint filter exact,
-    # marginal frozen; interrogation hoisted in both passes)
+    # the DALTON counterpart on the same fixture (two-transient frozen
+    # joint pass + frozen marginal; interrogation hoisted in both).
+    # CPU f64 exact-mode reference (724 s run, 2026-08-20): equals the
+    # fenrir value to 1e-9 — on an affine ODE with deterministic
+    # interrogation both compute the SAME exact Gaussian conditional
+    # log p(Y | Z), an independent cross-check of both formulations.
     with _row(details, "large_state_dalton"):
         from rodeo_tpu.ops.stationary import dalton_stationary
+        _LD_REF_LL = 8164.0849596344
+        _LD_REF_G = 39105.2491453667
         kw_ld, kappa0d = heat.fenrir_setup(
             d=128, n_deriv=3, n_steps=1000, n_obs=20, dtype=jnp.float32)
         lld = jax.jit(lambda k: dalton_stationary(
             n_deriv=3, n_warm=32, kappa=k, validate=False, **kw_ld))
         t_ld, v_ld = _timeit(lld, (kappa0d,), n_rep=3)
+        vgd = jax.jit(jax.value_and_grad(lambda k: dalton_stationary(
+            n_deriv=3, n_warm=32, kappa=k, validate=False, **kw_ld)))
+        t_vgd, out_vgd = _timeit(vgd, (kappa0d,), n_rep=3)
         details["large_state_dalton_nw32_ll_ms"] = round(t_ld * 1000, 3)
+        details["large_state_dalton_nw32_value_grad_ms"] = round(
+            t_vgd * 1000, 3)
         details["large_state_dalton_nw32_ll"] = round(float(v_ld), 4)
-        details["large_state_dalton_finite"] = bool(
-            jnp.isfinite(v_ld))
+        details["large_state_dalton_ll_ref_f64"] = _LD_REF_LL
+        details["large_state_dalton_ll_rel_err"] = round(
+            abs(float(v_ld) - _LD_REF_LL) / abs(_LD_REF_LL), 9)
+        details["large_state_dalton_grad_rel_err"] = round(
+            abs(float(out_vgd[1]) - _LD_REF_G) / abs(_LD_REF_G), 9)
 
     with _row(details, "large_state_cpu"):
         src_h = _LARGE_CPU_SRC % {
