@@ -210,6 +210,16 @@ mu_fh, _ = rodeo_tpu.solve_mv(
     key=None, interrogate=interrogate_kramer, theta=th_fh, **cfg_fh)
 out["solve_mu_fitz"] = np.asarray(mu_fh)
 
+# basic likelihood on the SAME non-chaotic control: isolates the f32
+# floor of the basic pipeline itself from Lorenz trajectory divergence
+# (the chaotic basic row's error is dominated by the solution path, not
+# by the likelihood assembly - see docs/benchmarks.md audit notes)
+obs_t_fh = jnp.linspace(0.0, 10.0, n_obs)
+y_fh = jnp.asarray(np.random.default_rng(2).normal(size=(n_obs, 2, 1)))
+out["basic_fitz_ll"] = float(precond.basic(
+    key=None, interrogate=interrogate_kramer, theta=th_fh,
+    obs_data=y_fh, obs_times=obs_t_fh, obs_loglik=b_loglik, **cfg_fh)[0])
+
 # f32-on-CPU likelihood controls: the SAME f32 pipelines on
 # reference-grade hardware, so each TPU likelihood row's audit
 # separates "what float32 can do at all" from TPU-specific numerics
@@ -258,6 +268,11 @@ th_fh32 = cfg_fh32.pop("theta")
 mu_fh32, _ = _pc.solve_mv(
     key=None, interrogate=interrogate_kramer, theta=th_fh32, **cfg_fh32)
 out["solve_mu_fitz_f32cpu"] = np.asarray(mu_fh32)
+out["basic_fitz_ll_f32cpu"] = float(_pc.basic(
+    key=None, interrogate=interrogate_kramer, theta=th_fh32,
+    obs_data=y_fh.astype(jnp.float32),
+    obs_times=obs_t_fh.astype(jnp.float32),
+    obs_loglik=b_loglik, **cfg_fh32)[0])
 
 np.savez(%(path)r, **out)
 print("TRUTH_OK")
@@ -358,7 +373,7 @@ def main():
     # CPU f64 ground truth for the accuracy audit (cached; parity with the
     # upstream reference is pinned at 1e-8 by tests/test_parity_reference)
     truth = cpu_truth(os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".bench_ref_v4.npz"))
+        os.path.dirname(os.path.abspath(__file__)), ".bench_ref_v5.npz"))
     if truth is None:
         details["accuracy_audit_error"] = "cpu truth computation failed"
     # pointwise f32-vs-f64 audit over the t <= 4 prefix of the chaotic
@@ -382,7 +397,8 @@ def main():
     # f32-hopeless EVERYWHERE on this chaotic config; its fused in-kernel
     # Laplace path is the accurate-in-f32 alternative)
     if truth is not None:
-        for _nm in ("fenrir", "dalton", "daltonng", "basic", "magi"):
+        for _nm in ("fenrir", "dalton", "daltonng", "basic", "basic_fitz",
+                    "magi"):
             _k = f"{_nm}_ll_f32cpu"
             if _k in truth:
                 _ref = float(truth[f"{_nm}_ll"])
@@ -1202,6 +1218,30 @@ def main():
             details["basic_finite"] = bool(jnp.isfinite(out_b))
             audit_ll("basic", out_b, "basic_ll")
 
+        # non-chaotic basic control (FitzHugh): the Lorenz basic row's
+        # ~12% relative error is trajectory divergence (its f32-CPU
+        # control carries the identical error); this row shows the
+        # basic pipeline's own f32 floor when the solve is pointwise
+        # accurate
+        with _row(details, "basic_fitz"):
+            from rodeo_tpu.models import fitzhugh as _fh_basic
+            import numpy as _np_bf
+            cfg_bf = _fh_basic.setup(n_steps=800, t_max=10.0,
+                                     dtype=jnp.float32)
+            th_bf = cfg_bf.pop("theta")
+            n_obs_bf = 21
+            obs_t_bf = jnp.linspace(0.0, 10.0, n_obs_bf)
+            y_bf = jnp.asarray(
+                _np_bf.random.default_rng(2).normal(
+                    size=(n_obs_bf, 2, 1)), jnp.float32)
+            bas_bf = jax.jit(lambda th: precond.basic(
+                key=None, interrogate=interrogate_kramer, theta=th,
+                obs_data=y_bf, obs_times=obs_t_bf,
+                obs_loglik=b_loglik, **cfg_bf)[0])
+            _, out_bf2 = _timeit(bas_bf, (th_bf,), n_rep=2)
+            details["basic_fitz_finite"] = bool(jnp.isfinite(out_bf2))
+            audit_ll("basic_fitz", out_bf2, "basic_fitz_ll")
+
         mu_i, _ = precond.solve_mv(
             key=None, interrogate=interrogate_kramer, theta=th_i, **cfg_i)
         if truth is not None:
@@ -1467,6 +1507,49 @@ def main():
             abs(float(v_ld) - _LD_REF_LL) / abs(_LD_REF_LL), 9)
         details["large_state_dalton_grad_rel_err"] = round(
             abs(float(out_vgd[1]) - _LD_REF_G) / abs(_LD_REF_G), 9)
+
+    # MAGI completes the large-state inference trio.  No dense/stationary
+    # machinery needed: the MAGI measurement model is per-block identity,
+    # so the filter stays block-diagonal at ANY d and the cross-variable
+    # coupling rides one path-wide MXU matmul inside ode_expand
+    # (models/heat.py:magi_setup).  The fixture is the f32-VALID coarse
+    # grid (N=25, sigma=0.02): with exact pseudo-observations the level
+    # innovation sd is sigma*dt^{p-1/2}, which must exceed the f32 path
+    # rounding (~6e-8) or the kappa signal drowns — measured in
+    # docs/benchmarks.md.  kappa evaluated 5% off truth so the gradient
+    # reference (f64 CPU, re-derived by tests/test_magi_large_state.py)
+    # is informative; at truth it vanishes (the path is the exact mode).
+    with _row(details, "large_state_magi"):
+        for d_m, ref_ll_m, ref_g_m in (
+                (128, 70321.99094505646, -16376.134603504284),
+                (1024, 562576.148847129, -130145.82732490015)):
+            u_m, oe_m, pp_m, dt_m = heat.magi_setup(
+                d=d_m, dtype=jnp.float32)
+            llm = jax.jit(lambda k, u_m=u_m, oe_m=oe_m, pp_m=pp_m,
+                          dt_m=dt_m: precond.magi_logdens(
+                              ode_data_subset=u_m, ode_expand=oe_m,
+                              n_active=2, prior_pars=pp_m, dt=dt_m,
+                              kappa=k))
+            vgm = jax.jit(jax.value_and_grad(
+                lambda k, u_m=u_m, oe_m=oe_m, pp_m=pp_m, dt_m=dt_m:
+                precond.magi_logdens(
+                    ode_data_subset=u_m, ode_expand=oe_m, n_active=2,
+                    prior_pars=pp_m, dt=dt_m, kappa=k)))
+            k_m = jnp.float32(0.0105)
+            t_lm, v_lm = _timeit(llm, (k_m,), n_rep=3)
+            t_vgm, out_vgm = _timeit(vgm, (k_m,), n_rep=3)
+            tag_m = f"d{d_m}"
+            details[f"large_state_magi_{tag_m}_ll_ms"] = round(
+                t_lm * 1000, 3)
+            details[f"large_state_magi_{tag_m}_value_grad_ms"] = round(
+                t_vgm * 1000, 3)
+            details[f"large_state_magi_{tag_m}_ll"] = round(
+                float(v_lm), 4)
+            details[f"large_state_magi_{tag_m}_ll_ref_f64"] = ref_ll_m
+            details[f"large_state_magi_{tag_m}_ll_rel_err"] = round(
+                abs(float(v_lm) - ref_ll_m) / abs(ref_ll_m), 9)
+            details[f"large_state_magi_{tag_m}_grad_rel_err"] = round(
+                abs(float(out_vgm[1]) - ref_g_m) / abs(ref_g_m), 9)
 
     with _row(details, "large_state_cpu"):
         src_h = _LARGE_CPU_SRC % {

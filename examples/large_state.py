@@ -153,6 +153,27 @@ def infer_kappa(cfg, exact, p, d, n_steps, dtype):
         print(f"{'  dalton exact cross-check':>34s}: "
               f"|dll| = {abs(float(vd) - float(vd_e)):.2e}")
 
+    # MAGI completes the trio — and needs NO dense/stationary machinery:
+    # its measurement model is per-block identity, so the filter stays
+    # block-diagonal at any d; the cross-variable coupling rides one
+    # path-wide MXU matmul inside ode_expand.  The fixture is the
+    # f32-valid COARSE grid (N=25, matched sigma — see magi_setup's
+    # docstring for the float32 validity rule); kappa is evaluated 5%
+    # off truth so the gradient is informative (at truth the exact path
+    # makes it vanish: truth is the MLE).
+    from rodeo_tpu.ops import precond as _prec
+    u_m, oe_m, pp_m, dt_m = heat.magi_setup(d=d, dtype=dtype)
+    vgm = jax.jit(jax.value_and_grad(lambda k: _prec.magi_logdens(
+        ode_data_subset=u_m, ode_expand=oe_m, n_active=2,
+        prior_pars=pp_m, dt=dt_m, kappa=k)))
+    k_m = jnp.asarray(0.0105, dtype)
+    v_m, g_m = vgm(k_m)
+    jax.block_until_ready(g_m)
+    t_m = min(timeit.repeat(
+        lambda: jax.block_until_ready(vgm(k_m)[1]), number=1, repeat=3))
+    print(f"{'magi value+grad (N=25 grid)':>34s}: {t_m * 1e3:9.1f} ms   "
+          f"ll = {float(v_m):.2f}, grad = {float(g_m):.4g}")
+
 
 if __name__ == "__main__":
     main()

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from rodeo_tpu.prior import ibm_init
 from rodeo_tpu.prior.indep_init import indep_init
 
-__all__ = ["laplacian", "heat_fun", "setup", "fenrir_setup"]
+__all__ = ["laplacian", "heat_fun", "setup", "fenrir_setup", "magi_setup"]
 
 KAPPA = 0.01
 
@@ -106,6 +106,68 @@ def setup(d=128, n_deriv=3, n_steps=1000, t_min=0.0, t_max=1.0,
         exact=exact,
         n_deriv=p,
     )
+
+
+def magi_setup(d=128, n_deriv=3, n_active=2, n_steps=25, t_min=0.0,
+               t_max=1.0, kappa=KAPPA, prior_sigma=0.02, dtype=jnp.float32):
+    """MAGI configuration for the heat benchmark — BLOCKED layout.
+
+    Unlike fenrir/dalton, MAGI needs no dense/stationary machinery in the
+    large-state regime: its filter has no interrogation step, so the
+    cross-variable coupling enters only through ``ode_expand`` (here one
+    path-wide MXU matmul with the Laplacian) and the Kalman recursion
+    stays block-diagonal — ``d`` independent ``(n_deriv, n_deriv)``
+    filters, exactly the regime the blocked kernels already handle
+    (reference semantics: ``/root/reference/src/rodeo/inference/magi.py``,
+    whose measurement model is per-block identity).
+
+    Returns ``(u, ode_expand, prior_pars, dt)``: ``u`` is the
+    ODE-consistent path subset (the closed-form solution and its first
+    ``n_active - 1`` time-derivatives on the grid) of shape
+    ``(n_steps + 1, d, n_active)``; ``ode_expand`` appends the
+    ``n_deriv``-th Taylor coefficient via the ODE
+    (:math:`x^{(j+1)} = L x^{(j)}`, valid for ``n_active = n_deriv - 1``);
+    ``prior_pars`` is the *blocked* IBM prior ``(d, n_deriv, n_deriv)``.
+    Deterministic — no RNG.
+
+    ``ode_expand`` accepts an optional runtime ``kappa`` keyword (defaulting
+    to the build-time value) so ``magi_logdens(..., kappa=k)`` is
+    differentiable w.r.t. the diffusivity at a fixed path — the MAGI
+    parameter-inference dial in the large-state regime.
+
+    The defaults (``n_steps=25``, ``prior_sigma=0.02``) are the *float32-
+    valid* MAGI regime, deliberately unlike the solver fixtures (N=1000,
+    diffuse prior): with exact pseudo-observations the level-innovation
+    scale is :math:`\\sigma\\,\\Delta t^{p-1/2}`, which must stay well above
+    the float32 representation noise of the path
+    (:math:`\\varepsilon\\,\\|u\\| \\approx 6\\times10^{-8}`) for the density
+    to carry information on TPU — a fine grid or diffuse-σ config silently
+    destroys the κ signal (measured in ``docs/benchmarks.md``).  MAGI's
+    whole point is coarse grids, so this costs nothing.
+    """
+    if n_active != n_deriv - 1:
+        raise ValueError("magi_setup's ode_expand requires "
+                         "n_active == n_deriv - 1")
+    p = n_deriv
+    mu1 = -2.0 * (1.0 - np.cos(np.pi / (d + 1))) * float((d + 1) ** 2) \
+        * kappa
+    u0 = np.sin(np.pi * np.arange(1, d + 1) / (d + 1))
+    tgrid = t_min + (t_max - t_min) * np.arange(n_steps + 1) / n_steps
+    decay = np.exp(mu1 * (tgrid - t_min))
+    # closed form (u0 is a Laplacian eigenvector): d^j u/dt^j = mu1^j u(t)
+    u = np.stack([np.outer(decay, u0) * mu1 ** j
+                  for j in range(n_active)], axis=-1)
+    L0 = jnp.asarray(laplacian(d, 1.0), dtype)
+
+    def ode_expand(usub, kappa=kappa, **params):
+        top = kappa * (usub[..., -1] @ L0.T)
+        return jnp.concatenate([usub, top[..., None]], axis=-1)
+
+    dt = (t_max - t_min) / n_steps
+    prior_pars = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, dtype),
+        ibm_init(dt, p, jnp.full((d,), prior_sigma, dtype)))
+    return jnp.asarray(u, dtype), ode_expand, prior_pars, dt
 
 
 def fenrir_setup(d=128, n_deriv=3, n_steps=1000, n_obs=20, obs_sd=0.01,
