@@ -21,31 +21,11 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-import rodeo_tpu
-import rodeo_tpu.solve
-import rodeo_tpu.interrogate
-import rodeo_tpu.utils
-import rodeo_tpu.prior
-import rodeo_tpu.kalmantv
-import rodeo_tpu.kalmantv.standard
-import rodeo_tpu.kalmantv.square_root
-import rodeo_tpu.inference
-
-ALIASES = {
-    "rodeo": rodeo_tpu,
-    "rodeo.solve": rodeo_tpu.solve,
-    "rodeo.interrogate": rodeo_tpu.interrogate,
-    "rodeo.utils": rodeo_tpu.utils,
-    "rodeo.prior": rodeo_tpu.prior,
-    "rodeo.kalmantv": rodeo_tpu.kalmantv,
-    "rodeo.kalmantv.standard": rodeo_tpu.kalmantv.standard,
-    "rodeo.kalmantv.square_root": rodeo_tpu.kalmantv.square_root,
-    "rodeo.inference": rodeo_tpu.inference,
-}
+from rodeo_tpu.compat import install_alias
 
 
 def main():
-    sys.modules.update(ALIASES)
+    install_alias()
     sys.path.insert(0, REF_TESTS)
     loader = unittest.TestLoader()
     suite = loader.discover(REF_TESTS, pattern="test_*.py",
