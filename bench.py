@@ -1508,6 +1508,47 @@ def main():
         details["large_state_dalton_grad_rel_err"] = round(
             abs(float(out_vgd[1]) - _LD_REF_G) / abs(_LD_REF_G), 9)
 
+    # non-Gaussian DALTON completes the five-method inference matrix at
+    # d=128: the same fixture driven through the preconditioned dense
+    # daltonng (exact filters; per-observation Laplace linearization of
+    # a user log-likelihood).  The fixture's observations ARE Gaussian,
+    # so the Laplace step is exact and Chib's identity makes daltonng
+    # equal the same exact log p(Y|Z) as fenrir/dalton — the f64
+    # reference above is reused, making this row a three-way
+    # formulation cross-check (identity pinned in f64 by
+    # tests/test_daltonng_large_state.py).
+    with _row(details, "large_state_daltonng"):
+        import numpy as _np_ng
+        kw_ng, kappa0n = heat.fenrir_setup(
+            d=128, n_deriv=3, n_steps=1000, n_obs=20, dtype=jnp.float32)
+        y_ng = kw_ng.pop("obs_data")
+        kw_ng.pop("obs_weight")
+        kw_ng.pop("obs_var")
+        _sd_ng, _p_ng = 0.01, 3
+        _c_ng = 128 * (_np_ng.log(_sd_ng) + 0.5 * _np_ng.log(2 * _np_ng.pi))
+
+        def obs_ll_ng(y_i, x_i, i, **params):
+            u = x_i[0, ::_p_ng]
+            return jnp.sum(-0.5 * ((y_i[0] - u) / _sd_ng) ** 2) - _c_ng
+
+        llng = jax.jit(lambda k: precond.daltonng(
+            obs_data=y_ng, obs_loglik_i=obs_ll_ng, n_deriv=3,
+            kappa=k, **kw_ng))
+        t_ng, v_ng = _timeit(llng, (kappa0n,), n_rep=2)
+        details["large_state_daltonng_ll_ms"] = round(t_ng * 1000, 3)
+        details["large_state_daltonng_ll"] = round(float(v_ng), 4)
+        details["large_state_daltonng_ll_ref_f64"] = _LD_REF_LL
+        details["large_state_daltonng_ll_rel_err"] = round(
+            abs(float(v_ng) - _LD_REF_LL) / abs(_LD_REF_LL), 9)
+        vgng = jax.jit(jax.value_and_grad(lambda k: precond.daltonng(
+            obs_data=y_ng, obs_loglik_i=obs_ll_ng, n_deriv=3,
+            kappa=k, **kw_ng)))
+        t_vgn, out_vgn = _timeit(vgng, (kappa0n,), n_rep=2)
+        details["large_state_daltonng_value_grad_ms"] = round(
+            t_vgn * 1000, 3)
+        details["large_state_daltonng_grad_rel_err"] = round(
+            abs(float(out_vgn[1]) - _LD_REF_G) / abs(_LD_REF_G), 9)
+
     # MAGI completes the large-state inference trio.  No dense/stationary
     # machinery needed: the MAGI measurement model is per-block identity,
     # so the filter stays block-diagonal at ANY d and the cross-variable

@@ -56,14 +56,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from rodeo_tpu.utils import mtt, mvdot, quadform
+from rodeo_tpu.utils import mtt, mvdot, quadform, \
+    multivariate_normal_logpdf
 from rodeo_tpu.ops.linalg import fast_linalg, solve_psd
 from rodeo_tpu.ops.linalg import full_matmul_precision
 from rodeo_tpu.ops.precond import _scaled_inputs, _wrap_interrogate
 from rodeo_tpu.ops.scan import scan as _uscan
 
 __all__ = ["solve_mv_stationary", "fenrir_stationary",
-           "dalton_stationary"]
+           "dalton_stationary", "daltonng_stationary"]
 
 
 def _warn_nonaffine(rel_resid):
@@ -1074,3 +1075,248 @@ def _dalton_stationary_frozen_core(Q, R, H, H_inn, b_m, v_fun, x0_s,
         + n_steps * nb * k_meas * log2pi)
 
     return ld0 + ld_joint - ld_marg
+
+
+@full_matmul_precision
+def _daltonng_stationary_core(Q, R, H, H_inn, b_m, v_fun, x0_s, n_steps,
+                              n_warm, obs_ind, obs_data, obs_ll_s, params):
+    r"""Scaled-coordinate hoisted-affine non-Gaussian DALTON:
+    :math:`\log p(Y|Z) \approx \log p(Y|\hat x) + \log p(\hat x|Z)
+    - \log p(\hat x|\hat Y, Z)` with :math:`\hat x` the smoothed mean of
+    the Laplace-linearized data-conditioned filter (Chib's identity over
+    the Laplace-Gaussian surrogate — exactly the reference's
+    ``daltonng`` decomposition, ``dalton.py:849-949``).
+
+    TPU-native formulation (the plain path's per-step ``pinv`` lowers to
+    an SVD and its backward log-densities to batched ``eigh``, neither
+    of which compiles tractably at state dim 384):
+
+    - the observation Hessian is required to be COORDINATEWISE DIAGONAL
+      (independent per-coordinate observation likelihoods — Gaussian,
+      Poisson, any GLM with one state coordinate per datum), so the
+      Laplace pseudo-observation inverts elementwise, dead coordinates
+      (zero Hessian row) becoming exact identity updates;
+    - every covariance op is Cholesky-based (PD by the stationary
+      validity contract), and both backward passes are assembled fully
+      batched: the ``logx_yhat`` residuals vanish identically at the
+      smoothed mean (only log-determinants survive), and the ``logx_z``
+      residuals are closed-form in the stored moments, so neither pass
+      scans covariances.
+
+    Both filters carry exact covariance recursions (``n_warm`` is
+    pinned to ``n_steps`` by the wrapper — see its docstring for why
+    freezing cannot work here).
+    """
+    nb, n = x0_s.shape
+    dtype = x0_s.dtype
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (nb, n, n))
+    P_zero = jnp.zeros((nb, n, n), dtype=dtype)
+    V0 = v_fun(P_zero)
+    v_lin = lambda P: jax.jvp(v_fun, (P_zero,), (P,))[1]  # noqa: E731
+    obs_row = np.full(n_steps + 1, -1, dtype=np.int64)
+    for j, r in enumerate(obs_ind):
+        obs_row[r] = j
+    obs_row = jnp.asarray(obs_row)
+
+    grad_fn = jax.jacrev(obs_ll_s, argnums=1)
+    hess_fn = jax.jacfwd(grad_fn, argnums=1)
+
+    # --- pass 1: exact Laplace-linearized (joint) forward filter -----
+    def nn_step(carry, t):
+        m_f, P_f = carry
+        m_p = mvdot(Q, m_f)
+        P_p = _sym(quadform(Q, P_f) + R)
+        V = V0 + v_lin(P_p)
+        fore = mvdot(H_inn, m_p) + b_m
+        S = _sym(quadform(H, P_p) + V)
+        K = mtt(solve_psd(S, H @ P_p))
+        m_mid = m_p - mvdot(K, fore)
+        ikw = eye - K @ H
+        P_mid = _sym(quadform(ikw, P_p) + quadform(K, V))
+
+        def data_update():
+            j = obs_row[t + 1]
+            y_j = obs_data[j]
+            g = grad_fn(y_j, m_p, j, **params)          # (nb, n)
+            hes = hess_fn(y_j, m_p, j, **params)        # (nb, n, nb, n)
+            hd = jnp.moveaxis(
+                jnp.diagonal(hes, axis1=0, axis2=2), -1, 0)  # (nb, n, n)
+            d_diag = jnp.diagonal(hd, axis1=-2, axis2=-1)    # (nb, n)
+            live = d_diag != 0
+            # Laplace pseudo-observation variance: -1/Hess on live
+            # coordinates, unit variance + zero weight (exact identity
+            # update) on dead ones
+            var_d = jnp.where(live, -1.0 / jnp.where(live, d_diag, -1.0),
+                              1.0)
+            livef = live.astype(dtype)
+            obs_hat = livef * m_p + var_d * g
+            # diagonal-model Kalman update on top of the ODE update
+            S_u = P_mid * (livef[..., :, None] * livef[..., None, :]) \
+                + jax.vmap(jnp.diag)(var_d)
+            K_o = mtt(solve_psd(S_u, livef[..., :, None] * P_mid))
+            m_o = m_mid + mvdot(K_o, livef * (obs_hat - m_mid))
+            iko = eye - K_o * livef[..., None, :]
+            P_o = _sym(quadform(iko, P_mid)
+                       + quadform(K_o, jax.vmap(jnp.diag)(var_d)))
+            return m_o, P_o
+
+        is_obs = obs_row[t + 1] >= 0
+        m_n, P_n = jax.lax.cond(
+            is_obs, data_update, lambda: (m_mid, P_mid))
+        return (m_n, P_n), (m_p, P_p, m_n, P_n)
+
+    (_, _), (m_p_nn, P_p_nn, m_f_nn, P_f_nn) = jax.lax.scan(
+        nn_step, (x0_s, P_zero), jnp.arange(n_steps))
+
+    # --- pass 2: smoothed means + logx_yhat (zero-residual logdets) --
+    # smooth_cond gains/covariances at rows k = 1..N-1, batched:
+    #   A_k = P_f[k] Q' P_p[k+1]^{-1},  C_k = P_f[k] - A_k P_p[k+1] A_k'
+    A_nn = mtt(solve_psd(P_p_nn[1:], Q @ P_f_nn[:-1]))
+    C_nn = _sym(P_f_nn[:-1] - jnp.einsum(
+        "tbij,tbjk,tblk->tbil", A_nn, P_p_nn[1:], A_nn))
+
+    def mean_step(x_next, xs):
+        A_k, m_f_k, m_p_k1 = xs
+        x_k = m_f_k + mvdot(A_k, x_next - m_p_k1)
+        return x_k, x_k
+
+    _, xs_mid = jax.lax.scan(
+        mean_step, m_f_nn[-1], (A_nn, m_f_nn[:-1], m_p_nn[1:]),
+        reverse=True)
+    x_hat = jnp.concatenate([x0_s[None], xs_mid, m_f_nn[-1][None]])
+
+    # The smoothing covariances are SINGULAR by construction whenever the
+    # interrogation carries zero measurement noise (kramer/schober: each
+    # update zeroes variance along the H rows exactly — H P_f = 0 since
+    # H(I - KH) = 0 when S = H P_p H', and the null space propagates to
+    # every smooth_cond C and to P_f[N]).  The null space is therefore
+    # STRUCTURAL and time-invariant: span(H').  One complete QR of H'
+    # yields the live-space basis, turning every masked-eigh logpdf of
+    # the plain path (batched eigh at state dim 384 measured ~11 s/eval
+    # on v5e) into a projected Cholesky (measured ~40x cheaper), with
+    # identical value in exact arithmetic.
+    k_meas = H.shape[-2]
+    n_live = n - k_meas
+    qfull, _ = jnp.linalg.qr(mtt(H), mode="complete")
+    U_live = qfull[..., k_meas:]                     # (nb, n, n-k)
+    import jax.scipy.linalg as jsp_linalg
+    log2pi = jnp.asarray(1.8378770664093453, dtype)
+
+    def live_logpdf_sum(resid, C):
+        """Summed Gaussian log-density on the structural live subspace.
+        ``resid (..., nb, n)``, ``C (..., nb, n, n)``."""
+        Cl = _sym(jnp.einsum("bni,...bnm,bmj->...bij", U_live, C, U_live))
+        rl = jnp.einsum("bni,...bn->...bi", U_live, resid)
+        chol = jnp.linalg.cholesky(Cl)
+        a = jsp_linalg.solve_triangular(
+            chol, rl[..., None], lower=True)[..., 0]
+        ld = 2.0 * jnp.sum(jnp.log(jnp.diagonal(
+            chol, axis1=-2, axis2=-1)))
+        cnt = rl.size // n_live
+        return -0.5 * (jnp.sum(a * a) + ld + cnt * n_live * log2pi)
+
+    logx_yhat = live_logpdf_sum(jnp.zeros_like(m_f_nn[-1]), P_f_nn[-1])
+    logx_yhat += live_logpdf_sum(jnp.zeros_like(xs_mid), C_nn)
+
+    # --- pass 3: marginal p(x_hat | Z) over the plain filter ---------
+    # (n_warm is pinned to n_steps by the wrapper, so the prefix arrays
+    # cover the whole grid and the recursion is exact)
+    f = _stationary_filter(Q, R, H, H_inn, b_m, v_fun, x0_s, n_steps,
+                           n_warm)
+    A_pre = f["B_pre"][1:]                           # rows 1..N-1
+    C_pre = _sym(f["P_f_pre"][:-1] - jnp.einsum(
+        "tbij,tbjk,tblk->tbil", A_pre, f["P_p_pre"][1:], A_pre))
+    m_f_all, m_p_all = f["m_f_all"], f["m_p_all"]
+    mean_sim_pre = m_f_all[1:n_steps] + jnp.einsum(
+        "tbij,tbj->tbi", A_pre, x_hat[2:] - m_p_all[1:])
+    logx_z = live_logpdf_sum(x_hat[-1] - m_f_all[-1], f["P_f_pre"][-1])
+    logx_z += live_logpdf_sum(x_hat[1:n_steps] - mean_sim_pre, C_pre)
+
+    # --- observation likelihood at the smoothed means ----------------
+    rows = jnp.asarray(np.asarray(obs_ind, dtype=np.int64))
+    logy_x = jnp.sum(jax.vmap(
+        lambda y_j, x_j, j: obs_ll_s(y_j, x_j, j, **params))(
+        obs_data, x_hat[rows], jnp.arange(len(obs_ind))))
+
+    return logy_x + logx_z - logx_yhat
+
+
+def daltonng_stationary(key, ode_fun, ode_weight, ode_init,
+                        t_min, t_max, n_steps,
+                        interrogate,
+                        prior_pars,
+                        obs_data, obs_times, obs_loglik_i,
+                        n_deriv=None, validate=True, **params):
+    r"""
+    Hoisted-affine :func:`rodeo_tpu.ops.precond.daltonng` for affine
+    time-invariant ODEs — NON-GAUSSIAN data likelihoods in the
+    large-state regime, completing the five-method inference matrix at
+    :math:`d \gg 1`.  Functional parity target:
+    ``/root/reference/src/rodeo/inference/dalton.py:849-949``
+    (``daltonng``), restricted per the module validity contract plus:
+
+    - ``obs_loglik_i(y_i, x_i, i, **params)`` must have a COORDINATEWISE
+      DIAGONAL Hessian in the state (independent per-coordinate
+      observation models — Gaussian, Poisson, any GLM observing single
+      state coordinates).  The plain path's per-step ``pinv`` (an SVD)
+      and eigen-masked backward densities do not compile tractably on
+      TPU at state dim ~384; the diagonal contract replaces them with
+      elementwise inverses and Cholesky factorizations throughout.
+    - observation rows must be distinct interior grid rows (no ``t=0``
+      observation).
+
+    Both passes carry EXACT covariance recursions (no ``n_warm``
+    freezing): the marginal term's masked log-densities project onto
+    the exact null space of the singular smoothing covariances, and a
+    frozen covariance perturbs those zero eigenvalues to
+    :math:`O(\rho^{n_{\text{warm}}})` — unmaskable, so the projection
+    blows up (measured: +285 log-lik drift at ``n_warm=16`` on the mild
+    d=8 fixture, vs exact-match at full warm-up).  The hoisted affine
+    interrogation (no per-step ``jacfwd``/``pinv``) remains the
+    large-state win.  Fully differentiable.
+
+    Returns:
+        (float): approximate log-likelihood
+        :math:`\log p(Y_{0:M} \mid Z_{1:N})`.
+    """
+    if key is not None:
+        raise ValueError(
+            "daltonng_stationary requires a deterministic interrogation "
+            "(key=None)")
+    try:
+        obs_times_np = np.asarray(obs_times)
+        grid = np.linspace(float(t_min), float(t_max), int(n_steps) + 1)
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError) as e:
+        raise ValueError(
+            "daltonng_stationary requires concrete (non-traced) "
+            "obs_times and grid bounds (close over them instead of "
+            "passing them as jit arguments)") from e
+    obs_ind = tuple(int(i) for i in np.searchsorted(grid, obs_times_np))
+    if any(b <= a for a, b in zip(obs_ind, obs_ind[1:])):
+        raise ValueError(
+            "daltonng_stationary requires strictly increasing "
+            f"observation times mapping to distinct grid rows; got "
+            f"{obs_ind}")
+    if obs_ind and (obs_ind[0] < 1 or obs_ind[-1] > n_steps):
+        raise ValueError(
+            f"observation rows {obs_ind} must be interior grid rows "
+            f"in [1, {n_steps}]")
+    n_warm = int(n_steps)
+
+    from rodeo_tpu.ops.precond import _wrap_obs_loglik
+    t_vec, W_s, x0_s, (Q, R) = _scaled_inputs(
+        ode_weight, ode_init, prior_pars, t_min, t_max, n_steps, n_deriv)
+    wrapped = _wrap_interrogate(interrogate, ode_weight, t_vec)
+    dtype = x0_s.dtype
+    t1 = t_min + (t_max - t_min) / n_steps
+
+    H, H_inn, b, v_fun = _extract_affine(
+        wrapped, ode_fun, W_s, x0_s, t1, t_max, validate, params)
+
+    obs_ll_s = _wrap_obs_loglik(obs_loglik_i, t_vec)
+    with fast_linalg():
+        return _daltonng_stationary_core(
+            Q, R, H.astype(dtype), H_inn.astype(dtype), b.astype(dtype),
+            v_fun, x0_s, n_steps, n_warm, obs_ind,
+            obs_data.astype(dtype), obs_ll_s, params)
