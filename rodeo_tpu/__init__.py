@@ -19,7 +19,7 @@ Public API surface (matching the reference's re-exports,
   (mesh/sharding helpers).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 from rodeo_tpu import interrogate
 from rodeo_tpu import prior

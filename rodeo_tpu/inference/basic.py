@@ -13,6 +13,30 @@ observation log-likelihood:
 matching observation times to the closest solver grid point.
 
 Functional parity target: ``/root/reference/src/rodeo/inference/basic.py``.
+
+.. admonition:: float32 on chaotic systems — use fenrir/dalton instead
+
+   The plug-in construction evaluates the smoothed mean POINTWISE at the
+   observation times.  On a chaotic ODE every float32 trajectory diverges
+   from the float64 one at late times (positive Lyapunov exponent
+   amplifies ULP-level rounding to O(attractor) separation), so the
+   plug-in likelihood inherits that divergence wholesale: on the
+   Lorenz63 bench config (4k grid, t in [0, 20]) ``basic`` lands ~12%
+   relative off its f64 value — and the SAME pipeline run in f32 on CPU
+   lands ~11.7% off (the ``basic_f32cpu_control_rel_err`` bench row),
+   i.e. this is the f32 floor of plug-in-on-chaotic, not a TPU defect.
+   The error is inherent to the method: no solver change can help,
+   because the information that distinguishes f32 from f64 trajectories
+   is below f32 resolution.  Two mitigations:
+
+   * prefer :func:`rodeo_tpu.inference.fenrir` / ``dalton`` for
+     parameter inference on chaotic systems — they marginalize over the
+     posterior path rather than plugging in its mean, and measure at
+     1e-5 / 1e-7 relative on the identical f32 config;
+   * on non-chaotic systems ``basic`` is fine in f32: the same pipeline
+     on FitzHugh–Nagumo sits at the ordinary f32 rounding floor (the
+     ``basic_fitz`` bench row and
+     ``tests/test_inference_oracle.py::test_basic_f32_floor_non_chaotic``).
 """
 import jax
 import jax.numpy as jnp

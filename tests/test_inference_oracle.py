@@ -259,3 +259,30 @@ def test_magi_precond_dense_oracle(magi_setup):
         s["ode_expand"](s["U"], theta=s["theta"]), s["prior_pars"],
         s["n_active"])
     np.testing.assert_allclose(float(ll), ll_oracle, rtol=1e-6)
+
+
+def test_basic_f32_floor_non_chaotic():
+    """The ``basic`` plug-in likelihood's large f32 error on chaotic
+    systems is trajectory divergence, not a pipeline defect: on the
+    non-chaotic FitzHugh model the same f32 pipeline tracks its f64
+    value at the ordinary rounding floor (see the float32 admonition in
+    :mod:`rodeo_tpu.inference.basic` and the bench ``basic_fitz`` row)."""
+    from rodeo_tpu.models import fitzhugh
+    from rodeo_tpu.ops import precond
+
+    def b_loglik(obs_data, ode_data, **p):
+        return jnp.sum(-0.5 * (obs_data[..., 0] - ode_data[..., 0]) ** 2)
+
+    vals = {}
+    for dtype in (jnp.float64, jnp.float32):
+        cfg = fitzhugh.setup(n_steps=200, t_max=10.0, dtype=dtype)
+        th = cfg.pop("theta")
+        obs_t = jnp.linspace(0.0, 10.0, 11).astype(dtype)
+        y = jnp.asarray(np.random.default_rng(2).normal(
+            size=(11, 2, 1)), dtype)
+        vals[str(dtype)], _ = precond.basic(
+            key=None, interrogate=interrogate_kramer, theta=th,
+            obs_data=y, obs_times=obs_t, obs_loglik=b_loglik, **cfg)
+    ref = float(vals[str(jnp.float64)])
+    rel = abs(float(vals[str(jnp.float32)]) - ref) / max(abs(ref), 1e-30)
+    assert rel < 1e-3, rel

@@ -146,3 +146,49 @@ def test_stationary_validate_probe():
                                       interrogate=interrogate_kramer,
                                       theta=th, n_warm=20, **cfg_n)
         jax.block_until_ready(mu_n)
+
+
+def test_stationary_nonlinear_poisons_device_side():
+    """VERDICT r4 #4: the affine-contract probe must be loud ON DEVICE,
+    not only via a host callback (remote TPU runtimes reject host
+    callbacks, where the old check silently did nothing).  Under jit the
+    probe residual is traced and the guard is a pure in-graph where-gate:
+    a nonlinear RHS must come back NaN-poisoned, the affine model must
+    come back finite and unchanged."""
+    import warnings
+    from rodeo_tpu.models import fitzhugh
+    from rodeo_tpu.ops.stationary import fenrir_stationary
+
+    cfg_n = fitzhugh.setup(n_steps=60, t_max=2.0, dtype=jnp.float64)
+    th = cfg_n.pop("theta")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        mu_n, var_n = jax.jit(lambda: solve_mv_stationary(
+            key=None, interrogate=interrogate_kramer, theta=th,
+            n_warm=20, **cfg_n))()
+        assert not bool(jnp.any(jnp.isfinite(mu_n)))
+        assert not bool(jnp.any(jnp.isfinite(var_n)))
+
+        # fenrir_stationary shares the guard through _extract_affine
+        n_obs = 4
+        obs_times = np.linspace(0.5, 2.0, n_obs)
+        D = jnp.zeros((n_obs, 2, 1, 3), jnp.float64
+                      ).at[:, :, :, 0].set(1.0)
+        Om = 0.01 * jnp.broadcast_to(jnp.eye(1, dtype=jnp.float64),
+                                     (n_obs, 2, 1, 1))
+        y = jnp.zeros((n_obs, 2, 1), jnp.float64)
+        ll_n = jax.jit(lambda: fenrir_stationary(
+            key=None, interrogate=interrogate_kramer, theta=th,
+            n_warm=20, obs_data=y, obs_times=obs_times, obs_weight=D,
+            obs_var=Om, **cfg_n))()
+        assert not np.isfinite(float(ll_n))
+
+    # control: the affine heat model passes through the same jitted
+    # guard unpoisoned
+    cfg_a = heat.setup(d=8, n_deriv=3, n_steps=60, dtype=jnp.float64)
+    cfg_a.pop("exact")
+    p = cfg_a.pop("n_deriv")
+    mu_a, _ = jax.jit(lambda: solve_mv_stationary(
+        key=None, interrogate=interrogate_kramer, n_deriv=p,
+        n_warm=20, **cfg_a))()
+    assert bool(jnp.all(jnp.isfinite(mu_a)))
