@@ -2,23 +2,46 @@
 Benchmark driver: Lorenz63 10k-step probabilistic solve on one TPU chip vs
 the reference (mlysy/rodeo) on CPU float64.
 
-Prints exactly ONE JSON line:
+Prints exactly ONE JSON line to stdout (the headline), EARLY:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
-`value` is our best TPU wall-clock per solve in milliseconds;
-`vs_baseline` is the speedup factor over the reference CPU implementation
-(t_reference / t_ours, > 1 means we are faster).
+Budget-proof layout (round-5 rework; round 4's full sweep outran the
+driver's 30-minute limit and recorded nothing):
+
+  phase 0  launch the CPU-reference subprocess in the background
+  phase 1  measure ONLY the champion configs (lane-batched fused kernel
+           with the plain-XLA sequential path as audited backstop), join
+           the CPU subprocess, print the headline JSON, flush stdout
+  phase 2  run the remaining sections in judge-priority order, each gated
+           on a wall-clock budget (env BENCH_BUDGET_S, default 1380 s —
+           under the driver's observed 1800 s kill) and failure-isolated;
+           BENCH_DETAILS.json is rewritten after EVERY section and merged
+           with the previous run's values (carried-over keys are listed
+           in _meta so nothing is silently presented as fresh)
+
+BENCH_FULL=1 disables the budget gate (the full sweep, ~80 min).
+A SIGALRM backstop exits 0 shortly after the budget even if a remote
+compile hangs, so the driver always gets a parseable line and rc 0.
 
 Extra measurements are written to BENCH_DETAILS.json for the record.
 """
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
 
 N_STEPS = 10000
 T_MAX = 20.0
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_DETAILS_PATH = os.path.join(_REPO, "BENCH_DETAILS.json")
+
+# Fallback CPU reference (ms/solve, vmapped batch-8 configuration) if the
+# subprocess fails or exceeds phase 1's wait: measured on this host
+# 2026-08-20 (BENCH_DETAILS cpu_reference_vmapped_ms; stable across
+# r03/r04 runs to ~5%).  Only used with a details marker.
+_CPU_REF_MS_CACHED = 35.384
 
 _CPU_BASELINE_SRC = r"""
 import sys, time
@@ -103,32 +126,13 @@ for _ in range(2):
 print("LARGE_CPU_SECONDS_PER_STEP", best / n_sub)
 """
 
-
-def cpu_reference_seconds():
-    """Time the reference implementation on CPU f64 in a subprocess.
-
-    Returns (sequential_per_solve_s, vmapped_per_solve_s)."""
-    src = _CPU_BASELINE_SRC % {"n_steps": N_STEPS, "t_max": T_MAX}
-    out = subprocess.run(
-        [sys.executable, "-c", src], capture_output=True, text=True,
-        timeout=2400)
-    seq = vm = None
-    for line in out.stdout.splitlines():
-        if line.startswith("BASELINE_SECONDS"):
-            seq = float(line.split()[1])
-        if line.startswith("BASELINE_VMAPPED_SECONDS"):
-            vm = float(line.split()[1])
-    if seq is None:
-        raise RuntimeError(
-            f"baseline failed: {out.stdout[-2000:]} {out.stderr[-2000:]}")
-    return seq, vm if vm is not None else seq
-
-
 # CPU float64 ground truth for the accuracy audit (VERDICT r2 #2): the
 # same configurations every TPU bench row runs, computed with the XLA
 # covariance path on CPU in f64 — which the parity suite pins to the
 # upstream reference at 1e-8 (tests/test_parity_reference.py), so these
-# ARE the reference values.  Deterministic, so cached in .bench_ref.npz.
+# ARE the reference values.  v6 adds f64 reference GRADIENTS plus
+# f32-on-CPU gradient controls (VERDICT r4 #3: every *_grad_rel_err row
+# needs a control sibling).  Deterministic, so cached in .bench_ref_v6.npz.
 _CPU_TRUTH_SRC = r"""
 import sys
 import numpy as np
@@ -163,11 +167,25 @@ obs_times = jnp.linspace(0.0, %(t_max)f, n_obs)
 D = jnp.zeros((n_obs, 3, 1, 3)).at[:, :, :, 0].set(1.0)
 Om = 0.005 * jnp.broadcast_to(jnp.eye(1), (n_obs, 3, 1, 1))
 yobs = jnp.asarray(np.random.default_rng(0).normal(size=(n_obs, 3, 1)) * 5)
-kw = dict(key=None, interrogate=interrogate_kramer, theta=th_f,
-          obs_data=yobs, obs_times=obs_times, obs_weight=D, obs_var=Om,
-          **cfg_f)
-out["fenrir_ll"] = float(precond.fenrir(**kw))
-out["dalton_ll"] = float(precond.dalton(**kw))
+
+def fenrir_ll_fn(th):
+    return precond.fenrir(
+        key=None, interrogate=interrogate_kramer, theta=th,
+        obs_data=yobs, obs_times=obs_times, obs_weight=D, obs_var=Om,
+        **cfg_f)
+
+def dalton_ll_fn(th):
+    return precond.dalton(
+        key=None, interrogate=interrogate_kramer, theta=th,
+        obs_data=yobs, obs_times=obs_times, obs_weight=D, obs_var=Om,
+        **cfg_f)
+
+out["fenrir_ll"] = float(fenrir_ll_fn(th_f))
+out["dalton_ll"] = float(dalton_ll_fn(th_f))
+# f64 reference gradients w.r.t. theta (reverse mode; matches what the
+# fused tangent kernels compute forward-mode)
+out["fenrir_grad"] = np.asarray(jax.grad(fenrir_ll_fn)(th_f))
+out["dalton_grad"] = np.asarray(jax.grad(dalton_ll_fn)(th_f))
 
 # non-Gaussian / basic / magi config (rng(1) obs - matches bench rows)
 cfg_i = lorenz.setup(n_steps=4000, t_max=%(t_max)f, dtype=jnp.float64)
@@ -178,16 +196,26 @@ def nn_loglik(o, s, i, **p):
     mean = s[:, 0]
     return jnp.sum(-0.5 * (o[:, 0] - mean) ** 2 / 0.005)
 
-out["daltonng_ll"] = float(precond.daltonng(
-    key=None, interrogate=interrogate_kramer, theta=th_i,
-    obs_data=yobs_i, obs_times=obs_times, obs_loglik_i=nn_loglik, **cfg_i))
+def daltonng_ll_fn(th):
+    return precond.daltonng(
+        key=None, interrogate=interrogate_kramer, theta=th,
+        obs_data=yobs_i, obs_times=obs_times, obs_loglik_i=nn_loglik,
+        **cfg_i)
+
+out["daltonng_ll"] = float(daltonng_ll_fn(th_i))
+out["daltonng_grad"] = np.asarray(jax.grad(daltonng_ll_fn)(th_i))
 
 def b_loglik(obs_data, ode_data, **p):
     return jnp.sum(-0.5 * (obs_data[..., 0] - ode_data[..., 0])**2)
 
-out["basic_ll"] = float(precond.basic(
-    key=None, interrogate=interrogate_kramer, theta=th_i,
-    obs_data=yobs_i, obs_times=obs_times, obs_loglik=b_loglik, **cfg_i)[0])
+def basic_ll_fn(th):
+    return precond.basic(
+        key=None, interrogate=interrogate_kramer, theta=th,
+        obs_data=yobs_i, obs_times=obs_times, obs_loglik=b_loglik,
+        **cfg_i)[0]
+
+out["basic_ll"] = float(basic_ll_fn(th_i))
+out["basic_grad"] = np.asarray(jax.grad(basic_ll_fn)(th_i))
 
 mu_i, _ = rodeo_tpu.solve_mv(
     key=None, interrogate=interrogate_kramer, theta=th_i, **cfg_i)
@@ -197,9 +225,15 @@ def ode_expand(u, **p):
     pad = jnp.zeros(u.shape[:-1] + (1,), jnp.float64)
     return jnp.concatenate([u, pad], axis=-1)
 
-out["magi_ll"] = float(precond.magi_logdens(
-    ode_data_subset=mu_i[:, :, :2], ode_expand=ode_expand, n_active=2,
-    prior_pars=cfg_i["prior_pars"], dt=%(t_max)f / 4000))
+def magi_ll_fn(u):
+    return precond.magi_logdens(
+        ode_data_subset=u, ode_expand=ode_expand, n_active=2,
+        prior_pars=cfg_i["prior_pars"], dt=%(t_max)f / 4000)
+
+out["magi_ll"] = float(magi_ll_fn(mu_i[:, :, :2]))
+# magi's MCMC position is the PATH: reference gradient is w.r.t. the
+# full (n_steps+1, n_block, 2) subset array
+out["magi_grad"] = np.asarray(jax.grad(magi_ll_fn)(mu_i[:, :, :2]))
 
 # non-chaotic control (FitzHugh-Nagumo): full-horizon pointwise f32/f64
 # comparison is meaningful here, unlike on Lorenz
@@ -220,9 +254,9 @@ out["basic_fitz_ll"] = float(precond.basic(
     key=None, interrogate=interrogate_kramer, theta=th_fh,
     obs_data=y_fh, obs_times=obs_t_fh, obs_loglik=b_loglik, **cfg_fh)[0])
 
-# f32-on-CPU likelihood controls: the SAME f32 pipelines on
-# reference-grade hardware, so each TPU likelihood row's audit
-# separates "what float32 can do at all" from TPU-specific numerics
+# f32-on-CPU likelihood + gradient controls: the SAME f32 pipelines on
+# reference-grade hardware, so each TPU row's audit separates "what
+# float32 can do at all" from TPU-specific numerics
 cfgl32 = lorenz.setup(n_steps=4000, t_max=%(t_max)f, dtype=jnp.float32)
 thl32 = cfgl32.pop("theta")
 obs_t32 = jnp.linspace(0.0, %(t_max)f, n_obs).astype(jnp.float32)
@@ -231,19 +265,43 @@ Om32 = 0.005 * jnp.broadcast_to(jnp.eye(1, dtype=jnp.float32),
                                 (n_obs, 3, 1, 1))
 y32 = jnp.asarray(np.random.default_rng(0).normal(size=(n_obs, 3, 1)) * 5,
                   jnp.float32)
-kw32 = dict(key=None, interrogate=interrogate_kramer, theta=thl32,
-            obs_data=y32, obs_times=obs_t32, obs_weight=D32,
-            obs_var=Om32, **cfgl32)
-out["fenrir_ll_f32cpu"] = float(precond.fenrir(**kw32))
-out["dalton_ll_f32cpu"] = float(precond.dalton(**kw32))
+
+def fenrir_ll_32(th):
+    return precond.fenrir(
+        key=None, interrogate=interrogate_kramer, theta=th,
+        obs_data=y32, obs_times=obs_t32, obs_weight=D32, obs_var=Om32,
+        **cfgl32)
+
+def dalton_ll_32(th):
+    return precond.dalton(
+        key=None, interrogate=interrogate_kramer, theta=th,
+        obs_data=y32, obs_times=obs_t32, obs_weight=D32, obs_var=Om32,
+        **cfgl32)
+
+out["fenrir_ll_f32cpu"] = float(fenrir_ll_32(thl32))
+out["dalton_ll_f32cpu"] = float(dalton_ll_32(thl32))
+out["fenrir_grad_f32cpu"] = np.asarray(jax.grad(fenrir_ll_32)(thl32))
+out["dalton_grad_f32cpu"] = np.asarray(jax.grad(dalton_ll_32)(thl32))
 yi32 = jnp.asarray(np.random.default_rng(1).normal(size=(n_obs, 3, 1)) * 5,
                    jnp.float32)
-out["daltonng_ll_f32cpu"] = float(precond.daltonng(
-    key=None, interrogate=interrogate_kramer, theta=thl32,
-    obs_data=yi32, obs_times=obs_t32, obs_loglik_i=nn_loglik, **cfgl32))
-out["basic_ll_f32cpu"] = float(precond.basic(
-    key=None, interrogate=interrogate_kramer, theta=thl32,
-    obs_data=yi32, obs_times=obs_t32, obs_loglik=b_loglik, **cfgl32)[0])
+
+def daltonng_ll_32(th):
+    return precond.daltonng(
+        key=None, interrogate=interrogate_kramer, theta=th,
+        obs_data=yi32, obs_times=obs_t32, obs_loglik_i=nn_loglik,
+        **cfgl32)
+
+out["daltonng_ll_f32cpu"] = float(daltonng_ll_32(thl32))
+out["daltonng_grad_f32cpu"] = np.asarray(jax.grad(daltonng_ll_32)(thl32))
+
+def basic_ll_32(th):
+    return precond.basic(
+        key=None, interrogate=interrogate_kramer, theta=th,
+        obs_data=yi32, obs_times=obs_t32, obs_loglik=b_loglik,
+        **cfgl32)[0]
+
+out["basic_ll_f32cpu"] = float(basic_ll_32(thl32))
+out["basic_grad_f32cpu"] = np.asarray(jax.grad(basic_ll_32)(thl32))
 mu_l32, _ = precond.solve_mv(
     key=None, interrogate=interrogate_kramer, theta=thl32, **cfgl32)
 
@@ -251,9 +309,16 @@ def ode_expand32(u, **p):
     pad = jnp.zeros(u.shape[:-1] + (1,), jnp.float32)
     return jnp.concatenate([u, pad], axis=-1)
 
-out["magi_ll_f32cpu"] = float(precond.magi_logdens(
-    ode_data_subset=mu_l32[:, :, :2], ode_expand=ode_expand32,
-    n_active=2, prior_pars=cfgl32["prior_pars"], dt=%(t_max)f / 4000))
+def magi_ll_32(u):
+    return precond.magi_logdens(
+        ode_data_subset=u, ode_expand=ode_expand32, n_active=2,
+        prior_pars=cfgl32["prior_pars"], dt=%(t_max)f / 4000)
+
+# evaluated at the f64 truth path cast to f32 — the same input the TPU
+# magi rows use, so control and row differ only in hardware
+u32 = mu_i[:, :, :2].astype(jnp.float32)
+out["magi_ll_f32cpu"] = float(magi_ll_32(u32))
+out["magi_grad_f32cpu"] = np.asarray(jax.grad(magi_ll_32)(u32))
 
 # f32-on-CPU solve controls
 cfg32 = lorenz.setup(n_steps=%(n_steps)d, t_max=%(t_max)f,
@@ -279,17 +344,48 @@ print("TRUTH_OK")
 """
 
 
-def cpu_truth(path):
+def start_cpu_reference():
+    """Launch the reference-on-CPU timing subprocess in the background
+    (phase 0): it runs concurrently with the TPU headline compiles, so
+    its ~2 min cost overlaps instead of serializing."""
+    src = _CPU_BASELINE_SRC % {"n_steps": N_STEPS, "t_max": T_MAX}
+    return subprocess.Popen(
+        [sys.executable, "-c", src], stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True)
+
+
+def join_cpu_reference(proc, timeout_s):
+    """Join the phase-0 subprocess.  Returns (seq_s, vmapped_s) or None
+    on failure/timeout (caller falls back to the cached constant)."""
+    try:
+        stdout, _ = proc.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        return None
+    seq = vm = None
+    for line in stdout.splitlines():
+        if line.startswith("BASELINE_SECONDS"):
+            seq = float(line.split()[1])
+        if line.startswith("BASELINE_VMAPPED_SECONDS"):
+            vm = float(line.split()[1])
+    if seq is None:
+        return None
+    return seq, vm if vm is not None else seq
+
+
+def cpu_truth(path, timeout_s=3600):
     """Load (computing and caching on first use) the CPU f64 ground-truth
-    values for the accuracy audit.  Returns a dict or None on failure."""
+    values for the accuracy audit.  Returns a dict or None on failure.
+    ``timeout_s`` bounds the compute-on-miss subprocess so a missing
+    cache cannot blow a budgeted bench run (the cache is committed; a
+    miss only happens when the truth recipe itself changes)."""
     import numpy as np
     if not os.path.exists(path):
-        src = _CPU_TRUTH_SRC % {
-            "n_steps": N_STEPS, "t_max": T_MAX, "path": path,
-            "repo": os.path.dirname(os.path.abspath(__file__))}
         out = subprocess.run(
-            [sys.executable, "-c", src], capture_output=True, text=True,
-            timeout=2400)
+            [sys.executable, "-c", _CPU_TRUTH_SRC % {
+                "n_steps": N_STEPS, "t_max": T_MAX, "path": path,
+                "repo": _REPO}],
+            capture_output=True, text=True, timeout=timeout_s)
         if "TRUTH_OK" not in out.stdout:
             sys.stderr.write(
                 f"truth computation failed: {out.stdout[-1000:]} "
@@ -347,33 +443,110 @@ class _row:
         return True  # swallow ordinary failures
 
 
+def _load_prev_details():
+    """Previous run's details, minus error/meta keys (stale errors must
+    not outlive their fix), for the carry-over merge."""
+    try:
+        with open(_DETAILS_PATH) as f:
+            prev = json.load(f)
+    except Exception:  # noqa: BLE001 - absent/corrupt file: start fresh
+        return {}
+    return {k: v for k, v in prev.items()
+            if not k.endswith("_error") and not k.startswith("_")}
+
+
+def make_details_flusher(details, prev, meta):
+    """Atomic incremental writer: current-run keys win; keys only in the
+    previous run are carried over and LISTED in _meta.carried_from_prev
+    (a budget-skipped section keeps its last full-run numbers, honestly
+    labeled, instead of vanishing)."""
+    def flush():
+        merged = dict(prev)
+        merged.update(details)
+        meta["carried_from_prev"] = sorted(set(prev) - set(details))
+        merged["_meta"] = meta
+        tmp = _DETAILS_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f, indent=2, default=str)
+        os.replace(tmp, _DETAILS_PATH)
+    return flush
+
+
 def main():
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, _REPO)
+    t_start = time.monotonic()
+    full = os.environ.get("BENCH_FULL") == "1"
+    budget = float(os.environ.get("BENCH_BUDGET_S",
+                                  "1e9" if full else "1380"))
     import jax
     # persistent compilation cache: kernel compiles through the TPU tunnel
     # take minutes; cache them across bench invocations
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
+    cache_dir = os.path.join(_REPO, ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # noqa: BLE001 - older jax without these flags
         pass
     import jax.numpy as jnp
-    import rodeo_tpu
     from rodeo_tpu.models import lorenz
     from rodeo_tpu.ops import precond
     from rodeo_tpu.interrogate import interrogate_kramer
 
     details = {"device": str(jax.devices()[0])}
+    prev = _load_prev_details()
+    meta = {"budget_s": budget, "full": full,
+            "run_date": time.strftime("%Y-%m-%d %H:%M:%S"),
+            "sections_run": [], "sections_skipped_budget": []}
+    flush_details = make_details_flusher(details, prev, meta)
 
+    headline_state = {"printed": False, "t_ours": None, "t_ref": None,
+                      "best": None}
+
+    def print_headline():
+        if headline_state["printed"]:
+            return
+        t_ours = headline_state["t_ours"]
+        t_ref = headline_state["t_ref"]
+        if t_ours is None:
+            return
+        print(json.dumps({
+            "metric": "lorenz63_10k_solve_per_solve_wallclock",
+            "value": round(t_ours * 1000, 3),
+            "unit": "ms",
+            "vs_baseline": round(t_ref / t_ours, 3),
+        }), flush=True)
+        headline_state["printed"] = True
+
+    def _on_alarm(signum, frame):
+        # backstop: even a hung remote compile must not cost the round's
+        # record — flush what exists and exit cleanly
+        details["aborted_by_alarm"] = True
+        try:
+            flush_details()
+        finally:
+            print_headline()
+            os._exit(0)
+
+    if not full:
+        signal.signal(signal.SIGALRM, _on_alarm)
+        signal.alarm(int(budget + 90))
+
+    # ---- phase 0: CPU reference subprocess starts NOW, joins later ----
+    cpu_proc = None
+    try:
+        cpu_proc = start_cpu_reference()
+    except Exception as e:  # noqa: BLE001
+        details["cpu_reference_spawn_error"] = repr(e)[:300]
+
+    # ---- shared fixtures + accuracy-audit helpers ----
     cfg = lorenz.setup(n_steps=N_STEPS, t_max=T_MAX, dtype=jnp.float32)
     theta = cfg.pop("theta")
 
-    # CPU f64 ground truth for the accuracy audit (cached; parity with the
-    # upstream reference is pinned at 1e-8 by tests/test_parity_reference)
-    truth = cpu_truth(os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".bench_ref_v5.npz"))
+    truth = None
+    with _row(details, "cpu_truth"):
+        truth = cpu_truth(os.path.join(_REPO, ".bench_ref_v6.npz"),
+                          timeout_s=None if full else
+                          max(120, int(budget * 0.5)))
     if truth is None:
         details["accuracy_audit_error"] = "cpu truth computation failed"
     # pointwise f32-vs-f64 audit over the t <= 4 prefix of the chaotic
@@ -393,10 +566,11 @@ def main():
     # f32-on-CPU control errors for the likelihood rows: each TPU
     # likelihood row's abs_err reads against the matching
     # *_f32cpu_control_abs_err — at-or-below control means the TPU path
-    # is at the f32 floor for that pipeline (daltonng's plain path is
-    # f32-hopeless EVERYWHERE on this chaotic config; its fused in-kernel
-    # Laplace path is the accurate-in-f32 alternative)
+    # is at the f32 floor for that pipeline.  (The fused daltonng kernel
+    # has its own in-kernel Laplace path whose accuracy is audited the
+    # same way; see the daltonng_fused rows.)
     if truth is not None:
+        import numpy as np
         for _nm in ("fenrir", "dalton", "daltonng", "basic", "basic_fitz",
                     "magi"):
             _k = f"{_nm}_ll_f32cpu"
@@ -406,6 +580,16 @@ def main():
                 details[f"{_nm}_f32cpu_control_abs_err"] = round(_err, 6)
                 details[f"{_nm}_f32cpu_control_rel_err"] = round(
                     _err / max(abs(_ref), 1e-30), 9)
+            # gradient controls (VERDICT r4 #3): rel L2 error of the
+            # f32-on-CPU gradient vs the f64 gradient, the yardstick
+            # every TPU *_grad_rel_err row reads against
+            _gk = f"{_nm}_grad_f32cpu"
+            if _gk in truth and f"{_nm}_grad" in truth:
+                g64 = np.asarray(truth[f"{_nm}_grad"], np.float64).ravel()
+                g32 = np.asarray(truth[_gk], np.float64).ravel()
+                den = max(float(np.linalg.norm(g64)), 1e-30)
+                details[f"{_nm}_grad_f32cpu_control_rel_err"] = round(
+                    float(np.linalg.norm(g32 - g64)) / den, 9)
 
     def audit_ll(label, value, ref_key):
         """Uniform likelihood accuracy audit (VERDICT r3 #3): every
@@ -419,6 +603,24 @@ def main():
         details[f"{label}_abs_err"] = round(err, 6)
         details[f"{label}_ref"] = round(ref, 6)
         details[f"{label}_rel_err"] = round(err / max(abs(ref), 1e-30), 9)
+
+    def audit_grad(label, grad, ref_key):
+        """Gradient accuracy audit (VERDICT r4 #3): rel L2 error vs the
+        f64 reference gradient, plus a pass flag against the f32-on-CPU
+        control at the same <=3x rule the solve rows use."""
+        if truth is None or ref_key not in truth:
+            return
+        import numpy as np
+        g = np.asarray(grad, np.float64).ravel()
+        g64 = np.asarray(truth[ref_key], np.float64).ravel()
+        den = max(float(np.linalg.norm(g64)), 1e-30)
+        rel = float(np.linalg.norm(g - g64)) / den
+        details[f"{label}_rel_err"] = round(rel, 9)
+        # control was precomputed above under the model name
+        name = ref_key[:-5]  # strip "_grad"
+        ctrl = details.get(f"{name}_grad_f32cpu_control_rel_err")
+        if ctrl is not None:
+            details[f"{label}_pass"] = bool(rel <= max(3.0 * ctrl, 1e-6))
 
     def audit_solve(label, mu, n_steps_run=N_STEPS):
         """Record max-abs-err fields for a solve row (vs f64 truth)."""
@@ -434,139 +636,129 @@ def main():
 
     candidates = {}
 
-    # Per-solve wall-clock is measured as B *sequential* solves inside one
-    # jitted lax.map, divided by B — this amortizes the fixed host-dispatch
-    # latency (~26 ms through the experimental TPU tunnel, vs ~0 on CPU)
-    # identically to how the CPU baseline is measured.  lax.map executes
-    # solves one after another, so no parallelism is smuggled in.
+    def run_lane_batch(Bl):
+        """One lane-batched fused solve measurement (the champion
+        configuration family)."""
+        from rodeo_tpu.ops import pallas_kalman as pk_mod
+        ths_l = jnp.broadcast_to(theta, (Bl, 3)) * \
+            (1 + 1e-6 * jnp.arange(Bl, dtype=jnp.float32)[:, None])
+        inits_l = jnp.broadcast_to(
+            cfg["ode_init"], (Bl,) + cfg["ode_init"].shape)
+        fb = jax.jit(lambda ts, x0: pk_mod.solve_mv_fused_batch(
+            thetas=ts, ode_weight=cfg["ode_weight"], ode_inits=x0,
+            t_min=cfg["t_min"], t_max=cfg["t_max"],
+            n_steps=cfg["n_steps"], prior_pars=cfg["prior_pars"],
+            ode_flat=lorenz.lorenz_flat,
+            jac_flat=lorenz.lorenz_jac_flat)[0])
+        t_fb, out_fb = _timeit(fb, (ths_l, inits_l), n_rep=4, per=Bl)
+        ok_fb = not bool(jnp.any(jnp.isnan(out_fb)))
+        candidates[f"pallas_fused_lane_batch{Bl}"] = (t_fb, ok_fb)
+        audit_solve(f"pallas_fused_lane_batch{Bl}", out_fb[..., 0])
+
+    # ---- phase 1: headline — champion kernel + audited XLA backstop ----
+    with _row(details, "lane_batch2048"):
+        run_lane_batch(2048)
+    if not any(ok for _, ok in candidates.values()):
+        # champion failed: try the smaller lane batch before the XLA path
+        with _row(details, "lane_batch512_fallback"):
+            run_lane_batch(512)
+
+    # audited plain-XLA backstop (also the candidate the judge can always
+    # cross-check against the parity suite)
     B = 8
-    thetas = jnp.broadcast_to(theta, (B, 3))
-
-    # preconditioned sequential covariance filter (f32-stable)
-    seq = jax.jit(lambda ths: jax.lax.map(lambda th: precond.solve_mv(
-        key=None, interrogate=interrogate_kramer, theta=th, **cfg)[0], ths))
-    t_seq, out = _timeit(seq, (thetas,), per=B)
-    ok = not bool(jnp.any(jnp.isnan(out)))
-    candidates["precond_sequential"] = (t_seq, ok)
-    audit_solve("precond_sequential", out[0])
-
-    # fused Pallas filter+smoother, if available on this backend
-    try:
-        from rodeo_tpu.ops import pallas_kalman
-        pk = jax.jit(lambda ths: jax.lax.map(
-            lambda th: pallas_kalman.solve_mv_fused(
+    thetas_b = jnp.broadcast_to(theta, (B, 3))
+    with _row(details, "precond_sequential"):
+        seq = jax.jit(lambda ths: jax.lax.map(
+            lambda th: precond.solve_mv(
                 key=None, interrogate=interrogate_kramer, theta=th,
-                ode_flat=lorenz.lorenz_flat,
-                jac_flat=lorenz.lorenz_jac_flat, **cfg)[0], ths))
-        t_pk, out_pk = _timeit(pk, (thetas,), per=B)
-        ok_pk = not bool(jnp.any(jnp.isnan(out_pk)))
-        candidates["pallas_fused"] = (t_pk, ok_pk)
-        audit_solve("pallas_fused", out_pk[0])
-    except Exception as e:  # noqa: BLE001 - bench must always report
-        details["pallas_error"] = repr(e)[:500]
+                **cfg)[0], ths))
+        t_seq, out_seq = _timeit(seq, (thetas_b,), per=B)
+        ok = not bool(jnp.any(jnp.isnan(out_seq)))
+        candidates["precond_sequential"] = (t_seq, ok)
+        audit_solve("precond_sequential", out_seq[0])
 
-    # latency path: k-step composed smoother (sequential chain k x shorter)
-    # x optional fully-unrolled small-chunk filter (cross-step ILP)
-    for k_comp, unroll in ((8, False), (16, True), (64, True)):
-        try:
-            from rodeo_tpu.ops import pallas_kalman
-            pkc = jax.jit(lambda ths, k=k_comp, u=unroll: jax.lax.map(
-                lambda th: pallas_kalman.solve_mv_fused(
-                    key=None, interrogate=interrogate_kramer, theta=th,
-                    ode_flat=lorenz.lorenz_flat,
-                    jac_flat=lorenz.lorenz_jac_flat, k_compose=k,
-                    unroll=u, **cfg)[0], ths))
-            t_pkc, out_pkc = _timeit(pkc, (thetas,), per=B)
-            ok_pkc = not bool(jnp.any(jnp.isnan(out_pkc)))
-            name = f"pallas_fused_k{k_comp}" + ("_unroll" if unroll else "")
-            candidates[name] = (t_pkc, ok_pkc)
-            audit_solve(name, out_pkc[0])
-        except Exception as e:  # noqa: BLE001
-            details[f"pallas_k{k_comp}_error"] = repr(e)[:500]
+    valid = {k: t for k, (t, ok) in candidates.items() if ok}
+    if valid:
+        best_name = min(valid, key=valid.get)
+        headline_state["best"] = best_name
+        headline_state["t_ours"] = valid[best_name]
+        details["best"] = best_name
 
-    # stationary-gain latency path: the Riccati gain is constant to f32
-    # after ~10 steps on this model, so only the (irreducible) nonlinear
-    # mean chain stays sequential; the smoother is a batched doubling scan
-    for u_st in (True, False):
-        try:
-            from rodeo_tpu.ops import pallas_kalman
-            pks = jax.jit(lambda ths, u=u_st: jax.lax.map(
-                lambda th: pallas_kalman.solve_mv_fused_stationary(
-                    key=None, interrogate=interrogate_kramer, theta=th,
-                    ode_flat=lorenz.lorenz_flat,
-                    jac_flat=lorenz.lorenz_jac_flat, unroll=u, **cfg)[0],
-                ths))
-            t_pks, out_pks = _timeit(pks, (thetas,), per=B)
-            ok_pks = not bool(jnp.any(jnp.isnan(out_pks)))
-            name = "pallas_stationary" + ("_unroll" if u_st else "")
-            candidates[name] = (t_pks, ok_pks)
-            audit_solve(name, out_pks[0])
-        except Exception as e:  # noqa: BLE001
-            details[f"stationary_u{u_st}_error"] = repr(e)[:500]
+    # join the CPU reference (started at t=0; most of its cost already
+    # overlapped the compiles above)
+    t_ref = None
+    if cpu_proc is not None:
+        remain = max(30.0, budget * 0.45 - (time.monotonic() - t_start))
+        res = join_cpu_reference(cpu_proc, remain)
+        if res is not None:
+            t_ref_seq, t_ref_vm = res
+            details["cpu_reference_ms"] = round(t_ref_seq * 1000, 3)
+            details["cpu_reference_vmapped_ms"] = round(t_ref_vm * 1000, 3)
+            t_ref = min(t_ref_seq, t_ref_vm)
+    if t_ref is None:
+        t_ref = _CPU_REF_MS_CACHED / 1000.0
+        details["cpu_reference_ms_cached_fallback"] = _CPU_REF_MS_CACHED
+    headline_state["t_ref"] = t_ref
 
-    # lane-batched fused throughput: many solves per kernel pair.  Extra
-    # lanes are nearly free (the kernel is latency-bound on its serial
-    # per-step chain), so per-solve cost keeps dropping to ~2048 lanes
-    # (4096 exceeds the Mosaic compile envelope on v5e).
-    for Bl in (128, 512, 1024, 2048):
-        try:
-            from rodeo_tpu.ops import pallas_kalman as pk_mod
-            ths_l = jnp.broadcast_to(theta, (Bl, 3)) * \
-                (1 + 1e-6 * jnp.arange(Bl, dtype=jnp.float32)[:, None])
-            inits_l = jnp.broadcast_to(
-                cfg["ode_init"], (Bl,) + cfg["ode_init"].shape)
-            fb = jax.jit(lambda ts, x0: pk_mod.solve_mv_fused_batch(
-                thetas=ts, ode_weight=cfg["ode_weight"], ode_inits=x0,
-                t_min=cfg["t_min"], t_max=cfg["t_max"],
-                n_steps=cfg["n_steps"], prior_pars=cfg["prior_pars"],
-                ode_flat=lorenz.lorenz_flat,
-                jac_flat=lorenz.lorenz_jac_flat)[0])
-            t_fb, out_fb = _timeit(fb, (ths_l, inits_l), n_rep=4, per=Bl)
-            ok_fb = not bool(jnp.any(jnp.isnan(out_fb)))
-            candidates[f"pallas_fused_lane_batch{Bl}"] = (t_fb, ok_fb)
-            audit_solve(f"pallas_fused_lane_batch{Bl}", out_fb[..., 0])
-        except Exception as e:  # noqa: BLE001
-            details[f"lane_batch{Bl}_error"] = repr(e)[:500]
+    print_headline()
+    details["headline_at_s"] = round(time.monotonic() - t_start, 1)
+    flush_details()
 
-    # vmapped throughput: batch of full solves in one XLA program
-    # (the production workload: parameter sweeps / MCMC chains)
-    try:
-        n_batch = 32
-        thetas = jnp.broadcast_to(theta, (n_batch, 3)) + \
-            1e-4 * jnp.arange(n_batch, dtype=jnp.float32)[:, None]
-        vm = jax.jit(jax.vmap(lambda th: precond.solve_mv(
-            key=None, interrogate=interrogate_kramer, theta=th, **cfg)[0]))
-        t_vm, out_vm = _timeit(vm, (thetas,), n_rep=3)
-        details["vmapped_batch32_ms"] = round(t_vm * 1000, 3)
-        details["vmapped_per_solve_ms"] = round(t_vm * 1000 / n_batch, 3)
-    except Exception as e:  # noqa: BLE001
-        details["vmap_error"] = repr(e)[:500]
+    # ---- phase 2: prioritized, budget-gated sections ----
+    soft_deadline = t_start + budget - 60.0
 
-    # fenrir / dalton log-likelihood evals per second (vmapped batch,
-    # BASELINE config #4) on a 4k-step Lorenz grid with noisy observations.
-    # Every measurement is failure-isolated (`_row`): a compile crash on
-    # one row records an error entry instead of killing the rest.
-    try:
-        import numpy as np
-        cfg_f = lorenz.setup(n_steps=4000, t_max=T_MAX, dtype=jnp.float32)
-        th_f = cfg_f.pop("theta")
-        n_obs = 21
-        obs_times = jnp.linspace(0.0, T_MAX, n_obs).astype(jnp.float32)
-        D = jnp.zeros((n_obs, 3, 1, 3), jnp.float32).at[:, :, :, 0].set(1.0)
-        Om = 0.005 * jnp.broadcast_to(jnp.eye(1, dtype=jnp.float32),
-                                      (n_obs, 3, 1, 1))
-        yobs = jnp.asarray(
-            np.random.default_rng(0).normal(size=(n_obs, 3, 1)) * 5,
-            dtype=jnp.float32)
-        nb = 16
-        ths = jnp.broadcast_to(th_f, (nb, 3)) + \
-            1e-4 * jnp.arange(nb, dtype=jnp.float32)[:, None]
-        loglik_setup_ok = True
-    except Exception as e:  # noqa: BLE001
-        details["loglik_bench_error"] = repr(e)[:500]
-        loglik_setup_ok = False
+    def run_section(name, cost_s, fn):
+        """Run one section unless its estimated cost would blow the
+        budget; record the decision either way and flush details."""
+        if not full and time.monotonic() + cost_s > soft_deadline:
+            meta["sections_skipped_budget"].append(name)
+            flush_details()
+            return
+        with _row(details, f"section_{name}"):
+            fn()
+        meta["sections_run"].append(name)
+        flush_details()
 
-    if loglik_setup_ok:
+    # shared likelihood fixture (no compiles here — cheap, unconditional)
+    import numpy as np
+    cfg_f = lorenz.setup(n_steps=4000, t_max=T_MAX, dtype=jnp.float32)
+    th_f = cfg_f.pop("theta")
+    n_obs = 21
+    obs_times = jnp.linspace(0.0, T_MAX, n_obs).astype(jnp.float32)
+    D = jnp.zeros((n_obs, 3, 1, 3), jnp.float32).at[:, :, :, 0].set(1.0)
+    Om = 0.005 * jnp.broadcast_to(jnp.eye(1, dtype=jnp.float32),
+                                  (n_obs, 3, 1, 1))
+    yobs = jnp.asarray(
+        np.random.default_rng(0).normal(size=(n_obs, 3, 1)) * 5,
+        dtype=jnp.float32)
+    nb = 16
+    ths = jnp.broadcast_to(th_f, (nb, 3)) + \
+        1e-4 * jnp.arange(nb, dtype=jnp.float32)[:, None]
+    # non-Gaussian / basic / magi fixture (rng(1) obs)
+    cfg_i = lorenz.setup(n_steps=4000, t_max=T_MAX, dtype=jnp.float32)
+    th_i = cfg_i.pop("theta")
+    yobs_i = jnp.asarray(
+        np.random.default_rng(1).normal(size=(n_obs, 3, 1)), jnp.float32
+    ) * 5
+
+    def nn_loglik(o, s, i, **p):
+        mean = s[:, 0]
+        return jnp.sum(-0.5 * (o[:, 0] - mean) ** 2 / 0.005)
+
+    def b_loglik(obs_data, ode_data, **p):
+        return jnp.sum(-0.5 * (obs_data[..., 0] - ode_data[..., 0]) ** 2)
+
+    def sec_lane_batches():
+        # remaining lane-batch points (2048 ran in phase 1); per-solve
+        # cost keeps dropping to ~2048 lanes (4096 exceeds the Mosaic
+        # compile envelope on v5e)
+        for Bl in (128, 512, 1024):
+            with _row(details, f"lane_batch{Bl}"):
+                run_lane_batch(Bl)
+
+    def sec_loglik_xla():
+        # fenrir / dalton log-likelihood evals per second (vmapped batch,
+        # BASELINE config #4) on a 4k-step Lorenz grid with noisy obs
         for name, fn_ll in (("fenrir", precond.fenrir),
                             ("dalton", precond.dalton)):
             with _row(details, f"{name}_loglik"):
@@ -575,166 +767,13 @@ def main():
                     obs_data=yobs, obs_times=obs_times, obs_weight=D,
                     obs_var=Om, **cfg_f)))
                 t_ll, out_ll = _timeit(ll_fn, (ths,), n_rep=3)
-                details[f"{name}_loglik_evals_per_sec"] = round(nb / t_ll, 2)
+                details[f"{name}_loglik_evals_per_sec"] = round(
+                    nb / t_ll, 2)
                 details[f"{name}_loglik_finite"] = bool(
                     jnp.all(jnp.isfinite(out_ll)))
                 audit_ll(f"{name}_loglik", out_ll[0], f"{name}_ll")
-        # square-root form on its fast path (masked-dense backward,
-        # VERDICT r2 #5): must be within ~1x of the standard XLA path
-        with _row(details, "fenrir_sqrt_loglik"):
-            pw_s, pv_s = cfg_f["prior_pars"]
-            # factor the (1e15-dynamic-range) prior noise in f64 on host,
-            # then cast — a straight f32 cholesky of the raw R loses the
-            # small pivots
-            prior_sqrt = (pw_s, jnp.asarray(
-                np.linalg.cholesky(np.asarray(pv_s, np.float64)),
-                jnp.float32))
-            Om_sqrt = jnp.sqrt(Om)
-            cfg_sq = {**cfg_f, "prior_pars": prior_sqrt}
-            ll_fn = jax.jit(jax.vmap(lambda th: precond.fenrir(
-                key=None, interrogate=interrogate_kramer, theta=th,
-                obs_data=yobs, obs_times=obs_times, obs_weight=D,
-                obs_var=Om_sqrt, kalman_type="square-root", **cfg_sq)))
-            t_ll, out_ll = _timeit(ll_fn, (ths,), n_rep=3)
-            details["fenrir_sqrt_loglik_evals_per_sec"] = round(
-                nb / t_ll, 2)
-            details["fenrir_sqrt_loglik_finite"] = bool(
-                jnp.all(jnp.isfinite(out_ll)))
-            audit_ll("fenrir_sqrt_loglik", out_ll[0], "fenrir_ll")
 
-        # larger vmapped batches (throughput scaling of the XLA path);
-        # unroll=8 runs several time steps per compiled loop iteration
-        # (cross-step ILP; bit-equal results, tests/test_scan_unroll.py).
-        # (batch 256 fenrir crashes the v5e compile helper; 128 is the
-        # largest compiling batch for this program)
-        from rodeo_tpu.ops.scan import scan_unroll
-        for nb_big, unroll in ((64, 1), (128, 1), (128, 8)):
-            with _row(details, f"fenrir_batch{nb_big}_unroll{unroll}"):
-                ths_big = jnp.broadcast_to(th_f, (nb_big, 3)) + \
-                    1e-4 * jnp.arange(nb_big, dtype=jnp.float32)[:, None]
-                with scan_unroll(unroll):
-                    ll_fn = jax.jit(jax.vmap(lambda th: precond.fenrir(
-                        key=None, interrogate=interrogate_kramer, theta=th,
-                        obs_data=yobs, obs_times=obs_times, obs_weight=D,
-                        obs_var=Om, **cfg_f)))
-                    t_ll, out_ll = _timeit(ll_fn, (ths_big,), n_rep=3)
-                tag = f"_unroll{unroll}" if unroll != 1 else ""
-                details[f"fenrir_loglik_batch{nb_big}{tag}_evals_per_sec"] \
-                    = round(nb_big / t_ll, 2)
-        with _row(details, "fenrir_ptime"):
-            # parallel-in-time backward pass under vmap
-            ll_fn = jax.jit(jax.vmap(lambda th: precond.fenrir(
-                key=None, interrogate=interrogate_kramer, theta=th,
-                obs_data=yobs, obs_times=obs_times, obs_weight=D,
-                obs_var=Om, temporal="parallel", **cfg_f)))
-            t_ll, out_ll = _timeit(ll_fn, (ths,), n_rep=3)
-            details["fenrir_ptime_loglik_evals_per_sec"] = round(
-                nb / t_ll, 2)
-            details["fenrir_ptime_finite"] = bool(
-                jnp.all(jnp.isfinite(out_ll)))
-        with _row(details, "fenrir_ptime_single"):
-            # SINGLE-eval crossover (where parallel-in-time earns its
-            # keep on one chip): with no lane batch filling the VPU,
-            # the associative scan's extra work rides otherwise-idle
-            # lanes and beats the sequential scan at every grid size
-            # (measured 2026-08-19: 44.0 vs 55.6 ms at N=4k, 183 vs
-            # 203 at 16k, 740 vs 822 at 64k).  Under vmap >= 16 the
-            # lanes are already busy and sequential wins — see the
-            # fenrir_ptime row above and docs/examples/tpu_performance.md
-            for tag, temporal in (("seq", "sequential"),
-                                  ("par", "parallel")):
-                one_fn = jax.jit(lambda t=temporal: precond.fenrir(
-                    key=None, interrogate=interrogate_kramer, theta=th_f,
-                    obs_data=yobs, obs_times=obs_times, obs_weight=D,
-                    obs_var=Om, temporal=t, **cfg_f))
-                t_one, out_one = _timeit(one_fn, (), n_rep=3)
-                details[f"fenrir_single_{tag}_ms"] = round(t_one * 1e3, 3)
-            details["fenrir_ptime_single_speedup"] = round(
-                details["fenrir_single_seq_ms"]
-                / details["fenrir_single_par_ms"], 3)
-        with _row(details, "fenrir_grad"):
-            # gradient throughput (the MAP / HMC workload of the reference
-            # parameter-inference tutorial): value+grad of fenrir, vmapped;
-            # scan_remat recomputes per-step intermediates in the backward
-            # pass instead of round-tripping them through HBM (+60%)
-            from rodeo_tpu.ops.scan import scan_remat
-            nbg = 64
-            ths_g = jnp.broadcast_to(th_f, (nbg, 3)) + \
-                1e-4 * jnp.arange(nbg, dtype=jnp.float32)[:, None]
-            with scan_remat(), scan_unroll(8):
-                vg = jax.jit(jax.vmap(jax.value_and_grad(
-                    lambda th: precond.fenrir(
-                        key=None, interrogate=interrogate_kramer, theta=th,
-                        obs_data=yobs, obs_times=obs_times, obs_weight=D,
-                        obs_var=Om, **cfg_f))))
-                t_g, out_g = _timeit(vg, (ths_g,), n_rep=3)
-            details["fenrir_value_and_grad_evals_per_sec"] = round(
-                nbg / t_g, 2)
-            details["fenrir_grad_finite"] = bool(
-                jnp.all(jnp.isfinite(out_g[1])))
-        with _row(details, "fenrir_fused_grad"):
-            # gradients at fused speed (forward-mode tangent-augmented
-            # kernels): the MAP / gradient-MCMC workload
-            from rodeo_tpu.ops import pallas_fenrir as pfg
-            Bg = 128
-            ths_gf = jnp.broadcast_to(th_f, (Bg, 3)) * \
-                (1 + 1e-6 * jnp.arange(Bg, dtype=jnp.float32)[:, None])
-            inits_gf = jnp.broadcast_to(
-                cfg_f["ode_init"], (Bg,) + cfg_f["ode_init"].shape)
-            gfn = jax.jit(lambda ts, x0: pfg.fenrir_fused_batch_grad(
-                thetas=ts, ode_weight=cfg_f["ode_weight"], ode_inits=x0,
-                t_min=cfg_f["t_min"], t_max=cfg_f["t_max"],
-                n_steps=cfg_f["n_steps"], prior_pars=cfg_f["prior_pars"],
-                obs_data=yobs, obs_times=obs_times, obs_weight=D,
-                obs_var=Om, ode_flat=lorenz.lorenz_flat,
-                jac_flat=lorenz.lorenz_jac_flat))
-            t_gf, out_gf = _timeit(gfn, (ths_gf, inits_gf), n_rep=3,
-                                   per=Bg)
-            details["fenrir_fused_grad_evals_per_sec"] = round(
-                1.0 / t_gf, 2)
-            details["fenrir_fused_grad_finite"] = bool(
-                jnp.all(jnp.isfinite(out_gf[1])))
-            audit_ll("fenrir_fused_grad_ll", out_gf[0][0], "fenrir_ll")
-        with _row(details, "dalton_fused_grad"):
-            # fused DALTON value+grad (same tangent-augmented trick; the
-            # f32 XLA reverse-mode DALTON gradient is cancellation noise,
-            # so this is also the only *accurate* fast gradient)
-            from rodeo_tpu.ops import pallas_dalton as pdg
-            Bg = 128
-            ths_gd = jnp.broadcast_to(th_f, (Bg, 3)) * \
-                (1 + 1e-6 * jnp.arange(Bg, dtype=jnp.float32)[:, None])
-            inits_gd = jnp.broadcast_to(
-                cfg_f["ode_init"], (Bg,) + cfg_f["ode_init"].shape)
-            gdn = jax.jit(lambda ts, x0: pdg.dalton_fused_batch_grad(
-                thetas=ts, ode_weight=cfg_f["ode_weight"], ode_inits=x0,
-                t_min=cfg_f["t_min"], t_max=cfg_f["t_max"],
-                n_steps=cfg_f["n_steps"], prior_pars=cfg_f["prior_pars"],
-                obs_data=yobs, obs_times=obs_times, obs_weight=D,
-                obs_var=Om, ode_flat=lorenz.lorenz_flat,
-                jac_flat=lorenz.lorenz_jac_flat))
-            t_gd, out_gd = _timeit(gdn, (ths_gd, inits_gd), n_rep=3,
-                                   per=Bg)
-            details["dalton_fused_grad_evals_per_sec"] = round(
-                1.0 / t_gd, 2)
-            details["dalton_fused_grad_finite"] = bool(
-                jnp.all(jnp.isfinite(out_gd[1])))
-            audit_ll("dalton_fused_grad_ll", out_gd[0][0], "dalton_ll")
-
-        with _row(details, "fenrir_fused"):
-            # fused Pallas fenrir (sequential-map latency, not vmap)
-            from rodeo_tpu.ops import pallas_fenrir
-            Bf = 8
-            thsf = jnp.broadcast_to(th_f, (Bf, 3))
-            ll_fn = jax.jit(lambda ts: jax.lax.map(
-                lambda th: pallas_fenrir.fenrir_fused(
-                    key=None, interrogate=interrogate_kramer, theta=th,
-                    obs_data=yobs, obs_times=obs_times, obs_weight=D,
-                    obs_var=Om, ode_flat=lorenz.lorenz_flat,
-                    jac_flat=lorenz.lorenz_jac_flat, **cfg_f), ts))
-            t_ll, out_ll = _timeit(ll_fn, (thsf,), n_rep=3, per=Bf)
-            details["fenrir_fused_evals_per_sec"] = round(1.0 / t_ll, 2)
-            details["fenrir_fused_finite"] = bool(
-                jnp.all(jnp.isfinite(out_ll)))
+    def sec_fused_loglik():
         # lane-batched fused fenrir / dalton: many evals per kernel pass
         from rodeo_tpu.ops import pallas_fenrir, pallas_dalton
         for mod_name, fused_batch in (
@@ -746,7 +785,8 @@ def main():
                         (1 + 1e-6 * jnp.arange(
                             Blf, dtype=jnp.float32)[:, None])
                     inits_lf = jnp.broadcast_to(
-                        cfg_f["ode_init"], (Blf,) + cfg_f["ode_init"].shape)
+                        cfg_f["ode_init"],
+                        (Blf,) + cfg_f["ode_init"].shape)
                     llb_fn = jax.jit(lambda ts, x0, fb=fused_batch: fb(
                         thetas=ts, ode_weight=cfg_f["ode_weight"],
                         ode_inits=x0, t_min=cfg_f["t_min"],
@@ -764,368 +804,93 @@ def main():
                     audit_ll(f"{mod_name}_fused_batch{Blf}",
                              jnp.ravel(out_llb)[0], f"{mod_name}_ll")
 
-        with _row(details, "fenrir_sqrt_fused_batch128"):
-            # square-root form on the fused entry (drop-in factor
-            # contract: factor-form prior/obs variances squared on the
-            # way in; the likelihood value is form-independent)
-            Bs = 128
-            pw_f, pv_f = cfg_f["prior_pars"]
-            prior_sq = (pw_f, jnp.linalg.cholesky(pv_f))
-            Om_sq = jnp.sqrt(Om)
-            ths_sq = jnp.broadcast_to(th_f, (Bs, 3)) * \
-                (1 + 1e-6 * jnp.arange(Bs, dtype=jnp.float32)[:, None])
-            inits_sq = jnp.broadcast_to(
-                cfg_f["ode_init"], (Bs,) + cfg_f["ode_init"].shape)
-            llsq_fn = jax.jit(lambda ts, x0: pallas_fenrir.fenrir_fused_batch(
-                thetas=ts, ode_weight=cfg_f["ode_weight"], ode_inits=x0,
-                t_min=cfg_f["t_min"], t_max=cfg_f["t_max"],
-                n_steps=cfg_f["n_steps"], prior_pars=prior_sq,
-                obs_data=yobs, obs_times=obs_times, obs_weight=D,
-                obs_var=Om_sq, ode_flat=lorenz.lorenz_flat,
-                jac_flat=lorenz.lorenz_jac_flat, kalman_type="sqrt"))
-            t_sq, out_sq = _timeit(llsq_fn, (ths_sq, inits_sq),
-                                   n_rep=3, per=Bs)
-            details["fenrir_sqrt_fused_batch128_evals_per_sec"] = round(
-                1.0 / t_sq, 2)
-            details["fenrir_sqrt_fused_batch128_finite"] = bool(
-                jnp.all(jnp.isfinite(out_sq)))
-            audit_ll("fenrir_sqrt_fused_batch128", out_sq[0], "fenrir_ll")
-
-    # pseudo-marginal MCMC chain throughput (BASELINE config #5) on a
-    # REAL posterior: the reference parameter-inference workload
-    # (docs/examples/parameter.md) — noisy observations of the FitzHugh
-    # true path, Gaussian obs model, Chkrebtii-style marginal MCMC over
-    # solve_sim path draws.  The proposal scale is tuned to a 20-50%
-    # acceptance window so throughput AND ESS/s are statistically
-    # meaningful (VERDICT r2 #6).
-    mcmc_obs = None
-    try:
-        import numpy as np  # noqa: F811 - row-local import
-        from rodeo_tpu.models import fitzhugh
-        from rodeo_tpu.inference import pseudo_marginal as pm
-        from rodeo_tpu.parallel import run_chains
-        cfg_m = fitzhugh.setup(n_steps=200, t_max=10.0, dtype=jnp.float32)
-        th_m = cfg_m.pop("theta")
-        mu_true, _ = precond.solve_mv(
-            key=None, interrogate=interrogate_kramer,
-            theta=th_m, **cfg_m)
-        sigma_obs = 0.2
-        n_obs_m = 21
-        obs_idx = jnp.arange(0, 201, 10)          # every 0.5 time units
-        y_m = mu_true[obs_idx, :, 0] + sigma_obs * jnp.asarray(
-            np.random.default_rng(7).normal(size=(n_obs_m, 2)), jnp.float32)
-        mcmc_obs = (obs_idx, y_m, sigma_obs, cfg_m, th_m)
-
-        def logpost(theta, key):
-            xs = precond.solve_sim(
-                key=key, interrogate=interrogate_kramer, theta=theta,
-                method="eigh", **cfg_m)
-            resid = xs[obs_idx, :, 0] - y_m
-            ll = -0.5 * jnp.sum(resid * resid) / sigma_obs ** 2
-            return ll, xs[-1]
-
-        n_chains, n_samp = 32, 100
-        init = jnp.broadcast_to(th_m, (n_chains, 3))
-        # scale tuning: short pilot runs, pick acceptance closest to 0.3
-        tuned_scale, tuned_acc = None, None
-        for s_cand in (0.005, 0.01, 0.02, 0.04, 0.08):
-            alg = pm.normal_random_walk(
-                logpost, s_cand * jnp.ones(3, jnp.float32))
-            _, _, acc_p = run_chains(
-                alg, init, jax.random.PRNGKey(30), n_samples=25)
-            a = float(jnp.mean(acc_p))
-            if tuned_acc is None or abs(a - 0.3) < abs(tuned_acc - 0.3):
-                tuned_scale, tuned_acc = s_cand, a
-        details["mcmc_xla_tuned_scale"] = tuned_scale
-        alg = pm.normal_random_walk(
-            logpost, tuned_scale * jnp.ones(3, jnp.float32))
-        # build the jitted runner ONCE: each run_chains() call makes
-        # fresh jitted closures, so timing its second call would time a
-        # recompile, not the sampler
-        from rodeo_tpu.parallel import make_run_chains
-        xla_runner = make_run_chains(alg, n_samples=n_samp)
-        positions, state, accept = xla_runner(
-            init, jax.random.PRNGKey(3))                 # warm-up
-        _sync(positions)
-        best = None
-        for r in range(3):
-            t0 = time.perf_counter()
-            out_r = xla_runner(init, jax.random.PRNGKey(4 + r))
-            _sync(out_r[0])
-            dt = time.perf_counter() - t0
-            if best is None or dt < best[0]:
-                best = (dt, out_r)
-        dt_run, (positions, state, accept) = best
-        details["mcmc_xla_chain_steps_per_sec"] = round(
-            n_chains * n_samp / dt_run, 2)
-        details["mcmc_xla_mean_accept"] = round(float(jnp.mean(accept)), 3)
-        ess = _ess_total(np.asarray(positions[:, :, 0]))
-        details["mcmc_xla_ess_per_sec"] = round(ess / dt_run, 2)
-    except Exception as e:  # noqa: BLE001
-        details["mcmc_bench_error"] = repr(e)[:500]
-
-    # fused lockstep MCMC: 512 chains, each step = ONE lane-batched fused
-    # solve_sim kernel pipeline (the production path) — SAME posterior as
-    # the XLA row above, proposal scale tuned at runtime (no re-trace)
-    try:
-        from rodeo_tpu.models import fitzhugh
-        from rodeo_tpu.parallel.chains import make_chain_runner
-        if mcmc_obs is None:
-            raise RuntimeError("posterior setup above failed")
-        obs_idx, y_m, sigma_obs, cfg_m, th_m = mcmc_obs
-
-        def loglik_f(positions, paths):
-            resid = paths[obs_idx, :, 0, :] - y_m[:, :, None]
-            return -0.5 * jnp.sum(resid * resid,
-                                  axis=(0, 1)) / sigma_obs ** 2
-
-        n_chains_f, n_samp_f = 512, 100
-        init_f = jnp.broadcast_to(th_m, (n_chains_f, 3)).astype(jnp.float32)
-        # production pattern: build the jitted runner ONCE, reuse it (each
-        # ad-hoc call re-traces the whole scan, costing seconds)
-        runner = make_chain_runner(
-            loglik_f, n_lane=n_chains_f, n_samples=n_samp_f, rw_scale=0.01,
-            ode_weight=cfg_m["ode_weight"], ode_init=cfg_m["ode_init"],
-            t_min=cfg_m["t_min"], t_max=cfg_m["t_max"],
-            n_steps=cfg_m["n_steps"], prior_pars=cfg_m["prior_pars"],
-            ode_flat=fitzhugh.fitzhugh_flat,
-            jac_flat=fitzhugh.fitzhugh_jac_flat)
-        # runtime scale tuning toward 20-50% acceptance (scale is a traced
-        # argument: no re-compile per candidate)
-        tuned_f, acc_f = None, None
-        for s_cand in (0.005, 0.01, 0.02, 0.04, 0.08):
-            _, _, acc_p = runner(init_f, jax.random.PRNGKey(30),
-                                 scale=s_cand)
-            a = float(jnp.mean(acc_p))
-            if acc_f is None or abs(a - 0.3) < abs(acc_f - 0.3):
-                tuned_f, acc_f = s_cand, a
-        details["mcmc_fused_tuned_scale"] = tuned_f
-        best_f = None
-        for r in range(3):
-            t0 = time.perf_counter()
-            out_r = runner(init_f, jax.random.PRNGKey(6 + r),
-                           scale=tuned_f)
-            _sync(out_r[0])
-            dt = time.perf_counter() - t0
-            if best_f is None or dt < best_f[0]:
-                best_f = (dt, out_r)
-        dt_f, (positions_f, ll_f, accept_f) = best_f
-        details["mcmc_chain_steps_per_sec"] = round(
-            n_chains_f * n_samp_f / dt_f, 2)
-        details["mcmc_mean_accept"] = round(float(jnp.mean(accept_f)), 3)
-        details["mcmc_fused_finite"] = bool(jnp.all(jnp.isfinite(ll_f)))
-        import numpy as np
-        ess_f = _ess_total(np.asarray(positions_f[:, :, 0]))
-        details["mcmc_fused_ess_per_sec"] = round(ess_f / dt_f, 2)
-    except Exception as e:  # noqa: BLE001
-        details["mcmc_fused_bench_error"] = repr(e)[:500]
-
-    # gradient-based MCMC: lockstep MALA over the fused fenrir marginal
-    # likelihood + gradient (ONE tangent-augmented kernel pipeline per
-    # step for all chains) on the same FitzHugh observations
-    try:
-        import numpy as np
-        from rodeo_tpu.models import fitzhugh
-        from rodeo_tpu.parallel.chains import make_mala_runner
-        from rodeo_tpu.ops.pallas_fenrir import fenrir_fused_batch_grad
-        if mcmc_obs is None:
-            raise RuntimeError("posterior setup above failed")
-        obs_idx, y_m, sigma_obs, cfg_m, th_m = mcmc_obs
-        n_obs_m = y_m.shape[0]
-        obs_times_m = (10.0 * obs_idx / cfg_m["n_steps"]).astype(
-            jnp.float32)
-        D_m = jnp.zeros((n_obs_m, 2, 1, 3), jnp.float32
-                        ).at[:, :, :, 0].set(1.0)
-        Om_m = (sigma_obs ** 2) * jnp.broadcast_to(
-            jnp.eye(1, dtype=jnp.float32), (n_obs_m, 2, 1, 1))
-        n_lane_g, n_samp_g = 128, 100
+    def sec_grad_fused():
+        # gradients at fused speed (forward-mode tangent-augmented
+        # kernels): the MAP / gradient-MCMC workload.  Lane 0 is the
+        # unperturbed theta, so value AND gradient are audited against
+        # the f64 CPU references with f32-CPU controls (VERDICT r4 #3).
+        from rodeo_tpu.ops import pallas_fenrir as pfg
+        from rodeo_tpu.ops import pallas_dalton as pdg
+        Bg = 128
+        ths_g = jnp.broadcast_to(th_f, (Bg, 3)) * \
+            (1 + 1e-6 * jnp.arange(Bg, dtype=jnp.float32)[:, None])
         inits_g = jnp.broadcast_to(
-            cfg_m["ode_init"], (n_lane_g,) + cfg_m["ode_init"].shape)
+            cfg_f["ode_init"], (Bg,) + cfg_f["ode_init"].shape)
+        for name, grad_fn in (
+                ("fenrir", pfg.fenrir_fused_batch_grad),
+                ("dalton", pdg.dalton_fused_batch_grad)):
+            with _row(details, f"{name}_fused_grad"):
+                gfn = jax.jit(lambda ts, x0, g=grad_fn: g(
+                    thetas=ts, ode_weight=cfg_f["ode_weight"],
+                    ode_inits=x0, t_min=cfg_f["t_min"],
+                    t_max=cfg_f["t_max"], n_steps=cfg_f["n_steps"],
+                    prior_pars=cfg_f["prior_pars"],
+                    obs_data=yobs, obs_times=obs_times, obs_weight=D,
+                    obs_var=Om, ode_flat=lorenz.lorenz_flat,
+                    jac_flat=lorenz.lorenz_jac_flat))
+                t_g, out_g = _timeit(gfn, (ths_g, inits_g), n_rep=3,
+                                     per=Bg)
+                details[f"{name}_fused_grad_evals_per_sec"] = round(
+                    1.0 / t_g, 2)
+                details[f"{name}_fused_grad_finite"] = bool(
+                    jnp.all(jnp.isfinite(out_g[1])))
+                audit_ll(f"{name}_fused_grad_ll", out_g[0][0],
+                         f"{name}_ll")
+                audit_grad(f"{name}_fused_grad", out_g[1][0],
+                           f"{name}_grad")
 
-        def logpost_grad(positions):
-            return fenrir_fused_batch_grad(
-                thetas=positions, ode_weight=cfg_m["ode_weight"],
-                ode_inits=inits_g, t_min=cfg_m["t_min"],
-                t_max=cfg_m["t_max"], n_steps=cfg_m["n_steps"],
-                prior_pars=cfg_m["prior_pars"],
-                obs_data=y_m[:, :, None], obs_times=obs_times_m,
-                obs_weight=D_m, obs_var=Om_m,
-                ode_flat=fitzhugh.fitzhugh_flat,
-                jac_flat=fitzhugh.fitzhugh_jac_flat)
-
-        runner_g = make_mala_runner(logpost_grad, n_lane_g, n_samp_g,
-                                    step_size=0.01)
-        init_g = jnp.broadcast_to(th_m, (n_lane_g, 3)).astype(jnp.float32)
-        tuned_g, acc_g = None, None
-        for s_cand in (0.005, 0.01, 0.02, 0.05, 0.1):
-            _, _, acc_p = runner_g(init_g, jax.random.PRNGKey(31),
-                                   step_size_override=s_cand)
-            a = float(jnp.mean(acc_p))
-            # MALA's optimal acceptance is ~0.57
-            if acc_g is None or abs(a - 0.57) < abs(acc_g - 0.57):
-                tuned_g, acc_g = s_cand, a
-        details["mala_fused_tuned_step"] = tuned_g
-
-        def _timed_chain_run(runner, tuned, key0):
-            """Best-of-3 timed runs (a single reading is vulnerable to
-            one-off host/tunnel stalls — a 2026-08-19 bench recorded a
-            MALA run 8x its reproducible isolated cost)."""
-            best = None
-            for r in range(3):
-                t0 = time.perf_counter()
-                out = runner(init_g, jax.random.PRNGKey(key0 + r),
-                             step_size_override=tuned)
-                _sync(out[0])
-                dt = time.perf_counter() - t0
-                if best is None or dt < best[0]:
-                    best = (dt, out)
-            return best
-
-        dt_g, (pos_g, ll_g, acc_gr) = _timed_chain_run(
-            runner_g, tuned_g, 32)
-        details["mala_fused_chain_steps_per_sec"] = round(
-            n_lane_g * n_samp_g / dt_g, 2)
-        details["mala_fused_mean_accept"] = round(float(jnp.mean(acc_gr)),
-                                                  3)
-        details["mala_fused_finite"] = bool(jnp.all(jnp.isfinite(ll_g)))
-        ess_g = _ess_total(np.asarray(pos_g[:, :, 0]))
-        details["mala_fused_ess_per_sec"] = round(ess_g / dt_g, 2)
-
-        # lockstep HMC on the same fused gradient pipeline: n_leapfrog
-        # kernel passes per proposal, but coherent O(L*eps) trajectories
-        # — the ESS/s comparison against MALA is the honest metric
-        from rodeo_tpu.parallel.chains import make_hmc_runner
-        n_leap = 5
-        runner_h = make_hmc_runner(logpost_grad, n_lane_g, n_samp_g,
-                                   step_size=0.01, n_leapfrog=n_leap)
-        tuned_h, acc_h = None, None
-        for s_cand in (0.005, 0.01, 0.02, 0.05):
-            _, _, acc_p = runner_h(init_g, jax.random.PRNGKey(41),
-                                   step_size_override=s_cand)
-            a = float(jnp.mean(acc_p))
-            # HMC's optimal acceptance is ~0.8 (Beskos et al.)
-            if acc_h is None or abs(a - 0.8) < abs(acc_h - 0.8):
-                tuned_h, acc_h = s_cand, a
-        details["hmc_fused_tuned_step"] = tuned_h
-        details["hmc_fused_n_leapfrog"] = n_leap
-        dt_h, (pos_h, ll_h, acc_hr) = _timed_chain_run(
-            runner_h, tuned_h, 42)
-        details["hmc_fused_chain_steps_per_sec"] = round(
-            n_lane_g * n_samp_g / dt_h, 2)
-        details["hmc_fused_mean_accept"] = round(float(jnp.mean(acc_hr)),
-                                                 3)
-        details["hmc_fused_finite"] = bool(jnp.all(jnp.isfinite(ll_h)))
-        ess_h = _ess_total(np.asarray(pos_h[:, :, 0]))
-        details["hmc_fused_ess_per_sec"] = round(ess_h / dt_h, 2)
-
-        # lockstep NUTS on the same pipeline: fixed 2^max_depth - 1
-        # leapfrog budget per proposal (iterative tree building under
-        # per-lane masks) — self-tuning trajectory lengths, judged like
-        # MALA/HMC on ESS/s
-        from rodeo_tpu.parallel.nuts import make_nuts_runner
-        max_depth_n = 4                      # 15 gradient passes/proposal
-        n_samp_n = 40
-        runner_n = make_nuts_runner(logpost_grad, n_lane_g, n_samp_n,
-                                    step_size=0.01, max_depth=max_depth_n)
-        tuned_n, acc_n = None, None
-        for s_cand in (0.005, 0.01, 0.02, 0.05):
-            _, _, acc_p = runner_n(init_g, jax.random.PRNGKey(51),
-                                   step_size_override=s_cand)
-            a = float(jnp.mean(acc_p))
-            if acc_n is None or abs(a - 0.8) < abs(acc_n - 0.8):
-                tuned_n, acc_n = s_cand, a
-        details["nuts_fused_tuned_step"] = tuned_n
-        details["nuts_fused_max_depth"] = max_depth_n
-        best_n = None
-        for r in range(3):
-            t0 = time.perf_counter()
-            out_n = runner_n(init_g, jax.random.PRNGKey(52 + r),
-                             step_size_override=tuned_n)
-            _sync(out_n[0])
-            dtr = time.perf_counter() - t0
-            if best_n is None or dtr < best_n[0]:
-                best_n = (dtr, out_n)
-        dt_n, (pos_n, ll_n, acc_nr) = best_n
-        details["nuts_fused_chain_steps_per_sec"] = round(
-            n_lane_g * n_samp_n / dt_n, 2)
-        details["nuts_fused_mean_accept"] = round(float(jnp.mean(acc_nr)),
-                                                  3)
-        details["nuts_fused_finite"] = bool(jnp.all(jnp.isfinite(ll_n)))
-        ess_n = _ess_total(np.asarray(pos_n[:, :, 0]))
-        details["nuts_fused_ess_per_sec"] = round(ess_n / dt_n, 2)
-    except Exception as e:  # noqa: BLE001
-        details["mala_fused_bench_error"] = repr(e)[:500]
-
-    # f32 coverage rows for the remaining inference surface (VERDICT r1 #4)
-    try:
-        import numpy as np
-        cfg_i = lorenz.setup(n_steps=4000, t_max=T_MAX, dtype=jnp.float32)
-        th_i = cfg_i.pop("theta")
-        rngi = np.random.default_rng(1)
-        n_obs = 21
-        obs_times_i = jnp.linspace(0.0, T_MAX, n_obs).astype(jnp.float32)
-        yobs_i = jnp.asarray(rngi.normal(size=(n_obs, 3, 1)) * 5,
-                             jnp.float32)
-
-        def nn_loglik(o, s, i, **p):
-            mean = s[:, 0]
-            return jnp.sum(-0.5 * (o[:, 0] - mean) ** 2 / 0.005)
-
+    def sec_daltonng():
         with _row(details, "daltonng"):
             ng = jax.jit(lambda th: precond.daltonng(
                 key=None, interrogate=interrogate_kramer, theta=th,
-                obs_data=yobs_i, obs_times=obs_times_i,
+                obs_data=yobs_i, obs_times=obs_times,
                 obs_loglik_i=nn_loglik, **cfg_i))
             t_ng, out_ng = _timeit(ng, (th_i,), n_rep=3)
             details["daltonng_evals_per_sec"] = round(1.0 / t_ng, 2)
             details["daltonng_finite"] = bool(jnp.isfinite(out_ng))
             audit_ll("daltonng", out_ng, "daltonng_ll")
-
         with _row(details, "daltonng_vmapped"):
             nbng = 16
             ths_ng = jnp.broadcast_to(th_i, (nbng, 3)) + \
                 1e-4 * jnp.arange(nbng, dtype=jnp.float32)[:, None]
             ngv = jax.jit(jax.vmap(lambda th: precond.daltonng(
                 key=None, interrogate=interrogate_kramer, theta=th,
-                obs_data=yobs_i, obs_times=obs_times_i,
+                obs_data=yobs_i, obs_times=obs_times,
                 obs_loglik_i=nn_loglik, **cfg_i)))
             t_ngv, out_ngv = _timeit(ngv, (ths_ng,), n_rep=3)
             details["daltonng_vmapped16_evals_per_sec"] = round(
                 nbng / t_ngv, 2)
 
-        # fused daltonng (VERDICT r2 #3): lane-batched Laplace filter +
-        # batched smoothing passes; target >= 100 evals/s single-style,
-        # >= 1000 lane-batched
+    def sec_daltonng_fused():
+        # fused daltonng: lane-batched Laplace filter + batched smoothing
         def nn_comp_flat(y_cols, x_col, j, th, iobs):
             return -0.5 * (y_cols[0] - x_col) ** 2 / 0.005
 
         from rodeo_tpu.ops.pallas_daltonng import daltonng_fused_batch
-        # >=128 lanes exceeds the remote-compile envelope for this kernel
         for Bng in (16, 64):
             with _row(details, f"daltonng_fused_batch{Bng}"):
-                ths_ng2 = jnp.broadcast_to(th_i, (Bng, 3)) *                     (1 + 1e-6 * jnp.arange(Bng, dtype=jnp.float32)[:, None])
+                ths_ng2 = jnp.broadcast_to(th_i, (Bng, 3)) * \
+                    (1 + 1e-6 * jnp.arange(Bng, dtype=jnp.float32)[:, None])
                 inits_ng = jnp.broadcast_to(
                     cfg_i["ode_init"], (Bng,) + cfg_i["ode_init"].shape)
                 ngf = jax.jit(lambda ts, x0: daltonng_fused_batch(
-                    thetas=ts, ode_weight=cfg_i["ode_weight"], ode_inits=x0,
-                    t_min=cfg_i["t_min"], t_max=cfg_i["t_max"],
-                    n_steps=cfg_i["n_steps"],
+                    thetas=ts, ode_weight=cfg_i["ode_weight"],
+                    ode_inits=x0, t_min=cfg_i["t_min"],
+                    t_max=cfg_i["t_max"], n_steps=cfg_i["n_steps"],
                     prior_pars=cfg_i["prior_pars"],
-                    obs_data=yobs_i, obs_times=obs_times_i,
+                    obs_data=yobs_i, obs_times=obs_times,
                     obs_comp_flat=nn_comp_flat, obs_dims=(0,),
                     ode_flat=lorenz.lorenz_flat,
                     jac_flat=lorenz.lorenz_jac_flat))
                 t_ngf, out_ngf = _timeit(ngf, (ths_ng2, inits_ng),
                                          n_rep=3, per=Bng)
-                details[f"daltonng_fused_batch{Bng}_evals_per_sec"] =                     round(1.0 / t_ngf, 2)
+                details[f"daltonng_fused_batch{Bng}_evals_per_sec"] = \
+                    round(1.0 / t_ngf, 2)
                 details[f"daltonng_fused_batch{Bng}_finite"] = bool(
                     jnp.all(jnp.isfinite(out_ngf)))
                 audit_ll(f"daltonng_fused_batch{Bng}", out_ngf[0],
                          "daltonng_ll")
-
         with _row(details, "daltonng_fused_grad"):
-            # fused daltonng value+grad (tangent-augmented Laplace filter;
-            # the (1+n_theta)x-wider kernel compiles up to 64 lanes)
             from rodeo_tpu.ops.pallas_daltonng import (
                 daltonng_fused_batch_grad)
             Bngg = 64
@@ -1138,7 +903,7 @@ def main():
                 t_min=cfg_i["t_min"], t_max=cfg_i["t_max"],
                 n_steps=cfg_i["n_steps"],
                 prior_pars=cfg_i["prior_pars"],
-                obs_data=yobs_i, obs_times=obs_times_i,
+                obs_data=yobs_i, obs_times=obs_times,
                 obs_comp_flat=nn_comp_flat, obs_dims=(0,),
                 ode_flat=lorenz.lorenz_flat,
                 jac_flat=lorenz.lorenz_jac_flat))
@@ -1150,89 +915,35 @@ def main():
                 jnp.all(jnp.isfinite(out_ngg[1])))
             audit_ll("daltonng_fused_grad_ll", out_ngg[0][0],
                      "daltonng_ll")
+            audit_grad("daltonng_fused_grad", out_ngg[1][0],
+                       "daltonng_grad")
 
-        # fused basic: shares the fused solve_mv forward pass
+    def sec_basic():
         from rodeo_tpu.ops import pallas_kalman as pk_basic
-        with _row(details, "basic_fused_batch"):
-            Bb = 128
-            ths_b = jnp.broadcast_to(th_i, (Bb, 3)) *                 (1 + 1e-6 * jnp.arange(Bb, dtype=jnp.float32)[:, None])
-            inits_b = jnp.broadcast_to(
-                cfg_i["ode_init"], (Bb,) + cfg_i["ode_init"].shape)
-
-            def b_loglik_f(obs_data, ode_data, **p):
-                return jnp.sum(
-                    -0.5 * (obs_data[..., 0] - ode_data[..., 0]) ** 2)
-
-            bf = jax.jit(lambda ts, x0: pk_basic.basic_fused_batch(
-                thetas=ts, ode_weight=cfg_i["ode_weight"], ode_inits=x0,
-                t_min=cfg_i["t_min"], t_max=cfg_i["t_max"],
-                n_steps=cfg_i["n_steps"], prior_pars=cfg_i["prior_pars"],
-                obs_data=yobs_i, obs_times=obs_times_i,
-                obs_loglik=b_loglik_f, ode_flat=lorenz.lorenz_flat,
-                jac_flat=lorenz.lorenz_jac_flat)[0])
-            t_bf, out_bf = _timeit(bf, (ths_b, inits_b), n_rep=3, per=Bb)
-            details["basic_fused_batch128_evals_per_sec"] = round(
-                1.0 / t_bf, 2)
-            details["basic_fused_batch128_finite"] = bool(
-                jnp.all(jnp.isfinite(out_bf)))
-            audit_ll("basic_fused_batch128", out_bf[0], "basic_ll")
-
-        with _row(details, "basic_fused_grad"):
-            # fused basic value+grad: tangent-augmented fused solve
-            # chained through the user obs_loglik by jvp
-            Bbg = 128
-            ths_bg = jnp.broadcast_to(th_i, (Bbg, 3)) * \
-                (1 + 1e-6 * jnp.arange(Bbg, dtype=jnp.float32)[:, None])
-            inits_bg = jnp.broadcast_to(
-                cfg_i["ode_init"], (Bbg,) + cfg_i["ode_init"].shape)
-
-            def b_loglik_g(obs_data, ode_data, **p):
-                return jnp.sum(
-                    -0.5 * (obs_data[..., 0] - ode_data[..., 0]) ** 2)
-
-            bgf = jax.jit(lambda ts, x0: pk_basic.basic_fused_batch_grad(
-                thetas=ts, ode_weight=cfg_i["ode_weight"], ode_inits=x0,
-                t_min=cfg_i["t_min"], t_max=cfg_i["t_max"],
-                n_steps=cfg_i["n_steps"], prior_pars=cfg_i["prior_pars"],
-                obs_data=yobs_i, obs_times=obs_times_i,
-                obs_loglik=b_loglik_g, ode_flat=lorenz.lorenz_flat,
-                jac_flat=lorenz.lorenz_jac_flat)[:2])
-            t_bg, out_bg = _timeit(bgf, (ths_bg, inits_bg), n_rep=3,
-                                   per=Bbg)
-            details["basic_fused_grad_evals_per_sec"] = round(
-                1.0 / t_bg, 2)
-            details["basic_fused_grad_finite"] = bool(
-                jnp.all(jnp.isfinite(out_bg[1])))
-            audit_ll("basic_fused_grad_ll", out_bg[0][0], "basic_ll")
-
-        def b_loglik(obs_data, ode_data, **p):
-            return jnp.sum(-0.5 * (obs_data[..., 0] - ode_data[..., 0])**2)
-
         with _row(details, "basic"):
             bas = jax.jit(lambda th: precond.basic(
                 key=None, interrogate=interrogate_kramer, theta=th,
-                obs_data=yobs_i, obs_times=obs_times_i,
+                obs_data=yobs_i, obs_times=obs_times,
                 obs_loglik=b_loglik, **cfg_i)[0])
             t_b, out_b = _timeit(bas, (th_i,), n_rep=3)
             details["basic_evals_per_sec"] = round(1.0 / t_b, 2)
             details["basic_finite"] = bool(jnp.isfinite(out_b))
             audit_ll("basic", out_b, "basic_ll")
-
         # non-chaotic basic control (FitzHugh): the Lorenz basic row's
         # ~12% relative error is trajectory divergence (its f32-CPU
         # control carries the identical error); this row shows the
         # basic pipeline's own f32 floor when the solve is pointwise
-        # accurate
+        # accurate.  The docstring of inference/basic.py and
+        # docs/examples/parameter.md state this steering rule.
         with _row(details, "basic_fitz"):
             from rodeo_tpu.models import fitzhugh as _fh_basic
-            import numpy as _np_bf
             cfg_bf = _fh_basic.setup(n_steps=800, t_max=10.0,
                                      dtype=jnp.float32)
             th_bf = cfg_bf.pop("theta")
             n_obs_bf = 21
             obs_t_bf = jnp.linspace(0.0, 10.0, n_obs_bf)
             y_bf = jnp.asarray(
-                _np_bf.random.default_rng(2).normal(
+                np.random.default_rng(2).normal(
                     size=(n_obs_bf, 2, 1)), jnp.float32)
             bas_bf = jax.jit(lambda th: precond.basic(
                 key=None, interrogate=interrogate_kramer, theta=th,
@@ -1241,11 +952,53 @@ def main():
             _, out_bf2 = _timeit(bas_bf, (th_bf,), n_rep=2)
             details["basic_fitz_finite"] = bool(jnp.isfinite(out_bf2))
             audit_ll("basic_fitz", out_bf2, "basic_fitz_ll")
+        with _row(details, "basic_fused_batch"):
+            Bb = 128
+            ths_b = jnp.broadcast_to(th_i, (Bb, 3)) * \
+                (1 + 1e-6 * jnp.arange(Bb, dtype=jnp.float32)[:, None])
+            inits_b = jnp.broadcast_to(
+                cfg_i["ode_init"], (Bb,) + cfg_i["ode_init"].shape)
+            bf = jax.jit(lambda ts, x0: pk_basic.basic_fused_batch(
+                thetas=ts, ode_weight=cfg_i["ode_weight"], ode_inits=x0,
+                t_min=cfg_i["t_min"], t_max=cfg_i["t_max"],
+                n_steps=cfg_i["n_steps"], prior_pars=cfg_i["prior_pars"],
+                obs_data=yobs_i, obs_times=obs_times,
+                obs_loglik=b_loglik, ode_flat=lorenz.lorenz_flat,
+                jac_flat=lorenz.lorenz_jac_flat)[0])
+            t_bf, out_bf = _timeit(bf, (ths_b, inits_b), n_rep=3, per=Bb)
+            details["basic_fused_batch128_evals_per_sec"] = round(
+                1.0 / t_bf, 2)
+            details["basic_fused_batch128_finite"] = bool(
+                jnp.all(jnp.isfinite(out_bf)))
+            audit_ll("basic_fused_batch128", out_bf[0], "basic_ll")
+        with _row(details, "basic_fused_grad"):
+            Bbg = 128
+            ths_bg = jnp.broadcast_to(th_i, (Bbg, 3)) * \
+                (1 + 1e-6 * jnp.arange(Bbg, dtype=jnp.float32)[:, None])
+            inits_bg = jnp.broadcast_to(
+                cfg_i["ode_init"], (Bbg,) + cfg_i["ode_init"].shape)
+            bgf = jax.jit(lambda ts, x0: pk_basic.basic_fused_batch_grad(
+                thetas=ts, ode_weight=cfg_i["ode_weight"], ode_inits=x0,
+                t_min=cfg_i["t_min"], t_max=cfg_i["t_max"],
+                n_steps=cfg_i["n_steps"], prior_pars=cfg_i["prior_pars"],
+                obs_data=yobs_i, obs_times=obs_times,
+                obs_loglik=b_loglik, ode_flat=lorenz.lorenz_flat,
+                jac_flat=lorenz.lorenz_jac_flat)[:2])
+            t_bg, out_bg = _timeit(bgf, (ths_bg, inits_bg), n_rep=3,
+                                   per=Bbg)
+            details["basic_fused_grad_evals_per_sec"] = round(
+                1.0 / t_bg, 2)
+            details["basic_fused_grad_finite"] = bool(
+                jnp.all(jnp.isfinite(out_bg[1])))
+            audit_ll("basic_fused_grad_ll", out_bg[0][0], "basic_ll")
+            audit_grad("basic_fused_grad", out_bg[1][0], "basic_grad")
 
-        mu_i, _ = precond.solve_mv(
-            key=None, interrogate=interrogate_kramer, theta=th_i, **cfg_i)
-        if truth is not None:
-            mu_i = jnp.asarray(truth["solve_mu_4k"], jnp.float32)
+    def sec_magi():
+        from rodeo_tpu.ops import pallas_magi
+        mu_i = jnp.asarray(truth["solve_mu_4k"], jnp.float32) \
+            if truth is not None else precond.solve_mv(
+                key=None, interrogate=interrogate_kramer, theta=th_i,
+                **cfg_i)[0]
 
         def ode_expand(u, **p):
             pad = jnp.zeros(u.shape[:-1] + (1,), jnp.float32)
@@ -1259,10 +1012,7 @@ def main():
             details["magi_evals_per_sec"] = round(1.0 / t_m, 2)
             details["magi_finite"] = bool(jnp.isfinite(out_m))
             audit_ll("magi", out_m, "magi_ll")
-
         with _row(details, "magi_vmapped"):
-            # MCMC-style workload: a batch of candidate paths (the subset
-            # state is the MCMC position for MAGI inference)
             nbm = 16
             us = jnp.broadcast_to(mu_i[:, :, :2],
                                   (nbm,) + mu_i[:, :, :2].shape)
@@ -1273,10 +1023,7 @@ def main():
                 prior_pars=cfg_i["prior_pars"], dt=T_MAX / 4000)))
             t_mv, out_mv = _timeit(mgv, (us,), n_rep=3)
             details["magi_vmapped16_evals_per_sec"] = round(nbm / t_mv, 2)
-
-        # fused lane-batched MAGI (Pallas kernel, lane 0 unperturbed for
-        # the accuracy audit against the f64 CPU magi_ll)
-        from rodeo_tpu.ops import pallas_magi
+        # fused lane-batched MAGI (lane 0 unperturbed for the audit)
         for Bmg in (128, 512, 2048):
             with _row(details, f"magi_fused_batch{Bmg}"):
                 us_f = jnp.broadcast_to(
@@ -1291,7 +1038,6 @@ def main():
                 details[f"magi_fused_batch{Bmg}_finite"] = bool(
                     jnp.all(jnp.isfinite(out_mf)))
                 audit_ll(f"magi_fused_batch{Bmg}", out_mf[0], "magi_ll")
-
         with _row(details, "magi_fused_grad_batch128"):
             # value + FULL-PATH gradient via the adjoint kernel (MAGI's
             # MCMC position is the path, so this is the MALA/MAP rate)
@@ -1309,124 +1055,729 @@ def main():
                 jnp.all(jnp.isfinite(out_mg[0]))
                 and jnp.all(jnp.isfinite(out_mg[1])))
             audit_ll("magi_fused_grad_ll", out_mg[0][0], "magi_ll")
-    except Exception as e:  # noqa: BLE001
-        details["f32_inference_bench_error"] = repr(e)[:500]
+            audit_grad("magi_fused_grad", out_mg[1][0], "magi_grad")
 
-    # q=4 higher-order config (the reference's Chkrebtii benchmark) on the
-    # fused path, lane-batched
-    try:
+    def sec_large_state():
+        # d=128 method-of-lines heat equation, one dense 384-dim block —
+        # each filter step is MXU-sized matmuls plus a 128-dim innovation
+        # solve.  Accuracy audited against the discretized system's
+        # closed form (models/heat.py), so no CPU truth entry is needed.
+        from rodeo_tpu.models import heat
+        from rodeo_tpu.ops.stationary import solve_mv_stationary
+        cfg_h = heat.setup(d=128, n_deriv=3, n_steps=1000,
+                           dtype=jnp.float32)
+        exact_h = cfg_h.pop("exact")
+        p_h = cfg_h.pop("n_deriv")
+        with _row(details, "large_state"):
+            ls = jax.jit(lambda: precond.solve_mv(
+                key=None, interrogate=interrogate_kramer, n_deriv=p_h,
+                **cfg_h))
+            t_ls, out_ls = _timeit(ls, (), n_rep=2)
+            err_ls = float(jnp.max(jnp.abs(
+                out_ls[0][-1, 0, ::p_h]
+                - jnp.asarray(exact_h(cfg_h["t_max"]), jnp.float32))))
+            details["large_state_d128_solve_ms"] = round(t_ls * 1000, 3)
+            details["large_state_d128_max_abs_err"] = round(err_ls, 9)
+            details["large_state_d128_accuracy_pass"] = bool(
+                err_ls <= 1e-4)
+        # stationary-gain variant: gains freeze after an exact Riccati
+        # warm-up; 1000-step covariance work drops to 2*n_warm steps
+        with _row(details, "large_state_stationary"):
+            lss = jax.jit(lambda: solve_mv_stationary(
+                key=None, interrogate=interrogate_kramer, n_deriv=p_h,
+                n_warm=32, **cfg_h))
+            t_lss, out_lss = _timeit(lss, (), n_rep=2)
+            err_lss = float(jnp.max(jnp.abs(
+                out_lss[0][-1, 0, ::p_h]
+                - jnp.asarray(exact_h(cfg_h["t_max"]), jnp.float32))))
+            details["large_state_stationary_solve_ms"] = round(
+                t_lss * 1000, 3)
+            details["large_state_stationary_max_abs_err"] = round(
+                err_lss, 9)
+            details["large_state_stationary_accuracy_pass"] = bool(
+                err_lss <= 1e-4)
+        # d=512 (state dim 1536), marginal-only covariance output.  CPU
+        # comparator measured once (5-step slice, idle 1-core host,
+        # 2026-08-19): 2130.8 ms/step — cached constant, a per-run
+        # measurement would add ~30 s of CPU to every bench
+        with _row(details, "large_state_d512"):
+            cfg_h5 = heat.setup(d=512, n_deriv=3, n_steps=1000,
+                                dtype=jnp.float32)
+            exact_h5 = cfg_h5.pop("exact")
+            p_h5 = cfg_h5.pop("n_deriv")
+            ls5 = jax.jit(lambda: solve_mv_stationary(
+                key=None, interrogate=interrogate_kramer, n_deriv=p_h5,
+                n_warm=32, var_out="diag", **cfg_h5))
+            t_l5, out_l5 = _timeit(ls5, (), n_rep=2)
+            err_l5 = float(jnp.max(jnp.abs(
+                out_l5[0][-1, 0, ::p_h5]
+                - jnp.asarray(exact_h5(cfg_h5["t_max"]), jnp.float32))))
+            details["large_state_d512_stationary_ms"] = round(
+                t_l5 * 1000, 3)
+            details["large_state_d512_max_abs_err"] = round(err_l5, 9)
+            details["large_state_d512_accuracy_pass"] = bool(
+                err_l5 <= 1e-4)
+            details["large_state_d512_cpu_ms_per_step_cached"] = 2130.8
+            details["large_state_d512_vs_cpu_cached"] = round(
+                2130.8 * 1000 / (t_l5 * 1000), 1)
+
+    def sec_large_state_inference():
+        # stationary-gain parameter inference on the d=128 heat fixture
+        # with 20 noisy full-state observations (models/heat.py:
+        # fenrir_setup, deterministic).  f64 exact-mode references and
+        # f32-on-CPU controls are dated cached constants — see
+        # _LS_F32CPU_CONTROLS and tools/large_state_controls.py.
+        from rodeo_tpu.models import heat
+        from rodeo_tpu.ops.stationary import (
+            fenrir_stationary, dalton_stationary)
+        kw_lf, kappa0 = heat.fenrir_setup(
+            d=128, n_deriv=3, n_steps=1000, n_obs=20, dtype=jnp.float32)
+
+        def _ls_ctrl(row, kind):
+            """Record the f32-CPU control rel err for a large-state row
+            (dated constant) and the <=3x-control pass flag."""
+            c = _LS_F32CPU_CONTROLS.get(f"{kind}_rel")
+            if c is None:
+                return None
+            details[f"{row}_f32cpu_control_rel_err"] = round(c, 9)
+            return c
+
+        with _row(details, "large_state_fenrir"):
+            for tag, nw in (("nw32", 32), ("exact", 1000)):
+                ll = jax.jit(lambda k, nw=nw: fenrir_stationary(
+                    n_deriv=3, n_warm=nw, kappa=k, validate=False,
+                    **kw_lf))
+                vg = jax.jit(jax.value_and_grad(
+                    lambda k, nw=nw: fenrir_stationary(
+                        n_deriv=3, n_warm=nw, kappa=k, validate=False,
+                        **kw_lf)))
+                t_ll, v_ll = _timeit(ll, (kappa0,), n_rep=3)
+                t_vg, out_vg = _timeit(vg, (kappa0,), n_rep=3)
+                g_v = float(out_vg[1])
+                row = f"large_state_fenrir_{tag}"
+                details[f"{row}_ll_ms"] = round(t_ll * 1000, 3)
+                details[f"{row}_value_grad_ms"] = round(t_vg * 1000, 3)
+                details[f"{row}_ll"] = round(float(v_ll), 4)
+                details[f"{row}_ll_ref_f64"] = _LF_REF_LL
+                rel_v = abs(float(v_ll) - _LF_REF_LL) / abs(_LF_REF_LL)
+                rel_g = abs(g_v - _LF_REF_G) / abs(_LF_REF_G)
+                details[f"{row}_ll_rel_err"] = round(rel_v, 9)
+                details[f"{row}_grad_rel_err"] = round(rel_g, 9)
+                c_v = _ls_ctrl(f"{row}_ll", f"fenrir_{tag}_ll")
+                c_g = _ls_ctrl(f"{row}_grad", f"fenrir_{tag}_grad")
+                if c_v is not None:
+                    details[f"{row}_ll_pass"] = bool(
+                        rel_v <= max(3.0 * c_v, 1e-7))
+                if c_g is not None:
+                    details[f"{row}_grad_pass"] = bool(
+                        rel_g <= max(3.0 * c_g, 1e-7))
+
+        with _row(details, "large_state_dalton"):
+            lld = jax.jit(lambda k: dalton_stationary(
+                n_deriv=3, n_warm=32, kappa=k, validate=False, **kw_lf))
+            t_ld, v_ld = _timeit(lld, (kappa0,), n_rep=3)
+            vgd = jax.jit(jax.value_and_grad(
+                lambda k: dalton_stationary(
+                    n_deriv=3, n_warm=32, kappa=k, validate=False,
+                    **kw_lf)))
+            t_vgd, out_vgd = _timeit(vgd, (kappa0,), n_rep=3)
+            details["large_state_dalton_nw32_ll_ms"] = round(
+                t_ld * 1000, 3)
+            details["large_state_dalton_nw32_value_grad_ms"] = round(
+                t_vgd * 1000, 3)
+            details["large_state_dalton_nw32_ll"] = round(float(v_ld), 4)
+            details["large_state_dalton_ll_ref_f64"] = _LD_REF_LL
+            rel_v = abs(float(v_ld) - _LD_REF_LL) / abs(_LD_REF_LL)
+            rel_g = abs(float(out_vgd[1]) - _LD_REF_G) / abs(_LD_REF_G)
+            details["large_state_dalton_ll_rel_err"] = round(rel_v, 9)
+            details["large_state_dalton_grad_rel_err"] = round(rel_g, 9)
+            c_v = _ls_ctrl("large_state_dalton_ll", "dalton_nw32_ll")
+            c_g = _ls_ctrl("large_state_dalton_grad", "dalton_nw32_grad")
+            if c_v is not None:
+                details["large_state_dalton_ll_pass"] = bool(
+                    rel_v <= max(3.0 * c_v, 1e-7))
+            if c_g is not None:
+                details["large_state_dalton_grad_pass"] = bool(
+                    rel_g <= max(3.0 * c_g, 1e-7))
+
+        # non-Gaussian DALTON on the same fixture: Gaussian observations
+        # make the Laplace step exact, so daltonng equals the same exact
+        # log p(Y|Z) (Chib's identity) — a three-way formulation
+        # cross-check (pinned in f64 by tests/test_daltonng_large_state).
+        with _row(details, "large_state_daltonng"):
+            kw_ng = dict(kw_lf)
+            y_ng = kw_ng.pop("obs_data")
+            kw_ng.pop("obs_weight")
+            kw_ng.pop("obs_var")
+            _sd_ng, _p_ng = 0.01, 3
+            _c_ng = 128 * (np.log(_sd_ng) + 0.5 * np.log(2 * np.pi))
+
+            def obs_ll_ng(y_i, x_i, i, **params):
+                u = x_i[0, ::_p_ng]
+                return jnp.sum(-0.5 * ((y_i[0] - u) / _sd_ng) ** 2) - _c_ng
+
+            llng = jax.jit(lambda k: precond.daltonng(
+                obs_data=y_ng, obs_loglik_i=obs_ll_ng, n_deriv=3,
+                kappa=k, **kw_ng))
+            t_ng, v_ng = _timeit(llng, (kappa0,), n_rep=2)
+            details["large_state_daltonng_ll_ms"] = round(t_ng * 1000, 3)
+            details["large_state_daltonng_ll"] = round(float(v_ng), 4)
+            details["large_state_daltonng_ll_ref_f64"] = _LD_REF_LL
+            rel_v = abs(float(v_ng) - _LD_REF_LL) / abs(_LD_REF_LL)
+            details["large_state_daltonng_ll_rel_err"] = round(rel_v, 9)
+            vgng = jax.jit(jax.value_and_grad(
+                lambda k: precond.daltonng(
+                    obs_data=y_ng, obs_loglik_i=obs_ll_ng, n_deriv=3,
+                    kappa=k, **kw_ng)))
+            t_vgn, out_vgn = _timeit(vgng, (kappa0,), n_rep=2)
+            details["large_state_daltonng_value_grad_ms"] = round(
+                t_vgn * 1000, 3)
+            rel_g = abs(float(out_vgn[1]) - _LD_REF_G) / abs(_LD_REF_G)
+            details["large_state_daltonng_grad_rel_err"] = round(rel_g, 9)
+            c_v = _ls_ctrl("large_state_daltonng_ll", "daltonng_ll")
+            c_g = _ls_ctrl("large_state_daltonng_grad", "daltonng_grad")
+            if c_v is not None:
+                details["large_state_daltonng_ll_pass"] = bool(
+                    rel_v <= max(3.0 * c_v, 1e-7))
+            if c_g is not None:
+                details["large_state_daltonng_grad_pass"] = bool(
+                    rel_g <= max(3.0 * c_g, 1e-7))
+
+    def sec_large_state_magi():
+        # MAGI at large d: per-block identity measurement model keeps the
+        # filter block-diagonal at ANY d (models/heat.py:magi_setup).
+        # kappa evaluated 5% off truth so the gradient reference is
+        # informative.  References re-derived by tests/test_magi_large_state.
+        from rodeo_tpu.models import heat
+        with _row(details, "large_state_magi"):
+            for d_m, ref_ll_m, ref_g_m in (
+                    (128, 70321.99094505646, -16376.134603504284),
+                    (1024, 562576.148847129, -130145.82732490015)):
+                u_m, oe_m, pp_m, dt_m = heat.magi_setup(
+                    d=d_m, dtype=jnp.float32)
+                llm = jax.jit(lambda k, u_m=u_m, oe_m=oe_m, pp_m=pp_m,
+                              dt_m=dt_m: precond.magi_logdens(
+                                  ode_data_subset=u_m, ode_expand=oe_m,
+                                  n_active=2, prior_pars=pp_m, dt=dt_m,
+                                  kappa=k))
+                vgm = jax.jit(jax.value_and_grad(
+                    lambda k, u_m=u_m, oe_m=oe_m, pp_m=pp_m, dt_m=dt_m:
+                    precond.magi_logdens(
+                        ode_data_subset=u_m, ode_expand=oe_m, n_active=2,
+                        prior_pars=pp_m, dt=dt_m, kappa=k)))
+                k_m = jnp.float32(0.0105)
+                t_lm, v_lm = _timeit(llm, (k_m,), n_rep=3)
+                t_vgm, out_vgm = _timeit(vgm, (k_m,), n_rep=3)
+                tag_m = f"d{d_m}"
+                details[f"large_state_magi_{tag_m}_ll_ms"] = round(
+                    t_lm * 1000, 3)
+                details[f"large_state_magi_{tag_m}_value_grad_ms"] = \
+                    round(t_vgm * 1000, 3)
+                details[f"large_state_magi_{tag_m}_ll"] = round(
+                    float(v_lm), 4)
+                details[f"large_state_magi_{tag_m}_ll_ref_f64"] = ref_ll_m
+                details[f"large_state_magi_{tag_m}_ll_rel_err"] = round(
+                    abs(float(v_lm) - ref_ll_m) / abs(ref_ll_m), 9)
+                details[f"large_state_magi_{tag_m}_grad_rel_err"] = round(
+                    abs(float(out_vgm[1]) - ref_g_m) / abs(ref_g_m), 9)
+
+    # ---- MCMC fixture (lazy: one solve compile, shared by 4 sections) --
+    mcmc_cache = {}
+
+    def get_mcmc_obs():
+        if "obs" in mcmc_cache:
+            return mcmc_cache["obs"]
+        from rodeo_tpu.models import fitzhugh
+        cfg_m = fitzhugh.setup(n_steps=200, t_max=10.0, dtype=jnp.float32)
+        th_m = cfg_m.pop("theta")
+        mu_true, _ = precond.solve_mv(
+            key=None, interrogate=interrogate_kramer, theta=th_m, **cfg_m)
+        sigma_obs = 0.2
+        obs_idx = jnp.arange(0, 201, 10)          # every 0.5 time units
+        y_m = mu_true[obs_idx, :, 0] + sigma_obs * jnp.asarray(
+            np.random.default_rng(7).normal(size=(21, 2)), jnp.float32)
+        mcmc_cache["obs"] = (obs_idx, y_m, sigma_obs, cfg_m, th_m)
+        return mcmc_cache["obs"]
+
+    def _timed_chain_run(runner, init_pos, key0, **kw):
+        """Best-of-3 timed runs (a single reading is vulnerable to
+        one-off host/tunnel stalls — a 2026-08-19 bench recorded a MALA
+        run 8x its reproducible isolated cost)."""
+        best = None
+        for r in range(3):
+            t0 = time.perf_counter()
+            out = runner(init_pos, jax.random.PRNGKey(key0 + r), **kw)
+            _sync(out[0])
+            dt = time.perf_counter() - t0
+            if best is None or dt < best[0]:
+                best = (dt, out)
+        return best
+
+    def sec_mcmc_fused():
+        # fused lockstep MCMC: 512 chains, each step = ONE lane-batched
+        # fused solve_sim kernel pipeline (the production path)
+        from rodeo_tpu.models import fitzhugh
+        from rodeo_tpu.parallel.chains import make_chain_runner
+        obs_idx, y_m, sigma_obs, cfg_m, th_m = get_mcmc_obs()
+
+        def loglik_f(positions, paths):
+            resid = paths[obs_idx, :, 0, :] - y_m[:, :, None]
+            return -0.5 * jnp.sum(resid * resid,
+                                  axis=(0, 1)) / sigma_obs ** 2
+
+        n_chains_f, n_samp_f = 512, 100
+        init_f = jnp.broadcast_to(th_m, (n_chains_f, 3)).astype(
+            jnp.float32)
+        runner = make_chain_runner(
+            loglik_f, n_lane=n_chains_f, n_samples=n_samp_f,
+            rw_scale=0.01,
+            ode_weight=cfg_m["ode_weight"], ode_init=cfg_m["ode_init"],
+            t_min=cfg_m["t_min"], t_max=cfg_m["t_max"],
+            n_steps=cfg_m["n_steps"], prior_pars=cfg_m["prior_pars"],
+            ode_flat=fitzhugh.fitzhugh_flat,
+            jac_flat=fitzhugh.fitzhugh_jac_flat)
+        # runtime scale tuning toward 20-50% acceptance (scale is a
+        # traced argument: no re-compile per candidate)
+        tuned_f, acc_f = None, None
+        for s_cand in (0.005, 0.01, 0.02, 0.04, 0.08):
+            _, _, acc_p = runner(init_f, jax.random.PRNGKey(30),
+                                 scale=s_cand)
+            a = float(jnp.mean(acc_p))
+            if acc_f is None or abs(a - 0.3) < abs(acc_f - 0.3):
+                tuned_f, acc_f = s_cand, a
+        details["mcmc_fused_tuned_scale"] = tuned_f
+        dt_f, (positions_f, ll_f, accept_f) = _timed_chain_run(
+            runner, init_f, 6, scale=tuned_f)
+        details["mcmc_chain_steps_per_sec"] = round(
+            n_chains_f * n_samp_f / dt_f, 2)
+        details["mcmc_mean_accept"] = round(float(jnp.mean(accept_f)), 3)
+        details["mcmc_fused_finite"] = bool(jnp.all(jnp.isfinite(ll_f)))
+        ess_f = _ess_total(np.asarray(positions_f[:, :, 0]))
+        details["mcmc_fused_ess_per_sec"] = round(ess_f / dt_f, 2)
+
+    def get_logpost_grad():
+        # shared fused-gradient logposterior for MALA/HMC/NUTS
+        if "lpg" in mcmc_cache:
+            return mcmc_cache["lpg"]
+        from rodeo_tpu.models import fitzhugh
+        from rodeo_tpu.ops.pallas_fenrir import fenrir_fused_batch_grad
+        obs_idx, y_m, sigma_obs, cfg_m, th_m = get_mcmc_obs()
+        n_obs_m = y_m.shape[0]
+        obs_times_m = (10.0 * obs_idx / cfg_m["n_steps"]).astype(
+            jnp.float32)
+        D_m = jnp.zeros((n_obs_m, 2, 1, 3), jnp.float32
+                        ).at[:, :, :, 0].set(1.0)
+        Om_m = (sigma_obs ** 2) * jnp.broadcast_to(
+            jnp.eye(1, dtype=jnp.float32), (n_obs_m, 2, 1, 1))
+        n_lane_g = 128
+        inits_g = jnp.broadcast_to(
+            cfg_m["ode_init"], (n_lane_g,) + cfg_m["ode_init"].shape)
+
+        def logpost_grad(positions):
+            return fenrir_fused_batch_grad(
+                thetas=positions, ode_weight=cfg_m["ode_weight"],
+                ode_inits=inits_g, t_min=cfg_m["t_min"],
+                t_max=cfg_m["t_max"], n_steps=cfg_m["n_steps"],
+                prior_pars=cfg_m["prior_pars"],
+                obs_data=y_m[:, :, None], obs_times=obs_times_m,
+                obs_weight=D_m, obs_var=Om_m,
+                ode_flat=fitzhugh.fitzhugh_flat,
+                jac_flat=fitzhugh.fitzhugh_jac_flat)
+
+        init_g = jnp.broadcast_to(th_m, (n_lane_g, 3)).astype(jnp.float32)
+        mcmc_cache["lpg"] = (logpost_grad, init_g, n_lane_g)
+        return mcmc_cache["lpg"]
+
+    def sec_mala():
+        from rodeo_tpu.parallel.chains import make_mala_runner
+        logpost_grad, init_g, n_lane_g = get_logpost_grad()
+        n_samp_g = 100
+        runner_g = make_mala_runner(logpost_grad, n_lane_g, n_samp_g,
+                                    step_size=0.01)
+        tuned_g, acc_g = None, None
+        for s_cand in (0.005, 0.01, 0.02, 0.05, 0.1):
+            _, _, acc_p = runner_g(init_g, jax.random.PRNGKey(31),
+                                   step_size_override=s_cand)
+            a = float(jnp.mean(acc_p))
+            # MALA's optimal acceptance is ~0.57
+            if acc_g is None or abs(a - 0.57) < abs(acc_g - 0.57):
+                tuned_g, acc_g = s_cand, a
+        details["mala_fused_tuned_step"] = tuned_g
+        dt_g, (pos_g, ll_g, acc_gr) = _timed_chain_run(
+            runner_g, init_g, 32, step_size_override=tuned_g)
+        details["mala_fused_chain_steps_per_sec"] = round(
+            n_lane_g * n_samp_g / dt_g, 2)
+        details["mala_fused_mean_accept"] = round(
+            float(jnp.mean(acc_gr)), 3)
+        details["mala_fused_finite"] = bool(jnp.all(jnp.isfinite(ll_g)))
+        ess_g = _ess_total(np.asarray(pos_g[:, :, 0]))
+        details["mala_fused_ess_per_sec"] = round(ess_g / dt_g, 2)
+
+    def sec_hmc():
+        # lockstep HMC on the same fused gradient pipeline: n_leapfrog
+        # kernel passes per proposal — judged against MALA on ESS/s
+        from rodeo_tpu.parallel.chains import make_hmc_runner
+        logpost_grad, init_g, n_lane_g = get_logpost_grad()
+        n_samp_g, n_leap = 100, 5
+        runner_h = make_hmc_runner(logpost_grad, n_lane_g, n_samp_g,
+                                   step_size=0.01, n_leapfrog=n_leap)
+        tuned_h, acc_h = None, None
+        for s_cand in (0.005, 0.01, 0.02, 0.05):
+            _, _, acc_p = runner_h(init_g, jax.random.PRNGKey(41),
+                                   step_size_override=s_cand)
+            a = float(jnp.mean(acc_p))
+            # HMC's optimal acceptance is ~0.8 (Beskos et al.)
+            if acc_h is None or abs(a - 0.8) < abs(acc_h - 0.8):
+                tuned_h, acc_h = s_cand, a
+        details["hmc_fused_tuned_step"] = tuned_h
+        details["hmc_fused_n_leapfrog"] = n_leap
+        dt_h, (pos_h, ll_h, acc_hr) = _timed_chain_run(
+            runner_h, init_g, 42, step_size_override=tuned_h)
+        details["hmc_fused_chain_steps_per_sec"] = round(
+            n_lane_g * n_samp_g / dt_h, 2)
+        details["hmc_fused_mean_accept"] = round(
+            float(jnp.mean(acc_hr)), 3)
+        details["hmc_fused_finite"] = bool(jnp.all(jnp.isfinite(ll_h)))
+        ess_h = _ess_total(np.asarray(pos_h[:, :, 0]))
+        details["hmc_fused_ess_per_sec"] = round(ess_h / dt_h, 2)
+
+    def sec_nuts():
+        # lockstep NUTS: fixed 2^max_depth - 1 leapfrog budget per
+        # proposal (iterative tree building under per-lane masks)
+        from rodeo_tpu.parallel.nuts import make_nuts_runner
+        logpost_grad, init_g, n_lane_g = get_logpost_grad()
+        max_depth_n = 4                      # 15 gradient passes/proposal
+        n_samp_n = 40
+        runner_n = make_nuts_runner(logpost_grad, n_lane_g, n_samp_n,
+                                    step_size=0.01, max_depth=max_depth_n)
+        tuned_n, acc_n = None, None
+        for s_cand in (0.005, 0.01, 0.02, 0.05):
+            _, _, acc_p = runner_n(init_g, jax.random.PRNGKey(51),
+                                   step_size_override=s_cand)
+            a = float(jnp.mean(acc_p))
+            if acc_n is None or abs(a - 0.8) < abs(acc_n - 0.8):
+                tuned_n, acc_n = s_cand, a
+        details["nuts_fused_tuned_step"] = tuned_n
+        details["nuts_fused_max_depth"] = max_depth_n
+        dt_n, (pos_n, ll_n, acc_nr) = _timed_chain_run(
+            runner_n, init_g, 52, step_size_override=tuned_n)
+        details["nuts_fused_chain_steps_per_sec"] = round(
+            n_lane_g * n_samp_n / dt_n, 2)
+        details["nuts_fused_mean_accept"] = round(
+            float(jnp.mean(acc_nr)), 3)
+        details["nuts_fused_finite"] = bool(jnp.all(jnp.isfinite(ll_n)))
+        ess_n = _ess_total(np.asarray(pos_n[:, :, 0]))
+        details["nuts_fused_ess_per_sec"] = round(ess_n / dt_n, 2)
+
+    def sec_mcmc_xla():
+        # XLA (non-fused) pseudo-marginal chains: the portability
+        # baseline for the fused lockstep runner
+        from rodeo_tpu.inference import pseudo_marginal as pm
+        from rodeo_tpu.parallel import run_chains, make_run_chains
+        obs_idx, y_m, sigma_obs, cfg_m, th_m = get_mcmc_obs()
+
+        def logpost(theta, key):
+            xs = precond.solve_sim(
+                key=key, interrogate=interrogate_kramer, theta=theta,
+                method="eigh", **cfg_m)
+            resid = xs[obs_idx, :, 0] - y_m
+            ll = -0.5 * jnp.sum(resid * resid) / sigma_obs ** 2
+            return ll, xs[-1]
+
+        n_chains, n_samp = 32, 100
+        init = jnp.broadcast_to(th_m, (n_chains, 3))
+        tuned_scale, tuned_acc = None, None
+        for s_cand in (0.005, 0.01, 0.02, 0.04, 0.08):
+            alg = pm.normal_random_walk(
+                logpost, s_cand * jnp.ones(3, jnp.float32))
+            _, _, acc_p = run_chains(
+                alg, init, jax.random.PRNGKey(30), n_samples=25)
+            a = float(jnp.mean(acc_p))
+            if tuned_acc is None or abs(a - 0.3) < abs(tuned_acc - 0.3):
+                tuned_scale, tuned_acc = s_cand, a
+        details["mcmc_xla_tuned_scale"] = tuned_scale
+        alg = pm.normal_random_walk(
+            logpost, tuned_scale * jnp.ones(3, jnp.float32))
+        # build the jitted runner ONCE: each run_chains() call makes
+        # fresh jitted closures, so timing its second call would time a
+        # recompile, not the sampler
+        xla_runner = make_run_chains(alg, n_samples=n_samp)
+        positions, state, accept = xla_runner(
+            init, jax.random.PRNGKey(3))                 # warm-up
+        _sync(positions)
+        best = None
+        for r in range(3):
+            t0 = time.perf_counter()
+            out_r = xla_runner(init, jax.random.PRNGKey(4 + r))
+            _sync(out_r[0])
+            dt = time.perf_counter() - t0
+            if best is None or dt < best[0]:
+                best = (dt, out_r)
+        dt_run, (positions, state, accept) = best
+        details["mcmc_xla_chain_steps_per_sec"] = round(
+            n_chains * n_samp / dt_run, 2)
+        details["mcmc_xla_mean_accept"] = round(
+            float(jnp.mean(accept)), 3)
+        ess = _ess_total(np.asarray(positions[:, :, 0]))
+        details["mcmc_xla_ess_per_sec"] = round(ess / dt_run, 2)
+
+    def sec_solve_variants():
+        # single-solve latency family: fused Pallas filter+smoother,
+        # k-step composed smoother, stationary-gain path, and the
+        # vmapped-throughput XLA row
+        from rodeo_tpu.ops import pallas_kalman
+        with _row(details, "pallas_fused"):
+            pk = jax.jit(lambda ths: jax.lax.map(
+                lambda th: pallas_kalman.solve_mv_fused(
+                    key=None, interrogate=interrogate_kramer, theta=th,
+                    ode_flat=lorenz.lorenz_flat,
+                    jac_flat=lorenz.lorenz_jac_flat, **cfg)[0], ths))
+            t_pk, out_pk = _timeit(pk, (thetas_b,), per=B)
+            candidates["pallas_fused"] = (
+                t_pk, not bool(jnp.any(jnp.isnan(out_pk))))
+            audit_solve("pallas_fused", out_pk[0])
+        for k_comp, unroll in ((8, False), (16, True), (64, True)):
+            with _row(details, f"pallas_k{k_comp}"):
+                pkc = jax.jit(lambda ths, k=k_comp, u=unroll: jax.lax.map(
+                    lambda th: pallas_kalman.solve_mv_fused(
+                        key=None, interrogate=interrogate_kramer,
+                        theta=th, ode_flat=lorenz.lorenz_flat,
+                        jac_flat=lorenz.lorenz_jac_flat, k_compose=k,
+                        unroll=u, **cfg)[0], ths))
+                t_pkc, out_pkc = _timeit(pkc, (thetas_b,), per=B)
+                name = f"pallas_fused_k{k_comp}" + \
+                    ("_unroll" if unroll else "")
+                candidates[name] = (
+                    t_pkc, not bool(jnp.any(jnp.isnan(out_pkc))))
+                audit_solve(name, out_pkc[0])
+        for u_st in (True, False):
+            with _row(details, f"stationary_u{u_st}"):
+                pks = jax.jit(lambda ths, u=u_st: jax.lax.map(
+                    lambda th: pallas_kalman.solve_mv_fused_stationary(
+                        key=None, interrogate=interrogate_kramer,
+                        theta=th, ode_flat=lorenz.lorenz_flat,
+                        jac_flat=lorenz.lorenz_jac_flat, unroll=u,
+                        **cfg)[0], ths))
+                t_pks, out_pks = _timeit(pks, (thetas_b,), per=B)
+                name = "pallas_stationary" + ("_unroll" if u_st else "")
+                candidates[name] = (
+                    t_pks, not bool(jnp.any(jnp.isnan(out_pks))))
+                audit_solve(name, out_pks[0])
+        with _row(details, "vmap32"):
+            n_batch = 32
+            ths_v = jnp.broadcast_to(theta, (n_batch, 3)) + \
+                1e-4 * jnp.arange(n_batch, dtype=jnp.float32)[:, None]
+            vm = jax.jit(jax.vmap(lambda th: precond.solve_mv(
+                key=None, interrogate=interrogate_kramer, theta=th,
+                **cfg)[0]))
+            t_vm, out_vm = _timeit(vm, (ths_v,), n_rep=3)
+            details["vmapped_batch32_ms"] = round(t_vm * 1000, 3)
+            details["vmapped_per_solve_ms"] = round(
+                t_vm * 1000 / n_batch, 3)
+
+    def sec_fenrir_scaling():
+        # XLA fenrir batch scaling, sqrt form, parallel-in-time, and the
+        # XLA value+grad row (now gradient-audited)
+        from rodeo_tpu.ops.scan import scan_unroll, scan_remat
+        for nb_big, unroll in ((64, 1), (128, 1), (128, 8)):
+            with _row(details, f"fenrir_batch{nb_big}_unroll{unroll}"):
+                ths_big = jnp.broadcast_to(th_f, (nb_big, 3)) + \
+                    1e-4 * jnp.arange(nb_big, dtype=jnp.float32)[:, None]
+                with scan_unroll(unroll):
+                    ll_fn = jax.jit(jax.vmap(lambda th: precond.fenrir(
+                        key=None, interrogate=interrogate_kramer,
+                        theta=th, obs_data=yobs, obs_times=obs_times,
+                        obs_weight=D, obs_var=Om, **cfg_f)))
+                    t_ll, out_ll = _timeit(ll_fn, (ths_big,), n_rep=3)
+                tag = f"_unroll{unroll}" if unroll != 1 else ""
+                details[
+                    f"fenrir_loglik_batch{nb_big}{tag}_evals_per_sec"] \
+                    = round(nb_big / t_ll, 2)
+        with _row(details, "fenrir_sqrt_loglik"):
+            # square-root form on its fast path (masked-dense backward):
+            # factor the (1e15-dynamic-range) prior noise in f64 on
+            # host, then cast — a straight f32 cholesky of the raw R
+            # loses the small pivots
+            pw_s, pv_s = cfg_f["prior_pars"]
+            prior_sqrt = (pw_s, jnp.asarray(
+                np.linalg.cholesky(np.asarray(pv_s, np.float64)),
+                jnp.float32))
+            Om_sqrt = jnp.sqrt(Om)
+            cfg_sq = {**cfg_f, "prior_pars": prior_sqrt}
+            ll_fn = jax.jit(jax.vmap(lambda th: precond.fenrir(
+                key=None, interrogate=interrogate_kramer, theta=th,
+                obs_data=yobs, obs_times=obs_times, obs_weight=D,
+                obs_var=Om_sqrt, kalman_type="square-root", **cfg_sq)))
+            t_ll, out_ll = _timeit(ll_fn, (ths,), n_rep=3)
+            details["fenrir_sqrt_loglik_evals_per_sec"] = round(
+                nb / t_ll, 2)
+            details["fenrir_sqrt_loglik_finite"] = bool(
+                jnp.all(jnp.isfinite(out_ll)))
+            audit_ll("fenrir_sqrt_loglik", out_ll[0], "fenrir_ll")
+        with _row(details, "fenrir_ptime"):
+            # parallel-in-time backward pass under vmap
+            ll_fn = jax.jit(jax.vmap(lambda th: precond.fenrir(
+                key=None, interrogate=interrogate_kramer, theta=th,
+                obs_data=yobs, obs_times=obs_times, obs_weight=D,
+                obs_var=Om, temporal="parallel", **cfg_f)))
+            t_ll, out_ll = _timeit(ll_fn, (ths,), n_rep=3)
+            details["fenrir_ptime_loglik_evals_per_sec"] = round(
+                nb / t_ll, 2)
+            details["fenrir_ptime_finite"] = bool(
+                jnp.all(jnp.isfinite(out_ll)))
+        with _row(details, "fenrir_ptime_single"):
+            # SINGLE-eval crossover (where parallel-in-time earns its
+            # keep on one chip): with no lane batch filling the VPU, the
+            # associative scan's extra work rides otherwise-idle lanes
+            for tag, temporal in (("seq", "sequential"),
+                                  ("par", "parallel")):
+                one_fn = jax.jit(lambda t=temporal: precond.fenrir(
+                    key=None, interrogate=interrogate_kramer,
+                    theta=th_f, obs_data=yobs, obs_times=obs_times,
+                    obs_weight=D, obs_var=Om, temporal=t, **cfg_f))
+                t_one, out_one = _timeit(one_fn, (), n_rep=3)
+                details[f"fenrir_single_{tag}_ms"] = round(t_one * 1e3, 3)
+            details["fenrir_ptime_single_speedup"] = round(
+                details["fenrir_single_seq_ms"]
+                / details["fenrir_single_par_ms"], 3)
+        with _row(details, "fenrir_grad_xla"):
+            # XLA value+grad (the reference-architecture gradient path);
+            # scan_remat recomputes per-step intermediates backward
+            # instead of round-tripping them through HBM (+60%)
+            nbg = 64
+            ths_g = jnp.broadcast_to(th_f, (nbg, 3)) + \
+                1e-4 * jnp.arange(nbg, dtype=jnp.float32)[:, None]
+            # lane 0 unperturbed: +1e-4*0 — audit_grad applies
+            with scan_remat(), scan_unroll(8):
+                vg = jax.jit(jax.vmap(jax.value_and_grad(
+                    lambda th: precond.fenrir(
+                        key=None, interrogate=interrogate_kramer,
+                        theta=th, obs_data=yobs, obs_times=obs_times,
+                        obs_weight=D, obs_var=Om, **cfg_f))))
+                t_g, out_g = _timeit(vg, (ths_g,), n_rep=3)
+            details["fenrir_value_and_grad_evals_per_sec"] = round(
+                nbg / t_g, 2)
+            details["fenrir_grad_finite"] = bool(
+                jnp.all(jnp.isfinite(out_g[1])))
+            audit_grad("fenrir_xla_grad", out_g[1][0], "fenrir_grad")
+        with _row(details, "fenrir_fused_single"):
+            from rodeo_tpu.ops import pallas_fenrir
+            Bf = 8
+            thsf = jnp.broadcast_to(th_f, (Bf, 3))
+            ll_fn = jax.jit(lambda ts: jax.lax.map(
+                lambda th: pallas_fenrir.fenrir_fused(
+                    key=None, interrogate=interrogate_kramer, theta=th,
+                    obs_data=yobs, obs_times=obs_times, obs_weight=D,
+                    obs_var=Om, ode_flat=lorenz.lorenz_flat,
+                    jac_flat=lorenz.lorenz_jac_flat, **cfg_f), ts))
+            t_ll, out_ll = _timeit(ll_fn, (thsf,), n_rep=3, per=Bf)
+            details["fenrir_fused_evals_per_sec"] = round(1.0 / t_ll, 2)
+            details["fenrir_fused_finite"] = bool(
+                jnp.all(jnp.isfinite(out_ll)))
+        with _row(details, "fenrir_sqrt_fused_batch128"):
+            # square-root form on the fused entry (drop-in factor
+            # contract; the likelihood value is form-independent)
+            from rodeo_tpu.ops import pallas_fenrir
+            Bs = 128
+            pw_f, pv_f = cfg_f["prior_pars"]
+            prior_sq = (pw_f, jnp.linalg.cholesky(pv_f))
+            Om_sq = jnp.sqrt(Om)
+            ths_sq = jnp.broadcast_to(th_f, (Bs, 3)) * \
+                (1 + 1e-6 * jnp.arange(Bs, dtype=jnp.float32)[:, None])
+            inits_sq = jnp.broadcast_to(
+                cfg_f["ode_init"], (Bs,) + cfg_f["ode_init"].shape)
+            llsq_fn = jax.jit(
+                lambda ts, x0: pallas_fenrir.fenrir_fused_batch(
+                    thetas=ts, ode_weight=cfg_f["ode_weight"],
+                    ode_inits=x0, t_min=cfg_f["t_min"],
+                    t_max=cfg_f["t_max"], n_steps=cfg_f["n_steps"],
+                    prior_pars=prior_sq, obs_data=yobs,
+                    obs_times=obs_times, obs_weight=D, obs_var=Om_sq,
+                    ode_flat=lorenz.lorenz_flat,
+                    jac_flat=lorenz.lorenz_jac_flat,
+                    kalman_type="sqrt"))
+            t_sq, out_sq = _timeit(llsq_fn, (ths_sq, inits_sq),
+                                   n_rep=3, per=Bs)
+            details["fenrir_sqrt_fused_batch128_evals_per_sec"] = round(
+                1.0 / t_sq, 2)
+            details["fenrir_sqrt_fused_batch128_finite"] = bool(
+                jnp.all(jnp.isfinite(out_sq)))
+            audit_ll("fenrir_sqrt_fused_batch128", out_sq[0],
+                     "fenrir_ll")
+
+    def sec_chkrebtii_fitz():
+        # q=4 higher-order config (the reference's Chkrebtii benchmark)
         from rodeo_tpu.models import chkrebtii
         from rodeo_tpu.ops import pallas_kalman as pk_mod
-        cfg_c = chkrebtii.setup(n_steps=1024, dtype=jnp.float32)
-        cfg_c.pop("theta")
-        Bl = 128
-        inits_c = jnp.broadcast_to(
-            cfg_c["ode_init"], (Bl,) + cfg_c["ode_init"].shape)
-        fb_c = jax.jit(lambda ts: pk_mod.solve_mv_fused_batch(
-            thetas=ts, ode_weight=cfg_c["ode_weight"], ode_inits=inits_c,
-            t_min=cfg_c["t_min"], t_max=cfg_c["t_max"],
-            n_steps=cfg_c["n_steps"], prior_pars=cfg_c["prior_pars"],
-            ode_flat=chkrebtii.chkrebtii_flat,
-            jac_flat=chkrebtii.chkrebtii_jac_flat)[0])
-        ths_c = jnp.zeros((Bl, 1), jnp.float32)
-        t_c, out_c = _timeit(fb_c, (ths_c,), n_rep=3, per=Bl)
-        details["chkrebtii_q4_fused_batch128_ms_per_solve"] = round(
-            t_c * 1000, 4)
-        details["chkrebtii_q4_finite"] = not bool(jnp.any(jnp.isnan(out_c)))
-    except Exception as e:  # noqa: BLE001
-        details["chkrebtii_bench_error"] = repr(e)[:500]
+        with _row(details, "chkrebtii"):
+            cfg_c = chkrebtii.setup(n_steps=1024, dtype=jnp.float32)
+            cfg_c.pop("theta")
+            Bl = 128
+            inits_c = jnp.broadcast_to(
+                cfg_c["ode_init"], (Bl,) + cfg_c["ode_init"].shape)
+            fb_c = jax.jit(lambda ts: pk_mod.solve_mv_fused_batch(
+                thetas=ts, ode_weight=cfg_c["ode_weight"],
+                ode_inits=inits_c, t_min=cfg_c["t_min"],
+                t_max=cfg_c["t_max"], n_steps=cfg_c["n_steps"],
+                prior_pars=cfg_c["prior_pars"],
+                ode_flat=chkrebtii.chkrebtii_flat,
+                jac_flat=chkrebtii.chkrebtii_jac_flat)[0])
+            ths_c = jnp.zeros((Bl, 1), jnp.float32)
+            t_c, out_c = _timeit(fb_c, (ths_c,), n_rep=3, per=Bl)
+            details["chkrebtii_q4_fused_batch128_ms_per_solve"] = round(
+                t_c * 1000, 4)
+            details["chkrebtii_q4_finite"] = not bool(
+                jnp.any(jnp.isnan(out_c)))
+        # non-chaotic accuracy control: FitzHugh full-horizon f32 fused
+        # solve vs the f64 truth (pointwise comparison IS meaningful)
+        with _row(details, "fitz_accuracy"):
+            if truth is not None:
+                from rodeo_tpu.models import fitzhugh
+                cfg_fh = fitzhugh.setup(n_steps=800, t_max=10.0,
+                                        dtype=jnp.float32)
+                th_fh = cfg_fh.pop("theta")
+                mu_fh, _ = jax.jit(lambda th: pk_mod.solve_mv_fused(
+                    key=None, interrogate=interrogate_kramer, theta=th,
+                    ode_flat=fitzhugh.fitzhugh_flat,
+                    jac_flat=fitzhugh.fitzhugh_jac_flat,
+                    **cfg_fh))(th_fh)
+                err_fh = float(np.max(np.abs(
+                    np.asarray(mu_fh[:, :, 0])
+                    - np.asarray(truth["solve_mu_fitz"][:, :, 0]))))
+                details["fitz_fused_max_abs_err"] = round(err_fh, 9)
+                if "solve_mu_fitz_f32cpu" in truth:
+                    err_fh_cpu = float(np.max(np.abs(
+                        np.asarray(truth["solve_mu_fitz_f32cpu"][:, :, 0])
+                        - np.asarray(truth["solve_mu_fitz"][:, :, 0]))))
+                    details["fitz_f32cpu_control_max_abs_err"] = round(
+                        err_fh_cpu, 9)
+                    tol_fh = max(3.0 * err_fh_cpu, 1e-3)
+                else:
+                    tol_fh = 1e-2
+                details["fitz_fused_accuracy_pass"] = bool(
+                    err_fh <= tol_fh)
 
-    # large-state regime: d=128 method-of-lines heat equation, one dense
-    # 384-dim block — each filter step is MXU-sized matmuls plus a
-    # 128-dim innovation solve (Cholesky via ops/linalg.solve_psd under
-    # fast_linalg).  Accuracy is audited against the discretized system's
-    # closed form (the initial profile is an exact Laplacian eigenvector,
-    # models/heat.py), so no CPU truth entry is needed.
-    from rodeo_tpu.models import heat
-    cfg_h = heat.setup(d=128, n_deriv=3, n_steps=1000, dtype=jnp.float32)
-    exact_h = cfg_h.pop("exact")
-    p_h = cfg_h.pop("n_deriv")
-    with _row(details, "large_state"):
-        ls = jax.jit(lambda: precond.solve_mv(
-            key=None, interrogate=interrogate_kramer, n_deriv=p_h,
-            **cfg_h))
-        t_ls, out_ls = _timeit(ls, (), n_rep=2)
-        err_ls = float(jnp.max(jnp.abs(
-            out_ls[0][-1, 0, ::p_h]
-            - jnp.asarray(exact_h(cfg_h["t_max"]), jnp.float32))))
-        details["large_state_d128_solve_ms"] = round(t_ls * 1000, 3)
-        details["large_state_d128_max_abs_err"] = round(err_ls, 9)
-        details["large_state_d128_accuracy_pass"] = bool(err_ls <= 1e-4)
-
-    # stationary-gain variant (ops/stationary.py): the heat RHS is affine
-    # with time-constant coefficients, so gains freeze after an exact
-    # Riccati warm-up and the 1000-step covariance work drops to 2*n_warm
-    # steps + matvec-only mean scans
-    with _row(details, "large_state_stationary"):
+    def sec_large_state_d1024():
+        # d=1024 (state dim 3072) with marginal covariances.  Config
+        # arrays passed as jit ARGUMENTS: closed over, XLA inlines them
+        # as dense MLIR literals (184 MB) and the AOT compile helper
+        # dies; as arguments the program is 8 MB and compiles in ~60 s.
+        # n_warm=16: the f32 freeze residual is n_warm-independent from
+        # 16 up on this model, and 32 flakily kills the AOT helper.
+        from rodeo_tpu.models import heat
         from rodeo_tpu.ops.stationary import solve_mv_stationary
-        lss = jax.jit(lambda: solve_mv_stationary(
-            key=None, interrogate=interrogate_kramer, n_deriv=p_h,
-            n_warm=32, **cfg_h))
-        t_lss, out_lss = _timeit(lss, (), n_rep=2)
-        err_lss = float(jnp.max(jnp.abs(
-            out_lss[0][-1, 0, ::p_h]
-            - jnp.asarray(exact_h(cfg_h["t_max"]), jnp.float32))))
-        details["large_state_stationary_solve_ms"] = round(t_lss * 1000, 3)
-        details["large_state_stationary_max_abs_err"] = round(err_lss, 9)
-        details["large_state_stationary_accuracy_pass"] = bool(
-            err_lss <= 1e-4)
-
-    # very-large-state point: d=512 (state dim 1536) with marginal-only
-    # covariance output (the full grid would be 9.4 GB).  CPU comparator
-    # measured once (5-step slice, idle 1-core host, 2026-08-19):
-    # 2130.8 ms/step -> ~2131 s/solve est.; recorded as a cached constant
-    # because a per-run measurement would add ~30 s of CPU to every bench
-    with _row(details, "large_state_d512"):
-        from rodeo_tpu.ops.stationary import (
-            solve_mv_stationary as _st512)
-        cfg_h5 = heat.setup(d=512, n_deriv=3, n_steps=1000,
-                            dtype=jnp.float32)
-        exact_h5 = cfg_h5.pop("exact")
-        p_h5 = cfg_h5.pop("n_deriv")
-        ls5 = jax.jit(lambda: _st512(
-            key=None, interrogate=interrogate_kramer, n_deriv=p_h5,
-            n_warm=32, var_out="diag", **cfg_h5))
-        t_l5, out_l5 = _timeit(ls5, (), n_rep=2)
-        err_l5 = float(jnp.max(jnp.abs(
-            out_l5[0][-1, 0, ::p_h5]
-            - jnp.asarray(exact_h5(cfg_h5["t_max"]), jnp.float32))))
-        details["large_state_d512_stationary_ms"] = round(t_l5 * 1000, 3)
-        details["large_state_d512_max_abs_err"] = round(err_l5, 9)
-        details["large_state_d512_accuracy_pass"] = bool(err_l5 <= 1e-4)
-        details["large_state_d512_cpu_ms_per_step_cached"] = 2130.8
-        details["large_state_d512_vs_cpu_cached"] = round(
-            2130.8 * 1000 / (t_l5 * 1000), 1)
-
-    # d=1024 (state dim 3072) with marginal covariances.  The r03
-    # "compile wall" was a program-SIZE wall: with the config arrays
-    # closed over, XLA inlines them as dense MLIR literals (184 MB at
-    # d=1024 — two 3072^2 prior matrices plus the weight) and the AOT
-    # compile helper dies; passed as jit ARGUMENTS the program is 8 MB
-    # (one Laplacian literal) and compiles in ~60 s.
-    with _row(details, "large_state_d1024"):
-        from rodeo_tpu.ops.stationary import (
-            solve_mv_stationary as _st1024)
         cfg10 = heat.setup(d=1024, n_deriv=3, n_steps=1000,
                            dtype=jnp.float32)
         exact10 = cfg10.pop("exact")
         p10 = cfg10.pop("n_deriv")
         big10 = tuple(cfg10.pop(k)
                       for k in ("ode_init", "prior_pars", "ode_weight"))
-        # n_warm=16: the f32 freeze residual is n_warm-independent from
-        # 16 up on this model (f32 floor), and the warm-prefix buffers
-        # (seven (n_warm, 1, 3072, 3072) arrays) plus the compile
-        # helper's appetite scale with n_warm — 32 flakily kills the
-        # AOT helper, 16 compiles reliably (~330 s cold, cached after)
-        ls10 = jax.jit(lambda ode_init, prior_pars, ode_weight: _st1024(
-            key=None, interrogate=interrogate_kramer, n_deriv=p10,
-            n_warm=16, var_out="diag", validate=False,
-            ode_init=ode_init, prior_pars=prior_pars,
-            ode_weight=ode_weight, **cfg10))
+        ls10 = jax.jit(
+            lambda ode_init, prior_pars, ode_weight: solve_mv_stationary(
+                key=None, interrogate=interrogate_kramer, n_deriv=p10,
+                n_warm=16, var_out="diag", validate=False,
+                ode_init=ode_init, prior_pars=prior_pars,
+                ode_weight=ode_weight, **cfg10))
         t_l10, out_l10 = _timeit(ls10, big10, n_rep=2)
         err_l10 = float(jnp.max(jnp.abs(
             out_l10[0][-1, 0, ::p10]
@@ -1434,167 +1785,11 @@ def main():
         details["large_state_d1024_stationary_diag_ms"] = round(
             t_l10 * 1000, 3)
         details["large_state_d1024_max_abs_err"] = round(err_l10, 9)
-        details["large_state_d1024_accuracy_pass"] = bool(err_l10 <= 1e-4)
+        details["large_state_d1024_accuracy_pass"] = bool(
+            err_l10 <= 1e-4)
 
-    # parameter inference in the large-state regime: the stationary-gain
-    # fenrir likelihood + gradient w.r.t. the diffusivity on the d=128
-    # heat model with 20 noisy full-state observations
-    # (models/heat.py:fenrir_setup — deterministic fixture).  Reference
-    # values: CPU f64 exact-mode run (n_warm = n_steps, matches
-    # precond.fenrir to 4e-16), cached constants computed 2026-08-19.
-    # "nw32" = frozen-gain fast path (heat + diffuse prior is the
-    # SLOW-Riccati config, so its value sits ~1e-4 relative off and its
-    # gradient is approximate — the MCMC dial); "exact" = full-prefix
-    # mode (machine-exact, the gradient-inference dial).
-    with _row(details, "large_state_fenrir"):
-        from rodeo_tpu.ops.stationary import fenrir_stationary
-        kw_lf, kappa0 = heat.fenrir_setup(
-            d=128, n_deriv=3, n_steps=1000, n_obs=20, dtype=jnp.float32)
-        # CPU f64 exact-mode (n_warm=n_steps) value+grad via jax.jvp,
-        # 720 s single-core run, 2026-08-19; deterministic fixture
-        # (heat.fenrir_setup seed=0) so the constants stay valid until
-        # the fixture or the likelihood formulation changes
-        _LF_REF_LL = 8164.0849596394
-        _LF_REF_G = 39105.2491452824
-        for tag, nw in (("nw32", 32), ("exact", 1000)):
-            ll = jax.jit(lambda k, nw=nw: fenrir_stationary(
-                n_deriv=3, n_warm=nw, kappa=k, validate=False, **kw_lf))
-            vg = jax.jit(jax.value_and_grad(
-                lambda k, nw=nw: fenrir_stationary(
-                    n_deriv=3, n_warm=nw, kappa=k, validate=False,
-                    **kw_lf)))
-            t_ll, v_ll = _timeit(ll, (kappa0,), n_rep=3)
-            t_vg, out_vg = _timeit(vg, (kappa0,), n_rep=3)
-            g_v = float(out_vg[1])
-            details[f"large_state_fenrir_{tag}_ll_ms"] = round(
-                t_ll * 1000, 3)
-            details[f"large_state_fenrir_{tag}_value_grad_ms"] = round(
-                t_vg * 1000, 3)
-            details[f"large_state_fenrir_{tag}_ll"] = round(
-                float(v_ll), 4)
-            if _LF_REF_LL is not None:
-                details[f"large_state_fenrir_{tag}_ll_ref_f64"] = \
-                    _LF_REF_LL
-                details[f"large_state_fenrir_{tag}_ll_rel_err"] = round(
-                    abs(float(v_ll) - _LF_REF_LL) / abs(_LF_REF_LL), 9)
-                details[f"large_state_fenrir_{tag}_grad_rel_err"] = round(
-                    abs(g_v - _LF_REF_G) / abs(_LF_REF_G), 9)
-
-    # the DALTON counterpart on the same fixture (two-transient frozen
-    # joint pass + frozen marginal; interrogation hoisted in both).
-    # CPU f64 exact-mode reference (724 s run, 2026-08-20): equals the
-    # fenrir value to 1e-9 — on an affine ODE with deterministic
-    # interrogation both compute the SAME exact Gaussian conditional
-    # log p(Y | Z), an independent cross-check of both formulations.
-    with _row(details, "large_state_dalton"):
-        from rodeo_tpu.ops.stationary import dalton_stationary
-        _LD_REF_LL = 8164.0849596344
-        _LD_REF_G = 39105.2491453667
-        kw_ld, kappa0d = heat.fenrir_setup(
-            d=128, n_deriv=3, n_steps=1000, n_obs=20, dtype=jnp.float32)
-        lld = jax.jit(lambda k: dalton_stationary(
-            n_deriv=3, n_warm=32, kappa=k, validate=False, **kw_ld))
-        t_ld, v_ld = _timeit(lld, (kappa0d,), n_rep=3)
-        vgd = jax.jit(jax.value_and_grad(lambda k: dalton_stationary(
-            n_deriv=3, n_warm=32, kappa=k, validate=False, **kw_ld)))
-        t_vgd, out_vgd = _timeit(vgd, (kappa0d,), n_rep=3)
-        details["large_state_dalton_nw32_ll_ms"] = round(t_ld * 1000, 3)
-        details["large_state_dalton_nw32_value_grad_ms"] = round(
-            t_vgd * 1000, 3)
-        details["large_state_dalton_nw32_ll"] = round(float(v_ld), 4)
-        details["large_state_dalton_ll_ref_f64"] = _LD_REF_LL
-        details["large_state_dalton_ll_rel_err"] = round(
-            abs(float(v_ld) - _LD_REF_LL) / abs(_LD_REF_LL), 9)
-        details["large_state_dalton_grad_rel_err"] = round(
-            abs(float(out_vgd[1]) - _LD_REF_G) / abs(_LD_REF_G), 9)
-
-    # non-Gaussian DALTON completes the five-method inference matrix at
-    # d=128: the same fixture driven through the preconditioned dense
-    # daltonng (exact filters; per-observation Laplace linearization of
-    # a user log-likelihood).  The fixture's observations ARE Gaussian,
-    # so the Laplace step is exact and Chib's identity makes daltonng
-    # equal the same exact log p(Y|Z) as fenrir/dalton — the f64
-    # reference above is reused, making this row a three-way
-    # formulation cross-check (identity pinned in f64 by
-    # tests/test_daltonng_large_state.py).
-    with _row(details, "large_state_daltonng"):
-        import numpy as _np_ng
-        kw_ng, kappa0n = heat.fenrir_setup(
-            d=128, n_deriv=3, n_steps=1000, n_obs=20, dtype=jnp.float32)
-        y_ng = kw_ng.pop("obs_data")
-        kw_ng.pop("obs_weight")
-        kw_ng.pop("obs_var")
-        _sd_ng, _p_ng = 0.01, 3
-        _c_ng = 128 * (_np_ng.log(_sd_ng) + 0.5 * _np_ng.log(2 * _np_ng.pi))
-
-        def obs_ll_ng(y_i, x_i, i, **params):
-            u = x_i[0, ::_p_ng]
-            return jnp.sum(-0.5 * ((y_i[0] - u) / _sd_ng) ** 2) - _c_ng
-
-        llng = jax.jit(lambda k: precond.daltonng(
-            obs_data=y_ng, obs_loglik_i=obs_ll_ng, n_deriv=3,
-            kappa=k, **kw_ng))
-        t_ng, v_ng = _timeit(llng, (kappa0n,), n_rep=2)
-        details["large_state_daltonng_ll_ms"] = round(t_ng * 1000, 3)
-        details["large_state_daltonng_ll"] = round(float(v_ng), 4)
-        details["large_state_daltonng_ll_ref_f64"] = _LD_REF_LL
-        details["large_state_daltonng_ll_rel_err"] = round(
-            abs(float(v_ng) - _LD_REF_LL) / abs(_LD_REF_LL), 9)
-        vgng = jax.jit(jax.value_and_grad(lambda k: precond.daltonng(
-            obs_data=y_ng, obs_loglik_i=obs_ll_ng, n_deriv=3,
-            kappa=k, **kw_ng)))
-        t_vgn, out_vgn = _timeit(vgng, (kappa0n,), n_rep=2)
-        details["large_state_daltonng_value_grad_ms"] = round(
-            t_vgn * 1000, 3)
-        details["large_state_daltonng_grad_rel_err"] = round(
-            abs(float(out_vgn[1]) - _LD_REF_G) / abs(_LD_REF_G), 9)
-
-    # MAGI completes the large-state inference trio.  No dense/stationary
-    # machinery needed: the MAGI measurement model is per-block identity,
-    # so the filter stays block-diagonal at ANY d and the cross-variable
-    # coupling rides one path-wide MXU matmul inside ode_expand
-    # (models/heat.py:magi_setup).  The fixture is the f32-VALID coarse
-    # grid (N=25, sigma=0.02): with exact pseudo-observations the level
-    # innovation sd is sigma*dt^{p-1/2}, which must exceed the f32 path
-    # rounding (~6e-8) or the kappa signal drowns — measured in
-    # docs/benchmarks.md.  kappa evaluated 5% off truth so the gradient
-    # reference (f64 CPU, re-derived by tests/test_magi_large_state.py)
-    # is informative; at truth it vanishes (the path is the exact mode).
-    with _row(details, "large_state_magi"):
-        for d_m, ref_ll_m, ref_g_m in (
-                (128, 70321.99094505646, -16376.134603504284),
-                (1024, 562576.148847129, -130145.82732490015)):
-            u_m, oe_m, pp_m, dt_m = heat.magi_setup(
-                d=d_m, dtype=jnp.float32)
-            llm = jax.jit(lambda k, u_m=u_m, oe_m=oe_m, pp_m=pp_m,
-                          dt_m=dt_m: precond.magi_logdens(
-                              ode_data_subset=u_m, ode_expand=oe_m,
-                              n_active=2, prior_pars=pp_m, dt=dt_m,
-                              kappa=k))
-            vgm = jax.jit(jax.value_and_grad(
-                lambda k, u_m=u_m, oe_m=oe_m, pp_m=pp_m, dt_m=dt_m:
-                precond.magi_logdens(
-                    ode_data_subset=u_m, ode_expand=oe_m, n_active=2,
-                    prior_pars=pp_m, dt=dt_m, kappa=k)))
-            k_m = jnp.float32(0.0105)
-            t_lm, v_lm = _timeit(llm, (k_m,), n_rep=3)
-            t_vgm, out_vgm = _timeit(vgm, (k_m,), n_rep=3)
-            tag_m = f"d{d_m}"
-            details[f"large_state_magi_{tag_m}_ll_ms"] = round(
-                t_lm * 1000, 3)
-            details[f"large_state_magi_{tag_m}_value_grad_ms"] = round(
-                t_vgm * 1000, 3)
-            details[f"large_state_magi_{tag_m}_ll"] = round(
-                float(v_lm), 4)
-            details[f"large_state_magi_{tag_m}_ll_ref_f64"] = ref_ll_m
-            details[f"large_state_magi_{tag_m}_ll_rel_err"] = round(
-                abs(float(v_lm) - ref_ll_m) / abs(ref_ll_m), 9)
-            details[f"large_state_magi_{tag_m}_grad_rel_err"] = round(
-                abs(float(out_vgm[1]) - ref_g_m) / abs(ref_g_m), 9)
-
-    with _row(details, "large_state_cpu"):
-        src_h = _LARGE_CPU_SRC % {
-            "repo": os.path.dirname(os.path.abspath(__file__))}
+    def sec_large_state_cpu():
+        src_h = _LARGE_CPU_SRC % {"repo": _REPO}
         out_h = subprocess.run([sys.executable, "-c", src_h],
                                capture_output=True, text=True,
                                timeout=2400)
@@ -1617,44 +1812,33 @@ def main():
                 per_step * 1e6
                 / details["large_state_stationary_solve_ms"], 1)
 
-    # non-chaotic accuracy control: FitzHugh-Nagumo full-horizon f32
-    # fused solve vs the f64 truth (pointwise comparison IS meaningful
-    # here; the Lorenz rows are prefix-audited instead)
-    try:
-        if truth is not None:
-            from rodeo_tpu.models import fitzhugh
-            from rodeo_tpu.ops import pallas_kalman as pk_mod
-            import numpy as np
-            cfg_fh = fitzhugh.setup(n_steps=800, t_max=10.0,
-                                    dtype=jnp.float32)
-            th_fh = cfg_fh.pop("theta")
-            mu_fh, _ = jax.jit(lambda th: pk_mod.solve_mv_fused(
-                key=None, interrogate=interrogate_kramer, theta=th,
-                ode_flat=fitzhugh.fitzhugh_flat,
-                jac_flat=fitzhugh.fitzhugh_jac_flat, **cfg_fh))(th_fh)
-            err_fh = float(np.max(np.abs(
-                np.asarray(mu_fh[:, :, 0])
-                - np.asarray(truth["solve_mu_fitz"][:, :, 0]))))
-            details["fitz_fused_max_abs_err"] = round(err_fh, 9)
-            if "solve_mu_fitz_f32cpu" in truth:
-                err_fh_cpu = float(np.max(np.abs(
-                    np.asarray(truth["solve_mu_fitz_f32cpu"][:, :, 0])
-                    - np.asarray(truth["solve_mu_fitz"][:, :, 0]))))
-                details["fitz_f32cpu_control_max_abs_err"] = round(
-                    err_fh_cpu, 9)
-                tol_fh = max(3.0 * err_fh_cpu, 1e-3)
-            else:
-                tol_fh = 1e-2
-            details["fitz_fused_accuracy_pass"] = bool(err_fh <= tol_fh)
-    except Exception as e:  # noqa: BLE001
-        details["fitz_accuracy_error"] = repr(e)[:500]
+    # ---- section dispatch, judge-priority order ----
+    run_section("lane_batches", 150, sec_lane_batches)
+    run_section("loglik_xla", 140, sec_loglik_xla)
+    run_section("fused_loglik", 220, sec_fused_loglik)
+    run_section("grad_fused", 180, sec_grad_fused)
+    run_section("daltonng", 160, sec_daltonng)
+    run_section("daltonng_fused", 260, sec_daltonng_fused)
+    run_section("basic", 220, sec_basic)
+    run_section("magi", 260, sec_magi)
+    run_section("large_state", 220, sec_large_state)
+    run_section("large_state_inference", 320, sec_large_state_inference)
+    run_section("large_state_magi", 160, sec_large_state_magi)
+    run_section("mcmc_fused", 240, sec_mcmc_fused)
+    run_section("mala", 200, sec_mala)
+    run_section("hmc", 220, sec_hmc)
+    run_section("nuts", 260, sec_nuts)
+    run_section("mcmc_xla", 220, sec_mcmc_xla)
+    run_section("solve_variants", 320, sec_solve_variants)
+    run_section("fenrir_scaling", 400, sec_fenrir_scaling)
+    run_section("chkrebtii_fitz", 150, sec_chkrebtii_fitz)
+    run_section("large_state_d1024", 500, sec_large_state_d1024)
+    run_section("large_state_cpu", 180, sec_large_state_cpu)
 
     # roofline accounting for the lane-batched fused solve: static FLOP
     # count of the filter+smoother column program (q=3, EK1) vs the v5e
-    # VPU f32 peak (8x128 ALUs x 2 FLOP/FMA x ~0.94 GHz ~ 1.9 TFLOP/s).
-    # The math is elementwise on (n_block, n_lane) tiles - VPU-bound, the
-    # MXU is idle by design at q=3.
-    try:
+    # VPU f32 peak.  Cheap (pure arithmetic) — always runs.
+    with _row(details, "roofline"):
         lane_keys = [k for k in candidates
                      if k.startswith("pallas_fused_lane_batch")]
         if lane_keys:
@@ -1675,31 +1859,40 @@ def main():
                 "ceiling of unfolded (3, n_lane) tiles); the residual "
                 "gap is the smoother's per-step dependent chain + "
                 "per-grid-step overhead (design.md fold section)")
-    except Exception as e:  # noqa: BLE001
-        details["roofline_error"] = repr(e)[:500]
 
-    valid = {k: t for k, (t, ok) in candidates.items() if ok}
     details["candidates_ms"] = {
         k: round(t * 1000, 3) for k, (t, ok) in candidates.items()}
-    best_name = min(valid, key=valid.get)
-    t_ours = valid[best_name]
-    details["best"] = best_name
+    details["total_runtime_s"] = round(time.monotonic() - t_start, 1)
+    flush_details()
 
-    t_ref_seq, t_ref_vm = cpu_reference_seconds()
-    t_ref = min(t_ref_seq, t_ref_vm)
-    details["cpu_reference_ms"] = round(t_ref_seq * 1000, 3)
-    details["cpu_reference_vmapped_ms"] = round(t_ref_vm * 1000, 3)
 
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAILS.json"), "w") as f:
-        json.dump(details, f, indent=2)
+# ---- cached f64 CPU references for the large-state inference rows ----
+# fenrir/dalton: exact-mode (n_warm = n_steps) value+grad on the d=128
+# heat fixture, f64 CPU, 720 s / 724 s single-core runs (2026-08-19/20);
+# deterministic fixture (heat.fenrir_setup seed=0) so the constants stay
+# valid until the fixture or the likelihood formulation changes.  On
+# this affine ODE with deterministic interrogation fenrir and dalton
+# compute the SAME exact Gaussian log p(Y | Z) — the 1e-9 agreement is
+# an independent cross-check of both formulations.
+_LF_REF_LL = 8164.0849596394
+_LF_REF_G = 39105.2491452824
+_LD_REF_LL = 8164.0849596344
+_LD_REF_G = 39105.2491453667
 
-    print(json.dumps({
-        "metric": "lorenz63_10k_solve_per_solve_wallclock",
-        "value": round(t_ours * 1000, 3),
-        "unit": "ms",
-        "vs_baseline": round(t_ref / t_ours, 3),
-    }))
+# f32-on-CPU CONTROLS for the same rows (VERDICT r4 #3): the identical
+# f32 pipelines on reference-grade hardware, measured by
+# tools/large_state_controls.py (values pending this session's run;
+# None = control not yet measured, rows then record rel_err only).
+_LS_F32CPU_CONTROLS = {
+    "fenrir_nw32_ll_rel": None,
+    "fenrir_nw32_grad_rel": None,
+    "fenrir_exact_ll_rel": None,
+    "fenrir_exact_grad_rel": None,
+    "dalton_nw32_ll_rel": None,
+    "dalton_nw32_grad_rel": None,
+    "daltonng_ll_rel": None,
+    "daltonng_grad_rel": None,
+}
 
 
 if __name__ == "__main__":

@@ -607,7 +607,8 @@ def daltonng_fused_batch(thetas, ode_weight, ode_inits,
                          prior_pars,
                          obs_data, obs_times, obs_comp_flat, obs_dims,
                          ode_flat, jac_flat=None, chunk=None,
-                         interpret="auto", kalman_type="standard"):
+                         interpret="auto", kalman_type="standard",
+                         _return_parts=False):
     r"""
     Lane-batched fused non-Gaussian DALTON log-likelihood
     ``logy_x + logx_z - logx_yhat`` — ``n_lane`` evaluations per pipeline.
@@ -648,14 +649,15 @@ def daltonng_fused_batch(thetas, ode_weight, ode_inits,
         return _daltonng_fused_batch_impl(
             thetas, ode_weight, ode_inits, t_min, t_max, n_steps,
             prior_pars, obs_data, obs_times, obs_comp_flat, obs_dims,
-            ode_flat, jac_flat, chunk, interpret)
+            ode_flat, jac_flat, chunk, interpret,
+            _return_parts=_return_parts)
 
 
 def _daltonng_fused_batch_impl(thetas, ode_weight, ode_inits,
                                t_min, t_max, n_steps, prior_pars,
                                obs_data, obs_times, obs_comp_flat,
                                obs_dims, ode_flat, jac_flat, chunk,
-                               interpret):
+                               interpret, _return_parts=False):
     # highest-precision matmuls: the associative mean scan and logpdf
     # einsums run on Taylor-scaled quantities of magnitude ~1e6, where
     # the TPU default bfloat16 matmul passes inject ~8e-3 relative noise
@@ -769,6 +771,12 @@ def _daltonng_fused_batch_impl(thetas, ode_weight, ode_inits,
     logx_z = logx_zN + jnp.sum(_logpdf_packed(
         mean_path[1:n_steps], mean_sim, Cz, q), axis=(0, 1))
 
+    if _return_parts:
+        # diagnostic hook: the three assembly components (+ the smoothed
+        # mean path) so accuracy work can localize a bias per-term
+        return logy_x + logx_z - logx_yhat, {
+            "logy_x": logy_x, "logx_z": logx_z, "logx_yhat": logx_yhat,
+            "mean_path": mean_path}
     return logy_x + logx_z - logx_yhat
 
 
