@@ -1880,18 +1880,23 @@ _LD_REF_LL = 8164.0849596344
 _LD_REF_G = 39105.2491453667
 
 # f32-on-CPU CONTROLS for the same rows (VERDICT r4 #3): the identical
-# f32 pipelines on reference-grade hardware, measured by
-# tools/large_state_controls.py (values pending this session's run;
-# None = control not yet measured, rows then record rel_err only).
+# f32 pipelines on reference-grade hardware, measured 2026-08-20 by
+# tools/large_state_controls.py on this (idle 1-core) host — rel errors
+# vs the f64 exact-mode references above.  Notables: the fenrir exact
+# grad control is 2.0e-3 (so round-4's TPU 7.0e-3 is a real ~3.6x gap,
+# not the f32 floor), while nw32's 6.6e-3 control shows the TPU 2.6e-3
+# was ALREADY at/below floor; daltonng's dense-path f32 controls are
+# loose (1.1e-3 / 1.0e-2) — the fixture's Laplace pipeline is the
+# limiting factor on any f32 hardware.
 _LS_F32CPU_CONTROLS = {
-    "fenrir_nw32_ll_rel": None,
-    "fenrir_nw32_grad_rel": None,
-    "fenrir_exact_ll_rel": None,
-    "fenrir_exact_grad_rel": None,
-    "dalton_nw32_ll_rel": None,
-    "dalton_nw32_grad_rel": None,
-    "daltonng_ll_rel": None,
-    "daltonng_grad_rel": None,
+    "fenrir_nw32_ll_rel": 7.655640333110961e-06,
+    "fenrir_nw32_grad_rel": 0.006604150681227895,
+    "fenrir_exact_ll_rel": 5.98243480329447e-07,
+    "fenrir_exact_grad_rel": 0.001962130806208145,
+    "dalton_nw32_ll_rel": 1.1977589709002231e-07,
+    "dalton_nw32_grad_rel": 0.00019336650315947566,
+    "daltonng_ll_rel": 0.0011281067853814734,
+    "daltonng_grad_rel": 0.010212801452783563,
 }
 
 

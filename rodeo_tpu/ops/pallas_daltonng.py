@@ -519,8 +519,62 @@ def _masked_eigh(C, q):
     else:
         w, v = jnp.linalg.eigh(dense)
     tol = 100.0 * jnp.asarray(jnp.finfo(dense.dtype).eps, dense.dtype)
-    keep = w > tol * jnp.maximum(
-        jnp.max(jnp.abs(w), axis=-1, keepdims=True), 1e-30)
+    wmax = jnp.maximum(jnp.max(jnp.abs(w), axis=-1, keepdims=True),
+                       1e-30)
+    keep = w > tol * wmax
+    if q == 3:
+        # Determinant-based refinement of the SMALLEST eigenvalue — the
+        # 3x3 generalization of the 2x2 branch in
+        # ``utils._mvn_logpdf_pieces``.  Any eigenvalue algorithm (the
+        # closed-form cubic above, lapack eigh alike) returns the small
+        # eigenvalue of a widely-split spectrum with ~eps*||C|| ABSOLUTE
+        # error, so a structurally-null direction (EK1's zero
+        # measurement noise makes every backward smoothing kernel
+        # exactly rank-deficient; f32 stores it as zero + rounding) can
+        # come back just above the relative screen: on the Lorenz-4k
+        # bench config 57 of ~12k borderline directions flipped live,
+        # each dumping ~log(tol) ~= -11.5 into the logdet sum — the
+        # entire 3.8e-3 fused-daltonng bias of the round-4 audit
+        # (VERDICT r4 #2).  lam_min = det/(lam_mid*lam_hi) recovers the
+        # small eigenvalue to the relative accuracy of det itself, and
+        # ``det > tol * (sum of |cofactor-expansion terms|)`` is a
+        # direct significance test of that computation: the direction is
+        # LIVE iff the determinant is resolvable above its own rounding
+        # noise.  Applied only where the mid eigenvalue is itself live
+        # (rank >= 2); rank-<=1 matrices keep the generic screen.
+        d = dense
+        t0 = d[..., 0, 0] * (d[..., 1, 1] * d[..., 2, 2]
+                             - d[..., 1, 2] * d[..., 2, 1])
+        t1 = d[..., 0, 1] * (d[..., 1, 0] * d[..., 2, 2]
+                             - d[..., 1, 2] * d[..., 2, 0])
+        t2 = d[..., 0, 2] * (d[..., 1, 0] * d[..., 2, 1]
+                             - d[..., 1, 1] * d[..., 2, 0])
+        det = t0 - t1 + t2
+        noise = (jnp.abs(d[..., 0, 0] * d[..., 1, 1] * d[..., 2, 2])
+                 + jnp.abs(d[..., 0, 0] * d[..., 1, 2] * d[..., 2, 1])
+                 + jnp.abs(d[..., 0, 1] * d[..., 1, 0] * d[..., 2, 2])
+                 + jnp.abs(d[..., 0, 1] * d[..., 1, 2] * d[..., 2, 0])
+                 + jnp.abs(d[..., 0, 2] * d[..., 1, 0] * d[..., 2, 1])
+                 + jnp.abs(d[..., 0, 2] * d[..., 1, 1] * d[..., 2, 0]))
+        lam_mid, lam_hi = w[..., 1], w[..., 2]
+        prod = lam_mid * lam_hi
+        rank2 = lam_mid > tol * wmax[..., 0]
+        lam_min_ref = det / jnp.where(prod != 0, prod, 1.0)
+        lam_min = jnp.where(rank2, lam_min_ref, w[..., 0])
+        # live iff BOTH (a) det resolves above its own rounding noise
+        # and (b) the refined eigenvalue clears the relative screen the
+        # f64 computation applies — (a) alone still kept ~40 structural
+        # nulls whose det is filter-noise (resolvable, but noise), (b)
+        # alone trusts a possibly-inflated ratio; the conjunction
+        # empirically reproduces the f64 keep pattern (exactly one
+        # structural null dropped per step/block) on the bench config
+        keep_min = jnp.where(
+            rank2,
+            (det > tol * noise) & (lam_min_ref > tol * wmax[..., 0]),
+            keep[..., 0])
+        w = jnp.concatenate([lam_min[..., None], w[..., 1:]], axis=-1)
+        keep = jnp.concatenate([keep_min[..., None], keep[..., 1:]],
+                               axis=-1)
     return w, v, keep
 
 
@@ -773,10 +827,12 @@ def _daltonng_fused_batch_impl(thetas, ode_weight, ode_inits,
 
     if _return_parts:
         # diagnostic hook: the three assembly components (+ the smoothed
-        # mean path) so accuracy work can localize a bias per-term
+        # mean path and covariance inputs) so accuracy work can localize
+        # a bias per-term
         return logy_x + logx_z - logx_yhat, {
             "logy_x": logy_x, "logx_z": logx_z, "logx_yhat": logx_yhat,
-            "mean_path": mean_path}
+            "mean_path": mean_path, "C": C, "Cz": Cz,
+            "pf_N": pf_full[n_steps], "ld_C": ld_C, "k_C": k_C}
     return logy_x + logx_z - logx_yhat
 
 
