@@ -132,7 +132,7 @@ print("LARGE_CPU_SECONDS_PER_STEP", best / n_sub)
 # upstream reference at 1e-8 (tests/test_parity_reference.py), so these
 # ARE the reference values.  v6 adds f64 reference GRADIENTS plus
 # f32-on-CPU gradient controls (VERDICT r4 #3: every *_grad_rel_err row
-# needs a control sibling).  Deterministic, so cached in .bench_ref_v6.npz.
+# needs a control sibling).  Deterministic, so cached in .bench_ref_v7.npz.
 _CPU_TRUTH_SRC = r"""
 import sys
 import numpy as np
@@ -232,8 +232,11 @@ def magi_ll_fn(u):
 
 out["magi_ll"] = float(magi_ll_fn(mu_i[:, :, :2]))
 # magi's MCMC position is the PATH: reference gradient is w.r.t. the
-# full (n_steps+1, n_block, 2) subset array
-out["magi_grad"] = np.asarray(jax.grad(magi_ll_fn)(mu_i[:, :, :2]))
+# full (n_steps+1, n_block, 2) subset array.  Evaluated at mu + 1e-4
+# (the bench kernels' lane-1 input): at mu itself the gradient norm is
+# ~1e-6 (the path IS the near-mode), making relative audits noise
+out["magi_grad"] = np.asarray(
+    jax.grad(magi_ll_fn)(mu_i[:, :, :2] + 1e-4))
 
 # non-chaotic control (FitzHugh-Nagumo): full-horizon pointwise f32/f64
 # comparison is meaningful here, unlike on Lorenz
@@ -315,10 +318,57 @@ def magi_ll_32(u):
         prior_pars=cfgl32["prior_pars"], dt=%(t_max)f / 4000)
 
 # evaluated at the f64 truth path cast to f32 — the same input the TPU
-# magi rows use, so control and row differ only in hardware
+# magi rows use, so control and row differ only in hardware (gradient
+# control at the lane-1 perturbed path, same offset as the reference)
 u32 = mu_i[:, :, :2].astype(jnp.float32)
 out["magi_ll_f32cpu"] = float(magi_ll_32(u32))
-out["magi_grad_f32cpu"] = np.asarray(jax.grad(magi_ll_32)(u32))
+out["magi_grad_f32cpu"] = np.asarray(
+    jax.grad(magi_ll_32)((mu_i[:, :, :2] + 1e-4).astype(jnp.float32)))
+
+# FitzHugh MCMC-posterior fixture (the parameter-inference workload):
+# a cached f64 path makes the bench's observation set REPRODUCIBLE
+# across hosts (round 4 solved it on-chip per run, so CPU controls
+# could never see the identical posterior), and the non-chaotic
+# gradient here is the INFORMATIVE gradient audit — the chaotic Lorenz
+# gradient controls above are O(1)-wrong on any f32 hardware (measured:
+# fenrir 6.97, basic 3.19 rel; daltonng NaN), which is the honest f32
+# floor for that config, not a usable yardstick.
+cfg_fm = fitzhugh.setup(n_steps=200, t_max=10.0, dtype=jnp.float64)
+th_fm = cfg_fm.pop("theta")
+mu_fm, _ = rodeo_tpu.solve_mv(
+    key=None, interrogate=interrogate_kramer, theta=th_fm, **cfg_fm)
+out["solve_mu_fitz200"] = np.asarray(mu_fm)
+obs_idx_fm = np.arange(0, 201, 10)
+sigma_fm = 0.2
+y_fm = np.asarray(mu_fm)[obs_idx_fm, :, 0] + sigma_fm * \
+    np.random.default_rng(7).normal(size=(21, 2))
+out["y_fitz_mcmc"] = y_fm
+obs_t_fm = jnp.asarray(10.0 * obs_idx_fm / 200)
+D_fm = jnp.zeros((21, 2, 1, 3)).at[:, :, :, 0].set(1.0)
+Om_fm = (sigma_fm ** 2) * jnp.broadcast_to(jnp.eye(1), (21, 2, 1, 1))
+
+def fenrir_fitz_fn(th):
+    return precond.fenrir(
+        key=None, interrogate=interrogate_kramer, theta=th,
+        obs_data=jnp.asarray(y_fm)[:, :, None], obs_times=obs_t_fm,
+        obs_weight=D_fm, obs_var=Om_fm, **cfg_fm)
+
+out["fenrir_fitz_ll"] = float(fenrir_fitz_fn(th_fm))
+out["fenrir_fitz_grad"] = np.asarray(jax.grad(fenrir_fitz_fn)(th_fm))
+cfg_fm32 = fitzhugh.setup(n_steps=200, t_max=10.0, dtype=jnp.float32)
+th_fm32 = cfg_fm32.pop("theta")
+
+def fenrir_fitz_32(th):
+    return precond.fenrir(
+        key=None, interrogate=interrogate_kramer, theta=th,
+        obs_data=jnp.asarray(y_fm, jnp.float32)[:, :, None],
+        obs_times=obs_t_fm.astype(jnp.float32),
+        obs_weight=D_fm.astype(jnp.float32),
+        obs_var=Om_fm.astype(jnp.float32), **cfg_fm32)
+
+out["fenrir_fitz_ll_f32cpu"] = float(fenrir_fitz_32(th_fm32))
+out["fenrir_fitz_grad_f32cpu"] = np.asarray(
+    jax.grad(fenrir_fitz_32)(th_fm32))
 
 # f32-on-CPU solve controls
 cfg32 = lorenz.setup(n_steps=%(n_steps)d, t_max=%(t_max)f,
@@ -544,7 +594,7 @@ def main():
 
     truth = None
     with _row(details, "cpu_truth"):
-        truth = cpu_truth(os.path.join(_REPO, ".bench_ref_v6.npz"),
+        truth = cpu_truth(os.path.join(_REPO, ".bench_ref_v7.npz"),
                           timeout_s=None if full else
                           max(120, int(budget * 0.5)))
     if truth is None:
@@ -572,7 +622,7 @@ def main():
     if truth is not None:
         import numpy as np
         for _nm in ("fenrir", "dalton", "daltonng", "basic", "basic_fitz",
-                    "magi"):
+                    "magi", "fenrir_fitz"):
             _k = f"{_nm}_ll_f32cpu"
             if _k in truth:
                 _ref = float(truth[f"{_nm}_ll"])
@@ -582,14 +632,20 @@ def main():
                     _err / max(abs(_ref), 1e-30), 9)
             # gradient controls (VERDICT r4 #3): rel L2 error of the
             # f32-on-CPU gradient vs the f64 gradient, the yardstick
-            # every TPU *_grad_rel_err row reads against
+            # every TPU *_grad_rel_err row reads against.  A non-finite
+            # control (daltonng's f32 reverse-mode NaNs on the chaotic
+            # config) is recorded as such, not used as a yardstick.
             _gk = f"{_nm}_grad_f32cpu"
             if _gk in truth and f"{_nm}_grad" in truth:
                 g64 = np.asarray(truth[f"{_nm}_grad"], np.float64).ravel()
                 g32 = np.asarray(truth[_gk], np.float64).ravel()
                 den = max(float(np.linalg.norm(g64)), 1e-30)
-                details[f"{_nm}_grad_f32cpu_control_rel_err"] = round(
-                    float(np.linalg.norm(g32 - g64)) / den, 9)
+                _c = float(np.linalg.norm(g32 - g64)) / den
+                if np.isfinite(_c):
+                    details[f"{_nm}_grad_f32cpu_control_rel_err"] = \
+                        round(_c, 9)
+                else:
+                    details[f"{_nm}_grad_f32cpu_control_nonfinite"] = True
 
     def audit_ll(label, value, ref_key):
         """Uniform likelihood accuracy audit (VERDICT r3 #3): every
@@ -838,6 +894,43 @@ def main():
                          f"{name}_ll")
                 audit_grad(f"{name}_fused_grad", out_g[1][0],
                            f"{name}_grad")
+        # the INFORMATIVE gradient audit: the chaotic Lorenz rows above
+        # document the f32 floor (controls are O(1)-wrong on any f32
+        # hardware); this non-chaotic FitzHugh row (the MCMC-posterior
+        # fixture, cached f64 references) is where gradient accuracy is
+        # actually measurable — and it is the gradient MALA/HMC/NUTS
+        # consume.
+        with _row(details, "fenrir_fitz_grad"):
+            from rodeo_tpu.models import fitzhugh
+            obs_idx_f, y_mf, sig_f, cfg_mf, th_mf = get_mcmc_obs()
+            obs_t_mf = (10.0 * obs_idx_f / cfg_mf["n_steps"]).astype(
+                jnp.float32)
+            D_mf = jnp.zeros((21, 2, 1, 3), jnp.float32
+                             ).at[:, :, :, 0].set(1.0)
+            Om_mf = (sig_f ** 2) * jnp.broadcast_to(
+                jnp.eye(1, dtype=jnp.float32), (21, 2, 1, 1))
+            Bg_f = 128
+            ths_gf = jnp.broadcast_to(th_mf, (Bg_f, 3)) * \
+                (1 + 1e-6 * jnp.arange(Bg_f, dtype=jnp.float32)[:, None])
+            inits_gf = jnp.broadcast_to(
+                cfg_mf["ode_init"], (Bg_f,) + cfg_mf["ode_init"].shape)
+            gfn_f = jax.jit(lambda ts, x0: pfg.fenrir_fused_batch_grad(
+                thetas=ts, ode_weight=cfg_mf["ode_weight"],
+                ode_inits=x0, t_min=cfg_mf["t_min"],
+                t_max=cfg_mf["t_max"], n_steps=cfg_mf["n_steps"],
+                prior_pars=cfg_mf["prior_pars"],
+                obs_data=y_mf[:, :, None], obs_times=obs_t_mf,
+                obs_weight=D_mf, obs_var=Om_mf,
+                ode_flat=fitzhugh.fitzhugh_flat,
+                jac_flat=fitzhugh.fitzhugh_jac_flat))
+            t_gf2, out_gf2 = _timeit(gfn_f, (ths_gf, inits_gf), n_rep=3,
+                                     per=Bg_f)
+            details["fenrir_fitz_grad_evals_per_sec"] = round(
+                1.0 / t_gf2, 2)
+            audit_ll("fenrir_fitz_grad_ll", out_gf2[0][0],
+                     "fenrir_fitz_ll")
+            audit_grad("fenrir_fitz_grad", out_gf2[1][0],
+                       "fenrir_fitz_grad")
 
     def sec_daltonng():
         with _row(details, "daltonng"):
@@ -1055,7 +1148,11 @@ def main():
                 jnp.all(jnp.isfinite(out_mg[0]))
                 and jnp.all(jnp.isfinite(out_mg[1])))
             audit_ll("magi_fused_grad_ll", out_mg[0][0], "magi_ll")
-            audit_grad("magi_fused_grad", out_mg[1][0], "magi_grad")
+            # gradient audited at lane 1 (path + 1e-4, where the
+            # reference gradient is O(1); at lane 0 the path is the
+            # near-mode and the gradient norm ~1e-6 makes relative
+            # comparison noise)
+            audit_grad("magi_fused_grad", out_mg[1][1], "magi_grad")
 
     def sec_large_state():
         # d=128 method-of-lines heat equation, one dense 384-dim block —
@@ -1290,12 +1387,21 @@ def main():
         from rodeo_tpu.models import fitzhugh
         cfg_m = fitzhugh.setup(n_steps=200, t_max=10.0, dtype=jnp.float32)
         th_m = cfg_m.pop("theta")
-        mu_true, _ = precond.solve_mv(
-            key=None, interrogate=interrogate_kramer, theta=th_m, **cfg_m)
         sigma_obs = 0.2
         obs_idx = jnp.arange(0, 201, 10)          # every 0.5 time units
-        y_m = mu_true[obs_idx, :, 0] + sigma_obs * jnp.asarray(
-            np.random.default_rng(7).normal(size=(21, 2)), jnp.float32)
+        if truth is not None and "y_fitz_mcmc" in truth:
+            # cached-fixture path: the identical observation set the CPU
+            # truth computed its fenrir_fitz references on — makes the
+            # MCMC posterior reproducible across hosts and saves an
+            # on-chip solve compile
+            y_m = jnp.asarray(truth["y_fitz_mcmc"], jnp.float32)
+        else:
+            mu_true, _ = precond.solve_mv(
+                key=None, interrogate=interrogate_kramer, theta=th_m,
+                **cfg_m)
+            y_m = mu_true[obs_idx, :, 0] + sigma_obs * jnp.asarray(
+                np.random.default_rng(7).normal(size=(21, 2)),
+                jnp.float32)
         mcmc_cache["obs"] = (obs_idx, y_m, sigma_obs, cfg_m, th_m)
         return mcmc_cache["obs"]
 

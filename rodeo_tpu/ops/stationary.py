@@ -364,6 +364,7 @@ def _extract_affine(wrapped, ode_fun, W_s, x0_s, t1, t_max, validate,
     return H, H_inn, b, v_fun, poison
 
 
+@full_matmul_precision
 def solve_mv_stationary(key, ode_fun, ode_weight, ode_init,
                         t_min, t_max, n_steps,
                         interrogate,
@@ -578,6 +579,7 @@ def _fenrir_stationary_core(Q, R, H, H_inn, b_m, v_fun, x0_s,
     return logdens
 
 
+@full_matmul_precision
 def fenrir_stationary(key, ode_fun, ode_weight, ode_init,
                       t_min, t_max, n_steps,
                       interrogate,
@@ -823,6 +825,7 @@ def _dalton_stationary_core(Q, R, H, H_inn, b_m, v_fun, x0_s, n_steps,
     return ld0 + ld_joint - ld_marg
 
 
+@full_matmul_precision
 def dalton_stationary(key, ode_fun, ode_weight, ode_init,
                       t_min, t_max, n_steps,
                       interrogate,
@@ -1270,6 +1273,7 @@ def _daltonng_stationary_core(Q, R, H, H_inn, b_m, v_fun, x0_s, n_steps,
     return logy_x + logx_z - logx_yhat
 
 
+@full_matmul_precision
 def daltonng_stationary(key, ode_fun, ode_weight, ode_init,
                         t_min, t_max, n_steps,
                         interrogate,
