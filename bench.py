@@ -960,7 +960,11 @@ def main():
             return -0.5 * (y_cols[0] - x_col) ** 2 / 0.005
 
         from rodeo_tpu.ops.pallas_daltonng import daltonng_fused_batch
-        for Bng in (16, 64):
+        # the round-4 ">=128 exceeds the compile envelope" note is
+        # stale: 128 compiles (and 256 does too since the round-5
+        # eigvec broadcast-sum fix shrank the logpdf HLO); 128 is the
+        # per-eval optimum (12.6k/s measured vs 12.0k at 256)
+        for Bng in (64, 128):
             with _row(details, f"daltonng_fused_batch{Bng}"):
                 ths_ng2 = jnp.broadcast_to(th_i, (Bng, 3)) * \
                     (1 + 1e-6 * jnp.arange(Bng, dtype=jnp.float32)[:, None])

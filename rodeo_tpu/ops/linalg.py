@@ -364,13 +364,22 @@ def sym_eigh_small(a):
         # representative GATHER-FREE (argmax/take_along_axis lower to TPU
         # gathers that dominated whole pipelines): the image of almost
         # any probe vector lies along v_i; use two fixed non-parallel
-        # probes and keep the larger image elementwise.
-        M = (A - wj[..., None, None] * eye) @ \
-            (A - wk[..., None, None] * eye)
+        # probes and keep the larger image elementwise.  Broadcast-sum
+        # matvecs, NOT `@`: millions of batched 3x3 dot_generals lower
+        # MXU-padded and measured as 73 of the 101 ms daltonng fused
+        # pass (the logpdf stage's eigenvector branch) — computing
+        # c = B1 (B2 u) elementwise removes the matmul entirely.
+        B1 = A - wj[..., None, None] * eye
+        B2 = A - wk[..., None, None] * eye
         u1 = jnp.asarray([1.0, 0.62, 0.29][:n], a.dtype)
         u2 = jnp.asarray([-0.33, 0.81, 1.0][:n], a.dtype)
-        c1 = M @ u1
-        c2 = M @ u2
+
+        def image(u):
+            b2u = jnp.sum(B2 * u, axis=-1)              # (..., n)
+            return jnp.sum(B1 * b2u[..., None, :], axis=-1)
+
+        c1 = image(u1)
+        c2 = image(u2)
         n1 = jnp.sum(c1 * c1, -1, keepdims=True)
         n2 = jnp.sum(c2 * c2, -1, keepdims=True)
         v = jnp.where(n1 >= n2, c1, c2)

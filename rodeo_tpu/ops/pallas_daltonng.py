@@ -605,8 +605,10 @@ def _logdet_packed_q_jvp(q, primals, tangents):
     safe_w = jnp.where(keep, w, 1.0)
     ld = jnp.sum(jnp.where(keep, jnp.log(safe_w), 0.0), axis=-1)
     k = jnp.sum(keep, axis=-1).astype(w.dtype)
-    M = jnp.einsum("...ji,...jl,...lm->...im", v, _unpack_dense(dC, q), v)
-    Mdiag = jnp.diagonal(M, axis1=-2, axis2=-1)
+    # broadcast-sum Mdiag (see _logpdf_packed_q_jvp)
+    dCd = _unpack_dense(dC, q)
+    dCv = jnp.sum(dCd[..., :, :, None] * v[..., None, :, :], axis=-2)
+    Mdiag = jnp.sum(v * dCv, axis=-2)
     dld = jnp.sum(jnp.where(keep, Mdiag / safe_w, 0.0), axis=-1)
     return (ld, k), (dld, jnp.zeros_like(k))
 
@@ -628,7 +630,10 @@ def _logpdf_packed_q(q, x, mean, C):
 def _logpdf_packed_pieces(q, x, mean, C):
     w, v, keep = _masked_eigh(C, q)
     z = jnp.moveaxis(x - mean, 1, -1)                      # (T, nb, B, q)
-    zv = jnp.einsum("...i,...ij->...j", z, v)
+    # broadcast-sum, NOT einsum: batched q=3 dot_generals lower to
+    # MXU-padded contractions — measured 75.9 of the 101 ms daltonng
+    # fused pass at 128 lanes (same finding as the r3 sqrt-kernel work)
+    zv = jnp.sum(z[..., :, None] * v, axis=-2)
     safe_w = jnp.where(keep, w, 1.0)
     quad = jnp.sum(jnp.where(keep, zv * zv / safe_w, 0.0), axis=-1)
     logdet = jnp.sum(jnp.where(keep, jnp.log(safe_w), 0.0), axis=-1)
@@ -643,11 +648,18 @@ def _logpdf_packed_q_jvp(q, primals, tangents):
     val, (w, v, keep, safe_w, zv) = _logpdf_packed_pieces(q, x, mean, C)
     alpha = jnp.where(keep, zv / safe_w, 0.0)
     dz = jnp.moveaxis(dx - dmean, 1, -1)
-    dzv = jnp.einsum("...i,...ij->...j", dz, v)
+    # broadcast-sum forms throughout (see _logpdf_packed_pieces): the
+    # original einsum contractions were the daltonng pipeline bottleneck
+    dzv = jnp.sum(dz[..., :, None] * v, axis=-2)
     term1 = 2.0 * jnp.sum(alpha * dzv, axis=-1)
-    M = jnp.einsum("...ji,...jl,...lm->...im", v, _unpack_dense(dC, q), v)
-    term2 = -jnp.einsum("...i,...ij,...j->...", alpha, M, alpha)
-    Mdiag = jnp.diagonal(M, axis1=-2, axis2=-1)
+    dCd = _unpack_dense(dC, q)
+    # va_j = sum_i v_ji alpha_i;  alpha' (v' dC v) alpha = va' dC va
+    va = jnp.sum(v * alpha[..., None, :], axis=-1)
+    term2 = -jnp.sum(va[..., :, None] * dCd * va[..., None, :],
+                     axis=(-2, -1))
+    # Mdiag_i = (v' dC v)_ii via dCv_ji = sum_l dC_jl v_li
+    dCv = jnp.sum(dCd[..., :, :, None] * v[..., None, :, :], axis=-2)
+    Mdiag = jnp.sum(v * dCv, axis=-2)
     term3 = jnp.sum(jnp.where(keep, Mdiag / safe_w, 0.0), axis=-1)
     return val, -0.5 * (term1 + term2 + term3)
 
