@@ -1960,6 +1960,13 @@ def main():
             details["vpu_utilization_fused_batch"] = round(
                 achieved / vpu_peak, 4)
             details["vpu_utilization_config"] = best_lane
+            # primary ceiling metric (round 5, design.md "HBM-stream-
+            # bound" closure): the pipeline's 63 column streams (filter
+            # 18 W, smoother 18 R + 9 W, assembly 9 R + 9 W) against the
+            # v5e HBM bandwidth — per-solve bound is lane-independent
+            hbm_bound = 63 * N_STEPS * 3 * 4 / 819e9
+            details["hbm_roofline_fraction"] = round(
+                hbm_bound / t_one_solve, 4)
             details["vpu_model"] = (
                 "570 f32 FLOP/step/block/lane (static count of the "
                 "column program) vs 1.9 TFLOP/s v5e VPU peak; MXU idle "

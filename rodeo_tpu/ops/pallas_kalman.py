@@ -1606,6 +1606,152 @@ def _gain_cols_batched(q, n_tri, q_const, R_cols_b,
     return G, g, L
 
 
+def _smoother_kernel_batch_rows(chunk, q, n_block, n_tri, lanes_f, fold,
+                                g_ref, G_ref, L_ref, sc_ref,
+                                mean_ref, cov_ref, m_scr, p_scr):
+    """Rows-emitting smoothing recursion: identical backward affine
+    recursion to :func:`_smoother_kernel_batch`, but each stored column
+    is scaled and written straight into the PUBLIC ``(T, nb, d, B)``
+    layout via an in-register unfold (``(nb*F, B/F) -> (nb, B)``
+    reshape).  This removes the XLA assembly pass — measured ~11 of the
+    19 us/solve fused-solve budget at 2048 lanes (one full HBM
+    round-trip over the mean/cov grids plus a sublane-padded transposed
+    write; design.md round-5 closure)."""
+    gi = pl.program_id(0)
+    pairs, where = _tri_idx(q)
+    nb = n_block // fold
+    n_lane = lanes_f * fold
+
+    @pl.when(gi == 0)
+    def _seed():
+        # the first processed element is the synthetic terminal row
+        # (G = 0), which ignores the carry — zero seed is exact
+        for j in range(q):
+            m_scr[j] = jnp.zeros((n_block, lanes_f), jnp.float32)
+        for k in range(n_tri):
+            p_scr[k] = jnp.zeros((n_block, lanes_f), jnp.float32)
+
+    def body(k, carry):
+        r = chunk - 1 - k
+        ms_cols = list(carry[:q])
+        ps_cols = list(carry[q:])
+        G = [[G_ref[r, i * q + j] for j in range(q)] for i in range(q)]
+        m_out = []
+        for i in range(q):
+            acc = g_ref[r, i]
+            for j in range(q):
+                acc = acc + G[i][j] * ms_cols[j]
+            m_out.append(acc)
+        gpg = _sym_quadform(q, G, ps_cols, where)
+        p_out = [L_ref[r, kk] + gpg[kk] for kk in range(n_tri)]
+        for j in range(q):
+            mean_ref[r, :, j, :] = (
+                m_out[j] * sc_ref[j, 0]).reshape(nb, n_lane)
+        for kk in range(n_tri):
+            cov_ref[r, :, kk, :] = (
+                p_out[kk] * sc_ref[q + kk, 0]).reshape(nb, n_lane)
+        return tuple(m_out) + tuple(p_out)
+
+    m_in = [m_scr[j] for j in range(q)]
+    p_in = [p_scr[k] for k in range(n_tri)]
+    out = jax.lax.fori_loop(0, chunk, body, tuple(m_in) + tuple(p_in))
+    for j in range(q):
+        m_scr[j] = out[j]
+    for k in range(n_tri):
+        p_scr[k] = out[q + k]
+
+
+def smoother_recursion_batch_rows(g_k, G_k, L_k, mN, pN, m0, fold,
+                                  m_scales, p_scales, chunk=None,
+                                  interpret="auto"):
+    r"""
+    Backward affine recursion emitting the FULL public solve grid
+    ``(n_len + 2, nb, q | n_tri, n_lane)`` — rows ``0 .. N`` including
+    the initial and terminal rows — in one kernel pass, already scaled
+    to original coordinates.
+
+    The boundary rows ride the recursion as synthetic elements: a
+    trailing element ``(G=0, g=mN, L=pN)`` emits the terminal filtered
+    state (and reseeds the carry with it, exactly), and a leading
+    element ``(G=0, g=m0, L=0)`` emits the exact initial state with zero
+    covariance.  Divisibility padding prepends identity elements
+    (``G=I, g=0, L=0``) whose output rows are sliced off.
+
+    Args (column layout, possibly lane-folded with factor ``fold``):
+        g_k/G_k/L_k: interior backward-kernel parameters, length
+            ``n_len`` (rows ``1 .. N-1``).
+        mN, pN / m0: terminal filtered state / initial state columns.
+        m_scales (ndarray(q,)): per-derivative mean scaling (t_vec).
+        p_scales (ndarray(n_tri,)): packed-covariance scaling.
+
+    Returns:
+        (tuple): ``mean (n_len+2, nb, q, n_lane)``,
+        ``cov_packed (n_len+2, nb, n_tri, n_lane)`` in original
+        coordinates, lanes unfolded.
+    """
+    n_len, q, n_block, lanes_f = g_k.shape
+    n_tri = L_k.shape[1]
+    nb = n_block // fold
+    n_lane = lanes_f * fold
+
+    # augment: [identity pad | row0 | interior | rowN]
+    row0_g = m0[None]
+    row0_G = jnp.zeros((1,) + G_k.shape[1:], G_k.dtype)
+    row0_L = jnp.zeros((1,) + L_k.shape[1:], L_k.dtype)
+    rowN_g = mN[None]
+    rowN_L = pN[None]
+    n_tot = n_len + 2
+    # output blocks are padded to 8 sublanes on the d axis, so the VMEM
+    # budget per row is ~(18 + 2*8*fold/n_block... ) — empirically the
+    # same 8-12-row window as the cols kernel; divisor-of-n_tot required
+    target = min(int(chunk) if chunk is not None else 8, n_tot)
+    s_chunk = _pick_chunk(n_tot, target=target)
+    pad = 0
+    if s_chunk < min(4, target):
+        s_chunk = min(target, 8)
+        pad = (-n_tot) % s_chunk
+    eye_rows = jnp.zeros((pad,) + G_k.shape[1:], G_k.dtype)
+    for i in range(q):
+        eye_rows = eye_rows.at[:, i * q + i].set(1.0)
+    g_aug = jnp.concatenate([
+        jnp.zeros((pad,) + g_k.shape[1:], g_k.dtype), row0_g, g_k,
+        rowN_g])
+    G_aug = jnp.concatenate([eye_rows, row0_G, G_k, row0_G])
+    L_aug = jnp.concatenate([
+        jnp.zeros((pad,) + L_k.shape[1:], L_k.dtype), row0_L, L_k,
+        rowN_L])
+    n_all = n_tot + pad
+    n_chunks = n_all // s_chunk
+    scales = jnp.concatenate([
+        jnp.asarray(m_scales, jnp.float32).ravel(),
+        jnp.asarray(p_scales, jnp.float32).ravel()])[:, None]
+
+    kern = functools.partial(_smoother_kernel_batch_rows, s_chunk, q,
+                             n_block, n_tri, lanes_f, fold)
+    outs = [
+        jax.ShapeDtypeStruct((n_all, nb, q, n_lane), jnp.float32),
+        jax.ShapeDtypeStruct((n_all, nb, n_tri, n_lane), jnp.float32),
+    ]
+    rev4 = lambda i: (n_chunks - 1 - i, 0, 0, 0)
+    blk = lambda d: pl.BlockSpec((s_chunk, d, n_block, lanes_f), rev4,
+                                 memory_space=pltpu.VMEM)
+    out_blk = lambda d: pl.BlockSpec((s_chunk, nb, d, n_lane), rev4,
+                                     memory_space=pltpu.VMEM)
+    mean_rows, cov_rows = pl.pallas_call(
+        kern, out_shape=outs, grid=(n_chunks,),
+        in_specs=[blk(q), blk(q * q), blk(n_tri),
+                  pl.BlockSpec((q + n_tri, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[out_blk(q), out_blk(n_tri)],
+        scratch_shapes=[
+            pltpu.VMEM((q, n_block, lanes_f), jnp.float32),
+            pltpu.VMEM((n_tri, n_block, lanes_f), jnp.float32),
+        ],
+        interpret=_interpret_mode(interpret),
+    )(g_aug, G_aug, L_aug, scales)
+    return mean_rows[pad:], cov_rows[pad:]
+
+
 def smoother_recursion_batch(g_k, G_k, L_k, mN, pN,
                              chunk=None, interpret="auto"):
     r"""
@@ -1775,6 +1921,16 @@ def solve_mv_fused_batch(thetas, ode_weight, ode_inits,
         theta_lanes, tgrid, t_vec, chunk=chunk, interpret=interpret,
         raw_q_const=q_const, mode=interrogation, eps=eps, emit="gains",
         fold=F)
+    tri_scale = jnp.stack(
+        [t_vec[i] * t_vec[j] for (i, j) in pairs]).astype(jnp.float32)
+    # NOTE (round-5 negative result): an in-kernel rows-emitting smoother
+    # (:func:`smoother_recursion_batch_rows` — public layout + scaling in
+    # the kernel, boundary rows as synthetic recursion elements) measured
+    # 24.5 us/solve at 2048 lanes vs 19.0 for this cols-kernel + XLA
+    # assembly pipeline: Mosaic lowers the per-column sublane-scattered
+    # stores (the in-register (nb*F, B/F) -> (nb, B) unfold against a
+    # d-padded output tile) worse than the one XLA transpose round-trip
+    # it eliminates.  Kept for the record; see design.md round-5 closure.
     ms, ps = smoother_recursion_batch(b_k[1:], A_k[1:], C_k[1:],
                                       m_last, p_last,
                                       chunk=chunk, interpret=interpret)
@@ -1795,16 +1951,13 @@ def solve_mv_fused_batch(thetas, ode_weight, ode_inits,
         rows(p_last[None]),
     ], axis=0)
     if kalman_type == "sqrt":
-        # factor the scaled covariances in packed layout, then unscale the
-        # factor rows (entry k=(i,j) is dense L[j][i], i.e. row j)
+        # factor the scaled covariances in packed layout, then unscale
+        # the factor rows (entry k=(i,j) is dense L[j][i], i.e. row j)
         f_rows = chol_packed(packed_rows, q, axis=-2)
         row_scale = jnp.stack(
             [t_vec[j] for (_, j) in pairs]).astype(jnp.float32)
         return mean_rows, f_rows * row_scale[:, None]
-    tri_scale = jnp.stack(
-        [t_vec[i] * t_vec[j] for (i, j) in pairs]).astype(jnp.float32)
-    var_rows = packed_rows * tri_scale[:, None]
-    return mean_rows, var_rows
+    return mean_rows, packed_rows * tri_scale[:, None]
 
 
 def _smoother_mean_kernel_batch_tan(n_tan, chunk, q, n_block, n_lane,
