@@ -132,7 +132,7 @@ print("LARGE_CPU_SECONDS_PER_STEP", best / n_sub)
 # upstream reference at 1e-8 (tests/test_parity_reference.py), so these
 # ARE the reference values.  v6 adds f64 reference GRADIENTS plus
 # f32-on-CPU gradient controls (VERDICT r4 #3: every *_grad_rel_err row
-# needs a control sibling).  Deterministic, so cached in .bench_ref_v7.npz.
+# needs a control sibling).  Deterministic, so cached in .bench_ref_v8.npz (+ _ctrl sibling).
 _CPU_TRUTH_SRC = r"""
 import sys
 import numpy as np
@@ -257,9 +257,72 @@ out["basic_fitz_ll"] = float(precond.basic(
     key=None, interrogate=interrogate_kramer, theta=th_fh,
     obs_data=y_fh, obs_times=obs_t_fh, obs_loglik=b_loglik, **cfg_fh)[0])
 
-# f32-on-CPU likelihood + gradient controls: the SAME f32 pipelines on
-# reference-grade hardware, so each TPU row's audit separates "what
-# float32 can do at all" from TPU-specific numerics
+# FitzHugh MCMC-posterior fixture (the parameter-inference workload):
+# a cached f64 path makes the bench's observation set REPRODUCIBLE
+# across hosts (round 4 solved it on-chip per run, so CPU controls
+# could never see the identical posterior), and the non-chaotic
+# gradient here is the INFORMATIVE gradient audit — the chaotic Lorenz
+# gradient controls above are O(1)-wrong on any f32 hardware (measured:
+# fenrir 6.97, basic 3.19 rel; daltonng NaN), which is the honest f32
+# floor for that config, not a usable yardstick.
+cfg_fm = fitzhugh.setup(n_steps=200, t_max=10.0, dtype=jnp.float64)
+th_fm = cfg_fm.pop("theta")
+mu_fm, _ = rodeo_tpu.solve_mv(
+    key=None, interrogate=interrogate_kramer, theta=th_fm, **cfg_fm)
+out["solve_mu_fitz200"] = np.asarray(mu_fm)
+obs_idx_fm = np.arange(0, 201, 10)
+sigma_fm = 0.2
+y_fm = np.asarray(mu_fm)[obs_idx_fm, :, 0] + sigma_fm * \
+    np.random.default_rng(7).normal(size=(21, 2))
+out["y_fitz_mcmc"] = y_fm
+obs_t_fm = jnp.asarray(10.0 * obs_idx_fm / 200)
+D_fm = jnp.zeros((21, 2, 1, 3)).at[:, :, :, 0].set(1.0)
+Om_fm = (sigma_fm ** 2) * jnp.broadcast_to(jnp.eye(1), (21, 2, 1, 1))
+
+def fenrir_fitz_fn(th):
+    return precond.fenrir(
+        key=None, interrogate=interrogate_kramer, theta=th,
+        obs_data=jnp.asarray(y_fm)[:, :, None], obs_times=obs_t_fm,
+        obs_weight=D_fm, obs_var=Om_fm, **cfg_fm)
+
+out["fenrir_fitz_ll"] = float(fenrir_fitz_fn(th_fm))
+out["fenrir_fitz_grad"] = np.asarray(jax.grad(fenrir_fitz_fn)(th_fm))
+
+np.savez(%(path)r, **out)
+print("TRUTH_OK")
+"""
+
+# f32-on-CPU controls: the SAME f32 pipelines on reference-grade
+# hardware, so each TPU row's audit separates "what float32 can do at
+# all" from TPU-specific numerics.  Runs in its OWN subprocess with
+# x64 DISABLED: under jax_enable_x64 the python-float time grids become
+# f64 arrays and silently promote the "f32" pipeline — the round-4
+# fenrir_fitz "control" measured 5.9e-8 relative that way, an
+# impossible figure for 200 genuine f32 filter steps, and the genuine
+# TPU-f32 rows were then misread as 11%%-broken against it (they match
+# the true f32-CPU value to ~1e-6).
+_CPU_CTRL_SRC = r"""
+import sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+# NO jax_enable_x64: genuine float32 semantics throughout
+import jax.numpy as jnp
+sys.path.insert(0, %(repo)r)
+from rodeo_tpu.models import lorenz, fitzhugh
+from rodeo_tpu.interrogate import interrogate_kramer
+from rodeo_tpu.ops import precond
+
+truth = dict(np.load(%(truth_path)r))
+out = {}
+n_obs = 21
+
+def nn_loglik(o, s, i, **p):
+    return jnp.sum(-0.5 * (o[:, 0] - s[:, 0]) ** 2 / 0.005)
+
+def b_loglik(obs_data, ode_data, **p):
+    return jnp.sum(-0.5 * (obs_data[..., 0] - ode_data[..., 0]) ** 2)
+
 cfgl32 = lorenz.setup(n_steps=4000, t_max=%(t_max)f, dtype=jnp.float32)
 thl32 = cfgl32.pop("theta")
 obs_t32 = jnp.linspace(0.0, %(t_max)f, n_obs).astype(jnp.float32)
@@ -305,8 +368,6 @@ def basic_ll_32(th):
 
 out["basic_ll_f32cpu"] = float(basic_ll_32(thl32))
 out["basic_grad_f32cpu"] = np.asarray(jax.grad(basic_ll_32)(thl32))
-mu_l32, _ = precond.solve_mv(
-    key=None, interrogate=interrogate_kramer, theta=thl32, **cfgl32)
 
 def ode_expand32(u, **p):
     pad = jnp.zeros(u.shape[:-1] + (1,), jnp.float32)
@@ -320,41 +381,21 @@ def magi_ll_32(u):
 # evaluated at the f64 truth path cast to f32 — the same input the TPU
 # magi rows use, so control and row differ only in hardware (gradient
 # control at the lane-1 perturbed path, same offset as the reference)
-u32 = mu_i[:, :, :2].astype(jnp.float32)
+mu_i64 = truth["solve_mu_4k"]
+u32 = jnp.asarray(mu_i64[:, :, :2], jnp.float32)
 out["magi_ll_f32cpu"] = float(magi_ll_32(u32))
 out["magi_grad_f32cpu"] = np.asarray(
-    jax.grad(magi_ll_32)((mu_i[:, :, :2] + 1e-4).astype(jnp.float32)))
+    jax.grad(magi_ll_32)(jnp.asarray(mu_i64[:, :, :2] + 1e-4,
+                                     jnp.float32)))
 
-# FitzHugh MCMC-posterior fixture (the parameter-inference workload):
-# a cached f64 path makes the bench's observation set REPRODUCIBLE
-# across hosts (round 4 solved it on-chip per run, so CPU controls
-# could never see the identical posterior), and the non-chaotic
-# gradient here is the INFORMATIVE gradient audit — the chaotic Lorenz
-# gradient controls above are O(1)-wrong on any f32 hardware (measured:
-# fenrir 6.97, basic 3.19 rel; daltonng NaN), which is the honest f32
-# floor for that config, not a usable yardstick.
-cfg_fm = fitzhugh.setup(n_steps=200, t_max=10.0, dtype=jnp.float64)
-th_fm = cfg_fm.pop("theta")
-mu_fm, _ = rodeo_tpu.solve_mv(
-    key=None, interrogate=interrogate_kramer, theta=th_fm, **cfg_fm)
-out["solve_mu_fitz200"] = np.asarray(mu_fm)
+# FitzHugh MCMC-posterior fixture controls (observations from the
+# cached f64 path — identical to what the TPU rows consume)
+y_fm = truth["y_fitz_mcmc"]
 obs_idx_fm = np.arange(0, 201, 10)
-sigma_fm = 0.2
-y_fm = np.asarray(mu_fm)[obs_idx_fm, :, 0] + sigma_fm * \
-    np.random.default_rng(7).normal(size=(21, 2))
-out["y_fitz_mcmc"] = y_fm
-obs_t_fm = jnp.asarray(10.0 * obs_idx_fm / 200)
-D_fm = jnp.zeros((21, 2, 1, 3)).at[:, :, :, 0].set(1.0)
-Om_fm = (sigma_fm ** 2) * jnp.broadcast_to(jnp.eye(1), (21, 2, 1, 1))
-
-def fenrir_fitz_fn(th):
-    return precond.fenrir(
-        key=None, interrogate=interrogate_kramer, theta=th,
-        obs_data=jnp.asarray(y_fm)[:, :, None], obs_times=obs_t_fm,
-        obs_weight=D_fm, obs_var=Om_fm, **cfg_fm)
-
-out["fenrir_fitz_ll"] = float(fenrir_fitz_fn(th_fm))
-out["fenrir_fitz_grad"] = np.asarray(jax.grad(fenrir_fitz_fn)(th_fm))
+obs_t_fm32 = jnp.asarray(10.0 * obs_idx_fm / 200, jnp.float32)
+D_fm32 = jnp.zeros((21, 2, 1, 3), jnp.float32).at[:, :, :, 0].set(1.0)
+Om_fm32 = 0.04 * jnp.broadcast_to(jnp.eye(1, dtype=jnp.float32),
+                                  (21, 2, 1, 1))
 cfg_fm32 = fitzhugh.setup(n_steps=200, t_max=10.0, dtype=jnp.float32)
 th_fm32 = cfg_fm32.pop("theta")
 
@@ -362,9 +403,8 @@ def fenrir_fitz_32(th):
     return precond.fenrir(
         key=None, interrogate=interrogate_kramer, theta=th,
         obs_data=jnp.asarray(y_fm, jnp.float32)[:, :, None],
-        obs_times=obs_t_fm.astype(jnp.float32),
-        obs_weight=D_fm.astype(jnp.float32),
-        obs_var=Om_fm.astype(jnp.float32), **cfg_fm32)
+        obs_times=obs_t_fm32, obs_weight=D_fm32, obs_var=Om_fm32,
+        **cfg_fm32)
 
 out["fenrir_fitz_ll_f32cpu"] = float(fenrir_fitz_32(th_fm32))
 out["fenrir_fitz_grad_f32cpu"] = np.asarray(
@@ -374,23 +414,23 @@ out["fenrir_fitz_grad_f32cpu"] = np.asarray(
 cfg32 = lorenz.setup(n_steps=%(n_steps)d, t_max=%(t_max)f,
                      dtype=jnp.float32)
 th32 = cfg32.pop("theta")
-from rodeo_tpu.ops import precond as _pc
-mu32, _ = _pc.solve_mv(
+mu32, _ = precond.solve_mv(
     key=None, interrogate=interrogate_kramer, theta=th32, **cfg32)
 out["solve_mu_10k_f32cpu"] = np.asarray(mu32)
 cfg_fh32 = fitzhugh.setup(n_steps=800, t_max=10.0, dtype=jnp.float32)
 th_fh32 = cfg_fh32.pop("theta")
-mu_fh32, _ = _pc.solve_mv(
+mu_fh32, _ = precond.solve_mv(
     key=None, interrogate=interrogate_kramer, theta=th_fh32, **cfg_fh32)
 out["solve_mu_fitz_f32cpu"] = np.asarray(mu_fh32)
-out["basic_fitz_ll_f32cpu"] = float(_pc.basic(
+y_fh32 = jnp.asarray(np.random.default_rng(2).normal(
+    size=(n_obs, 2, 1)), jnp.float32)
+out["basic_fitz_ll_f32cpu"] = float(precond.basic(
     key=None, interrogate=interrogate_kramer, theta=th_fh32,
-    obs_data=y_fh.astype(jnp.float32),
-    obs_times=obs_t_fh.astype(jnp.float32),
+    obs_data=y_fh32, obs_times=jnp.linspace(0.0, 10.0, n_obs),
     obs_loglik=b_loglik, **cfg_fh32)[0])
 
 np.savez(%(path)r, **out)
-print("TRUTH_OK")
+print("CTRL_OK")
 """
 
 
@@ -424,12 +464,16 @@ def join_cpu_reference(proc, timeout_s):
 
 
 def cpu_truth(path, timeout_s=3600):
-    """Load (computing and caching on first use) the CPU f64 ground-truth
-    values for the accuracy audit.  Returns a dict or None on failure.
-    ``timeout_s`` bounds the compute-on-miss subprocess so a missing
-    cache cannot blow a budgeted bench run (the cache is committed; a
-    miss only happens when the truth recipe itself changes)."""
+    """Load (computing and caching on first use) the CPU ground-truth
+    values for the accuracy audit: the f64 references (x64 subprocess)
+    MERGED with the genuine-f32 controls (separate subprocess with x64
+    OFF — see _CPU_CTRL_SRC for why sharing the x64 process poisons
+    them).  Returns a dict or None on failure.  ``timeout_s`` bounds
+    each compute-on-miss subprocess so a missing cache cannot blow a
+    budgeted bench run (the caches are committed; a miss only happens
+    when a recipe changes)."""
     import numpy as np
+    ctrl_path = path.replace(".npz", "_ctrl.npz")
     if not os.path.exists(path):
         out = subprocess.run(
             [sys.executable, "-c", _CPU_TRUTH_SRC % {
@@ -441,8 +485,24 @@ def cpu_truth(path, timeout_s=3600):
                 f"truth computation failed: {out.stdout[-1000:]} "
                 f"{out.stderr[-1000:]}\n")
             return None
+    if not os.path.exists(ctrl_path):
+        out = subprocess.run(
+            [sys.executable, "-c", _CPU_CTRL_SRC % {
+                "n_steps": N_STEPS, "t_max": T_MAX, "path": ctrl_path,
+                "truth_path": path, "repo": _REPO}],
+            capture_output=True, text=True, timeout=timeout_s)
+        if "CTRL_OK" not in out.stdout:
+            sys.stderr.write(
+                f"control computation failed: {out.stdout[-1000:]} "
+                f"{out.stderr[-1000:]}\n")
+            # truth alone still enables the f64 audits
+    merged = {}
     with np.load(path) as z:
-        return {k: z[k] for k in z.files}
+        merged.update({k: z[k] for k in z.files})
+    if os.path.exists(ctrl_path):
+        with np.load(ctrl_path) as z:
+            merged.update({k: z[k] for k in z.files})
+    return merged
 
 
 def _max_err_prefix(mu, mu_ref, n_prefix):
@@ -594,7 +654,7 @@ def main():
 
     truth = None
     with _row(details, "cpu_truth"):
-        truth = cpu_truth(os.path.join(_REPO, ".bench_ref_v7.npz"),
+        truth = cpu_truth(os.path.join(_REPO, ".bench_ref_v8.npz"),
                           timeout_s=None if full else
                           max(120, int(budget * 0.5)))
     if truth is None:
@@ -744,7 +804,10 @@ def main():
     # overlapped the compiles above)
     t_ref = None
     if cpu_proc is not None:
-        remain = max(30.0, budget * 0.45 - (time.monotonic() - t_start))
+        # cap: BENCH_FULL's effectively-infinite budget must not reach
+        # the subprocess poll (timeout-too-large OverflowError)
+        remain = min(1800.0, max(
+            30.0, budget * 0.45 - (time.monotonic() - t_start)))
         res = join_cpu_reference(cpu_proc, remain)
         if res is not None:
             t_ref_seq, t_ref_vm = res
