@@ -192,3 +192,19 @@ def test_stationary_nonlinear_poisons_device_side():
         key=None, interrogate=interrogate_kramer, n_deriv=p,
         n_warm=20, **cfg_a))()
     assert bool(jnp.all(jnp.isfinite(mu_a)))
+
+
+def test_stationary_validate_scale_aware_at_large_d():
+    """The probe threshold must track the affine evaluation's own f32
+    forward-error bound: at large state dimension the residual of a
+    PERFECTLY affine model is eps * rowsum (measured 1.1x at
+    d=128/256/512 on heat), which crossed the old fixed 1e-2 relative
+    threshold at d>=256 and NaN-poisoned every large-d solve (caught by
+    the round-5 full bench: large_state_d512_max_abs_err = nan)."""
+    cfg = heat.setup(d=256, n_deriv=3, n_steps=80, dtype=jnp.float32)
+    cfg.pop("exact")
+    p = cfg.pop("n_deriv")
+    mu, _ = jax.jit(lambda: solve_mv_stationary(
+        key=None, interrogate=interrogate_kramer, n_deriv=p,
+        n_warm=20, **cfg))()
+    assert bool(jnp.all(jnp.isfinite(mu)))
