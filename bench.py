@@ -905,7 +905,9 @@ def main():
         for mod_name, fused_batch in (
                 ("fenrir", pallas_fenrir.fenrir_fused_batch),
                 ("dalton", pallas_dalton.dalton_fused_batch)):
-            for Blf in (128, 512, 1024):
+            # 2048 is the new per-eval optimum (round 5 probe: fenrir
+            # 373k, dalton 580k evals/s; 4096 compiles but is flat)
+            for Blf in (128, 1024, 2048):
                 with _row(details, f"{mod_name}_fused_batch{Blf}"):
                     ths_lf = jnp.broadcast_to(th_f, (Blf, 3)) * \
                         (1 + 1e-6 * jnp.arange(
