@@ -736,8 +736,8 @@ def main():
         name = ref_key[:-5]  # strip "_grad"
         ctrl = details.get(f"{name}_grad_f32cpu_control_rel_err")
         if ctrl is not None:
-            if ctrl > 0.5:
-                # the CONTROL itself is O(1)-wrong: this gradient is
+            if ctrl > 0.1:
+                # the CONTROL itself is >10%-wrong: this gradient is
                 # unusable in f32 on ANY hardware (chaotic configs) —
                 # a 3x-of-garbage pass flag would be meaningless
                 details[f"{label}_f32_unusable_on_any_hw"] = True
