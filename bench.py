@@ -1062,7 +1062,9 @@ def main():
         with _row(details, "daltonng_fused_grad"):
             from rodeo_tpu.ops.pallas_daltonng import (
                 daltonng_fused_batch_grad)
-            Bngg = 64
+            # 128 is the grad-kernel optimum too (round-5 probe: 3.2k
+            # evals/s vs 2.3k at 64, 2.9k at 256)
+            Bngg = 128
             ths_ngg = jnp.broadcast_to(th_i, (Bngg, 3)) * \
                 (1 + 1e-6 * jnp.arange(Bngg, dtype=jnp.float32)[:, None])
             inits_ngg = jnp.broadcast_to(
