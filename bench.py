@@ -573,6 +573,10 @@ def make_details_flusher(details, prev, meta):
     def flush():
         merged = dict(prev)
         merged.update(details)
+        # None values are tombstones: a run can retract a stale
+        # carried-over key (e.g. a pass flag superseded by a floor
+        # marker) by writing None
+        merged = {k: v for k, v in merged.items() if v is not None}
         meta["carried_from_prev"] = sorted(set(prev) - set(details))
         merged["_meta"] = meta
         tmp = _DETAILS_PATH + ".tmp"
@@ -739,8 +743,11 @@ def main():
             if ctrl > 0.1:
                 # the CONTROL itself is >10%-wrong: this gradient is
                 # unusable in f32 on ANY hardware (chaotic configs) —
-                # a 3x-of-garbage pass flag would be meaningless
+                # a 3x-of-garbage pass flag would be meaningless.
+                # None tombstones any stale pass flag carried over from
+                # a previous run (the flusher drops None-valued keys).
                 details[f"{label}_f32_unusable_on_any_hw"] = True
+                details[f"{label}_pass"] = None
             else:
                 details[f"{label}_pass"] = bool(
                     rel <= max(3.0 * ctrl, 1e-6))
